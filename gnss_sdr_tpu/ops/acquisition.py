@@ -1,0 +1,142 @@
+"""Batched PCPS (parallel code-phase search) acquisition ops.
+
+TPU-native redesign of the reference's FFT acquisition
+(``src/algorithms/acquisition/gnuradio_blocks/pcps_acquisition.cc:633``
+``acquisition_core``): instead of a per-Doppler-bin loop of FFTW calls on one
+satellite at a time, the whole [signal x doppler x code-phase] cube is one
+batched XLA FFT computation — Doppler bins and satellites map onto the batch
+dimensions of ``jnp.fft``, which is how the TPU wants this shaped.
+
+Conventions match the reference so its config thresholds carry over:
+  * ``max_power`` statistic  = |corr_peak|^2 / (N^2 * mean|x|^2)
+    (identical to pcps_acquisition::max_to_input_power_statistic with FFTW
+    normalization folded in, pcps_acquisition.cc:529)
+  * ``cfar`` statistic = first peak / second peak outside +/-1 chip
+    (first_vs_second_peak_statistic, pcps_acquisition.cc:564)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class AcqGridResult(NamedTuple):
+    """Per-signal acquisition grid reduction results (leading axis = signal)."""
+
+    test_max_power: jax.Array   # [S] max/input-power statistic
+    test_cfar: jax.Array        # [S] first/second peak ratio
+    code_phase: jax.Array       # [S] int32 sample index of peak (within code period)
+    doppler_hz: jax.Array       # [S] float32 doppler of peak
+    magnitude: jax.Array        # [S] raw |corr|^2 peak (FFTW-normalized)
+
+
+def make_doppler_grid(doppler_max: float, doppler_step: float,
+                      doppler_center: float = 0.0) -> np.ndarray:
+    """Doppler bin centers, reference-compatible ordering (-max .. +max)."""
+    n_bins = int(np.floor(2.0 * doppler_max / doppler_step)) + 1
+    return (doppler_center - doppler_max
+            + doppler_step * np.arange(n_bins)).astype(np.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "samples_per_code", "samples_per_chip", "noncoherent"))
+def pcps_search(x: jax.Array, code_fft_conj: jax.Array, dopplers: jax.Array,
+                *, fs: float, samples_per_code: int, samples_per_chip: int,
+                noncoherent: int = 1) -> AcqGridResult:
+    """Run the full PCPS grid for a batch of signals.
+
+    Args:
+      x: [noncoherent * n_fft] complex64 input samples (n_fft per dwell).
+      code_fft_conj: [S, n_fft] complex64, conj(FFT(zero-padded local code)).
+      dopplers: [D] float32 Doppler bins (Hz).
+      fs: sample rate (Hz).
+      samples_per_code: length of one code period in samples (<= n_fft).
+      samples_per_chip: for the CFAR exclusion window.
+      noncoherent: number of accumulated dwells.
+
+    Returns AcqGridResult with statistics per signal.
+    """
+    n_fft = code_fft_conj.shape[-1]
+    xb = x[: noncoherent * n_fft].reshape(noncoherent, n_fft)
+
+    n = jnp.arange(n_fft, dtype=jnp.float32) * jnp.float32(1.0 / fs)
+    # [D, N] Doppler wipeoff carriers
+    carriers = jnp.exp(jnp.complex64(-2j * np.pi) * (dopplers[:, None] * n[None, :]))
+
+    # [B, D, N] wiped input, one FFT batch
+    xw = xb[:, None, :] * carriers[None, :, :]
+    Xf = jnp.fft.fft(xw, axis=-1)
+
+    def per_signal(cfc):
+        # cfc: [N] -> grid [D, N] noncoherently accumulated over B
+        corr = jnp.fft.ifft(Xf * cfc[None, None, :], axis=-1)
+        # FFTW-normalized magnitude (reference uses unnormalized transforms)
+        mag = jnp.sum(jnp.abs(corr) ** 2, axis=0) * jnp.float32(n_fft * n_fft)
+        return mag
+
+    # scan over signals to bound peak memory ([D, N] live per signal)
+    def scan_body(_, cfc):
+        mag = per_signal(cfc)  # [D, N]
+        # restrict code-phase peak search to one code period
+        mag_cp = mag[:, :samples_per_code]
+        flat_idx = jnp.argmax(mag_cp)
+        d_idx, t_idx = jnp.unravel_index(flat_idx, mag_cp.shape)
+        peak = mag_cp[d_idx, t_idx]
+
+        # CFAR: second peak in the same Doppler row, outside +/-1 chip
+        row = mag_cp[d_idx]
+        pos = jnp.arange(samples_per_code, dtype=jnp.int32)
+        dist = jnp.abs(pos - t_idx)
+        dist = jnp.minimum(dist, samples_per_code - dist)  # circular distance
+        row_masked = jnp.where(dist >= samples_per_chip, row, jnp.float32(0))
+        second = jnp.max(row_masked)
+
+        return None, (peak, d_idx, t_idx, second)
+
+    _, (peaks, d_idxs, t_idxs, seconds) = jax.lax.scan(
+        scan_body, None, code_fft_conj)
+
+    input_power = jnp.mean(jnp.abs(xb) ** 2) * jnp.float32(noncoherent)
+    nrm = jnp.float32(n_fft) ** 4
+    test_max_power = peaks / nrm / input_power
+    test_cfar = peaks / jnp.maximum(seconds, jnp.float32(1e-30))
+
+    return AcqGridResult(
+        test_max_power=test_max_power.astype(jnp.float32),
+        test_cfar=test_cfar.astype(jnp.float32),
+        code_phase=t_idxs.astype(jnp.int32),
+        doppler_hz=dopplers[d_idxs].astype(jnp.float32),
+        magnitude=peaks.astype(jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("fs",))
+def fine_doppler_search(x: jax.Array, code_replica: jax.Array,
+                        dopplers: jax.Array, *, fs: float) -> jax.Array:
+    """Step-two fine-Doppler refinement at a fixed code phase.
+
+    Correlates the code-wiped input against a fine Doppler grid (the reference's
+    ``d_step_two`` path, pcps_acquisition.cc:772) — returns [D] powers.
+
+    Args:
+      x: [N] complex64 samples aligned so the code starts at sample 0.
+      code_replica: [N] float32 sampled local code.
+      dopplers: [D] float32 fine Doppler bins.
+    """
+    n = jnp.arange(x.shape[0], dtype=jnp.float32) * jnp.float32(1.0 / fs)
+    wiped = x * code_replica  # code wipeoff
+    carriers = jnp.exp(jnp.complex64(-2j * np.pi) * (dopplers[:, None] * n[None, :]))
+    corr = carriers @ wiped  # [D] MXU-friendly matvec
+    return jnp.abs(corr) ** 2
+
+
+def simple_threshold_from_pfa(pfa: float, n_cells: int, n_fft: int) -> float:
+    """Exponential-cell CFAR threshold for the max/power statistic."""
+    lam = -np.log(max(1.0 - (1.0 - pfa) ** (1.0 / float(n_cells)), 1e-300))
+    return float(2.0 * lam / n_fft)

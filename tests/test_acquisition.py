@@ -1,0 +1,122 @@
+"""PCPS acquisition tests against the reference project's real IQ captures.
+
+The captures under /root/reference/src/tests/signal_samples/ come with
+ground-truth analysis (true PRN / Doppler / code delay) — the same fixtures the
+reference's gps_l1_ca_pcps_acquisition_test.cc uses.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from gnss_sdr_tpu.models import codes
+from gnss_sdr_tpu.ops import acquisition as acq
+
+from conftest import REFERENCE_SAMPLES
+
+GPS_CAPTURE = REFERENCE_SAMPLES / "GPS_L1_CA_ID_1_Fs_4Msps_2ms.dat"
+GAL_CAPTURE = REFERENCE_SAMPLES / "Galileo_E1_ID_1_Fs_4Msps_8ms.dat"
+GSOC_CAPTURE = REFERENCE_SAMPLES / "GSoC_CTTC_capture_2012_07_26_4Msps_4ms.dat"
+
+FS = 4e6
+
+
+def _code_ffts(prns, n_fft, signal="1C", boc=0.0):
+    out = []
+    for prn in prns:
+        rep = codes.sample_code(codes.code_chips(signal, prn), FS,
+                                1.023e6, n_fft, boc_rate=boc)
+        out.append(np.conj(np.fft.fft(rep)))
+    return jnp.asarray(np.array(out), dtype=jnp.complex64)
+
+
+@pytest.mark.skipif(not GPS_CAPTURE.exists(), reason="reference capture not present")
+def test_gps_l1ca_acquisition_real_capture():
+    x = np.fromfile(GPS_CAPTURE, dtype=np.complex64)
+    spc = int(FS * 1e-3)  # samples per C/A period
+    prns = [1, 2, 3, 11]
+    cf = _code_ffts(prns, spc)
+    dopplers = jnp.asarray(acq.make_doppler_grid(10000, 250))
+    res = acq.pcps_search(jnp.asarray(x[:spc]), cf, dopplers,
+                          fs=FS, samples_per_code=spc, samples_per_chip=4)
+    cfar = np.asarray(res.test_cfar)
+    # PRN 1 is present. Truth (capture analysis.txt): generated with
+    # Doppler +1680 Hz, code delay 131 us = 524 samples. (The MATLAB
+    # analysis tool reports Doppler with the opposite sign convention.)
+    assert cfar[0] > 2.0, cfar
+    assert cfar[0] > 1.8 * cfar[1:].max()
+    assert abs(int(res.code_phase[0]) - 524) <= 2
+    assert abs(float(res.doppler_hz[0]) - 1680.0) <= 250.0
+
+
+@pytest.mark.skipif(not GSOC_CAPTURE.exists(), reason="reference capture not present")
+def test_gps_l1ca_acquisition_live_capture_prn11_12():
+    """Off-air USRP capture: PRN 11 & 12 are detectable (per its analysis.txt)."""
+    x = np.fromfile(GSOC_CAPTURE, dtype=np.complex64)
+    spc = int(FS * 1e-3)
+    prns = [11, 12, 20]
+    cf = _code_ffts(prns, spc)
+    dopplers = jnp.asarray(acq.make_doppler_grid(10000, 125))
+    res = acq.pcps_search(jnp.asarray(x[: 4 * spc]), cf, dopplers,
+                          fs=FS, samples_per_code=spc, samples_per_chip=4,
+                          noncoherent=4)
+    cfar = np.asarray(res.test_cfar)
+    # PRN 12 is strong in this off-air capture (analysis.txt: peak 16.5 at
+    # Doppler 7250 Hz, MATLAB sign convention flipped); PRN 20 is absent.
+    assert cfar[1] > 2.5
+    assert cfar[2] < 1.6
+    assert abs(float(res.doppler_hz[1]) - 7250.0) <= 250.0
+
+
+@pytest.mark.skipif(not GAL_CAPTURE.exists(), reason="reference capture not present")
+def test_galileo_e1b_acquisition_real_capture():
+    x = np.fromfile(GAL_CAPTURE, dtype=np.complex64)
+    spc = int(FS * 4e-3)  # E1B primary code period = 4 ms
+    prns = [1, 2, 11]
+    cf = _code_ffts(prns, spc, signal="1B", boc=1.023e6)
+    dopplers = jnp.asarray(acq.make_doppler_grid(5000, 125))
+    res = acq.pcps_search(jnp.asarray(x[:spc]), cf, dopplers,
+                          fs=FS, samples_per_code=spc, samples_per_chip=4)
+    cfar = np.asarray(res.test_cfar)
+    assert cfar[0] > 1.5
+    assert cfar[0] > 1.2 * cfar[1:].max()
+    # truth: |doppler| 632 Hz (capture convention: -632), delay 2920 samples
+    assert abs(float(res.doppler_hz[0]) - (-632.0)) <= 125.0
+    assert abs(int(res.code_phase[0]) - 2920) <= 2
+
+
+def test_pcps_synthetic_detection_and_pfa():
+    """Synthetic closed-loop check with known truth + no-signal false alarm."""
+    rng = np.random.default_rng(7)
+    spc = int(FS * 1e-3)
+    prn, true_delay, true_dopp = 5, 1234, 2100.0
+    code = codes.sample_code(codes.gps_l1ca_code(prn), FS, 1.023e6, spc)
+    n = np.arange(spc)
+    carrier = np.exp(2j * np.pi * true_dopp * n / FS)
+    sig = np.roll(code, true_delay) * carrier
+    noise = (rng.standard_normal(spc) + 1j * rng.standard_normal(spc)) / np.sqrt(2)
+    # CN0 ~ 44 dBHz at 4 Msps -> amplitude
+    amp = np.sqrt(2.0 * 10 ** (44 / 10) / FS)
+    x = jnp.asarray((amp * sig + noise).astype(np.complex64))
+
+    cf = _code_ffts([prn, 6], spc)
+    dopplers = jnp.asarray(acq.make_doppler_grid(5000, 250))
+    res = acq.pcps_search(x, cf, dopplers, fs=FS,
+                          samples_per_code=spc, samples_per_chip=4)
+    assert int(res.code_phase[0]) == true_delay
+    assert abs(float(res.doppler_hz[0]) - true_dopp) <= 125.0
+    assert float(res.test_cfar[0]) > 2.5
+    # absent PRN 6 must not false-alarm at a CFAR threshold of 2.5
+    assert float(res.test_cfar[1]) < 2.5
+
+
+def test_fine_doppler_search():
+    spc = int(FS * 1e-3)
+    prn, true_dopp = 3, 1837.0
+    code = codes.sample_code(codes.gps_l1ca_code(prn), FS, 1.023e6, spc)
+    n = np.arange(spc)
+    x = jnp.asarray((code * np.exp(2j * np.pi * true_dopp * n / FS)).astype(np.complex64))
+    fine = jnp.arange(-250.0, 250.1, 25.0, dtype=jnp.float32) + 1750.0
+    p = acq.fine_doppler_search(x, jnp.asarray(code), fine, fs=FS)
+    best = float(fine[int(np.argmax(np.asarray(p)))])
+    assert abs(best - true_dopp) <= 12.5 + 1e-6
