@@ -1,0 +1,94 @@
+"""Batched multi-tap carrier-wipeoff correlator.
+
+TPU-native replacement for the reference's hottest kernel pair
+(``src/algorithms/tracking/libs/cpu_multicorrelator_real_codes.cc:105-168``:
+VOLK ``32f_xn_resampler`` + ``32fc_32f_rotator_dot_prod_32fc_xn``): one fused
+computation that, per channel, slices the epoch window out of the sample chunk,
+generates the NCO carrier, resamples K code taps at the current code frequency,
+and reduces the K tap dot-products — batched over channels with ``vmap`` so the
+tap reduction is a single [K, N] x [N, 2] MXU contraction per channel.
+
+The same math is also available as a hand-fused Pallas TPU kernel in
+``correlator_pallas.py``; this XLA formulation is the portable reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def epoch_correlate(chunk: jax.Array,
+                    offset: jax.Array,
+                    n_samples: jax.Array,
+                    code_table: jax.Array,
+                    rem_code_phase: jax.Array,
+                    code_phase_step: jax.Array,
+                    carr_phase_frac: jax.Array,
+                    carr_phase_step: jax.Array,
+                    tap_offsets: jax.Array,
+                    *, n_max: int, table_rate: int = 1) -> jax.Array:
+    """Correlate one epoch window against K code taps (single channel).
+
+    Args:
+      chunk: [L] complex64 conditioned samples (shared across channels).
+      offset: int32 start of the epoch window within ``chunk``.
+      n_samples: int32 number of valid samples in this epoch.
+      code_table: [Lc] float32 +/-1 chip (or sub-chip) table for this channel.
+      rem_code_phase: float32 code phase (chips) at the window start.
+      code_phase_step: float32 chips per sample (code_freq / fs).
+      carr_phase_frac: float32 carrier phase (cycles, fractional) at start.
+      carr_phase_step: float32 carrier cycles per sample (freq / fs).
+      tap_offsets: [K] float32 tap spacings in chips (e.g. [-0.5, 0, +0.5]).
+      n_max: static window size (>= any n_samples).
+      table_rate: static entries per chip in code_table (2 for BOC(1,1)).
+
+    Returns:
+      [K] complex64 correlator outputs.
+    """
+    win = jax.lax.dynamic_slice(chunk, (offset,), (n_max,))
+    n = jnp.arange(n_max, dtype=jnp.float32)
+    mask = n < n_samples.astype(jnp.float32)
+
+    # NCO carrier wipeoff: multiply by exp(-j*2*pi*(phi0 + f/fs * n))
+    phase = jnp.mod(carr_phase_frac + carr_phase_step * n, 1.0)
+    two_pi = jnp.float32(2.0 * np.pi)
+    c = jnp.cos(two_pi * phase)
+    s = jnp.sin(two_pi * phase)
+    wr = jnp.real(win)
+    wi = jnp.imag(win)
+    # (wr + j wi) * (c - j s)
+    xr = (wr * c + wi * s) * mask
+    xi = (wi * c - wr * s) * mask
+
+    # K-tap code resampling via gather from the chip table
+    chips = rem_code_phase + code_phase_step * n                      # [N]
+    idx_f = (chips[None, :] + tap_offsets[:, None]) * jnp.float32(table_rate)
+    lc = code_table.shape[0]
+    idx = jnp.floor(idx_f).astype(jnp.int32) % lc                     # [K, N]
+    codes_kn = code_table[idx]                                        # [K, N]
+
+    # [K, N] @ [N, 2] -> [K, 2] (MXU-friendly contraction)
+    x2 = jnp.stack([xr, xi], axis=-1)
+    out = jnp.dot(codes_kn, x2, preferred_element_type=jnp.float32)
+    return jax.lax.complex(out[:, 0], out[:, 1])
+
+
+@functools.partial(jax.jit, static_argnames=("n_max", "table_rate"))
+def batch_epoch_correlate(chunk, offsets, n_samples, code_tables,
+                          rem_code_phases, code_phase_steps,
+                          carr_phase_fracs, carr_phase_steps, tap_offsets,
+                          *, n_max: int, table_rate: int = 1) -> jax.Array:
+    """vmap of :func:`epoch_correlate` over the channel axis.
+
+    Shapes: offsets/n_samples/rem/... are [C]; code_tables is [C, Lc];
+    tap_offsets is [K] (shared). Returns [C, K] complex64.
+    """
+    fn = jax.vmap(
+        functools.partial(epoch_correlate, n_max=n_max, table_rate=table_rate),
+        in_axes=(None, 0, 0, 0, 0, 0, 0, 0, None))
+    return fn(chunk, offsets, n_samples, code_tables, rem_code_phases,
+              code_phase_steps, carr_phase_fracs, carr_phase_steps, tap_offsets)

@@ -1,0 +1,84 @@
+"""Synthetic multi-satellite GNSS baseband signal generator (test fixture).
+
+The analog of the reference's software signal generator
+(``src/algorithms/signal_generator/gnuradio_blocks/signal_generator_c.cc``) and
+of the external gnss-sim used by its system tests: synthesizes baseband IQ for
+a set of satellites with known code delay, Doppler, C/N0 and data bits — the
+ground truth that closed-loop tests assert against.
+
+Physically consistent code Doppler: the code rate is scaled by
+(1 + doppler/f_carrier) so carrier and code dynamics match, as for a real SV.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from gnss_sdr_tpu import constants
+from gnss_sdr_tpu.models import codes
+
+
+@dataclasses.dataclass
+class SatParams:
+    """Truth parameters for one simulated satellite signal."""
+
+    prn: int
+    cn0_dbhz: float = 45.0
+    doppler_hz: float = 0.0
+    doppler_rate_hz_s: float = 0.0
+    code_delay_s: float = 0.0        # signal transmit delay at t=0 (s)
+    data_bits: np.ndarray | None = None   # +/-1 per bit period; None = all +1
+    carrier_phase_cycles: float = 0.0
+
+
+def generate(spec: constants.SignalSpec, sats: list[SatParams], fs: float,
+             duration_s: float, *, if_freq_hz: float = 0.0,
+             noise: bool = True, seed: int = 0,
+             dtype=np.complex64) -> np.ndarray:
+    """Generate baseband IQ samples.
+
+    Noise is complex white Gaussian with unit variance per sample, so a
+    satellite at C/N0 gets amplitude A = sqrt(10^(cn0/10) / fs).
+    """
+    n = int(round(fs * duration_s))
+    t = np.arange(n, dtype=np.float64) / fs
+    out = np.zeros(n, dtype=np.complex128)
+    fc = spec.carrier_freq_hz
+
+    for sp in sats:
+        chips = codes.code_chips(spec.signal, sp.prn).astype(np.float64)
+        lc = len(chips)
+        # instantaneous doppler & integrated carrier phase
+        fd = sp.doppler_hz + sp.doppler_rate_hz_s * t
+        phase = sp.carrier_phase_cycles + sp.doppler_hz * t + 0.5 * sp.doppler_rate_hz_s * t * t
+        # code phase (chips): rate scaled consistently with the carrier
+        code_rate_scale = 1.0 + (sp.doppler_hz + 0.5 * sp.doppler_rate_hz_s * t) / fc
+        chip_phase = (t - sp.code_delay_s) * spec.code_rate_cps * code_rate_scale
+        chip_idx = np.floor(chip_phase).astype(np.int64)
+        code = chips[chip_idx % lc]
+        if spec.subcarrier_rate_hz > 0:
+            sub_idx = np.floor(2.0 * chip_phase * spec.subcarrier_rate_hz
+                               / spec.code_rate_cps).astype(np.int64) % 2
+            code = code * (1.0 - 2.0 * sub_idx)
+        # data bits aligned to code-period boundaries (epoch 0 = bit boundary)
+        periods_per_bit = max(1, int(round(spec.bit_period_ms / (spec.code_length_chips / spec.code_rate_cps * 1e3))))
+        bit_idx = chip_idx // (lc * periods_per_bit)
+        if sp.data_bits is not None:
+            bits = np.asarray(sp.data_bits, dtype=np.float64)
+            data = bits[bit_idx % len(bits)]
+        else:
+            data = 1.0
+        amp = np.sqrt(10.0 ** (sp.cn0_dbhz / 10.0) / fs)
+        out += amp * data * code * np.exp(2j * np.pi * ((if_freq_hz + 0.0) * t + phase))
+
+    if noise:
+        rng = np.random.default_rng(seed)
+        out += (rng.standard_normal(n) + 1j * rng.standard_normal(n)) / np.sqrt(2.0)
+    return out.astype(dtype)
+
+
+def lnav_bits_to_symbols(bits01: np.ndarray) -> np.ndarray:
+    """Map 0/1 nav bits to +/-1 symbols (bit 0 -> +1, matching chip mapping)."""
+    return (1.0 - 2.0 * np.asarray(bits01, dtype=np.float64))

@@ -1,0 +1,206 @@
+"""Closed-loop tracking tests with synthesized ground truth.
+
+The reference's model test (gps_l1_ca_dll_pll_tracking_test.cc) feeds a
+generated signal and asserts convergence; here the ground truth is the
+generator params of gnss_sdr_tpu.utils.generator.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from gnss_sdr_tpu import constants
+from gnss_sdr_tpu.models import codes
+from gnss_sdr_tpu.ops import acquisition as acq
+from gnss_sdr_tpu.ops import discriminators
+from gnss_sdr_tpu.utils import generator
+from gnss_sdr_tpu.receiver import tracking as trk
+
+SPEC = constants.GPS_L1_CA
+FS = 2.5e6
+
+
+def _acquire(x, prn, noncoherent=2):
+    spc = int(FS * 1e-3)
+    rep = codes.sample_code(codes.gps_l1ca_code(prn), FS, 1.023e6, spc)
+    cf = jnp.asarray(np.conj(np.fft.fft(rep))[None, :], jnp.complex64)
+    res = acq.pcps_search(jnp.asarray(x[: noncoherent * spc]), cf,
+                          jnp.asarray(acq.make_doppler_grid(5000, 250)),
+                          fs=FS, samples_per_code=spc, samples_per_chip=2,
+                          noncoherent=noncoherent)
+    return int(res.code_phase[0]), float(res.doppler_hz[0])
+
+
+def _run_tracking(x, cfg, st, code_tables, n_chunks):
+    outs = []
+    base = 0
+    for _ in range(n_chunks):
+        chunk = jnp.asarray(x[base: base + cfg.chunk_len + cfg.n_max])
+        st, out = trk.track_chunk(cfg, chunk, st, code_tables)
+        outs.append(out)
+        base += cfg.chunk_len
+    return st, outs
+
+
+def test_discriminator_signs():
+    # PLL: positive residual phase -> positive error
+    p = jnp.asarray([np.exp(1j * 0.3)], jnp.complex64)
+    assert float(discriminators.pll_costas(p)[0]) > 0
+    # Costas: bit flip must not change the sign
+    assert float(discriminators.pll_costas(-p)[0]) == pytest.approx(
+        float(discriminators.pll_costas(p)[0]), abs=1e-6)
+    # FLL: prompt rotating positively -> positive frequency error
+    p0 = jnp.asarray([1.0 + 0j], jnp.complex64)
+    p1 = jnp.asarray([np.exp(1j * 0.4)], jnp.complex64)
+    dt = jnp.float32(1e-3)
+    assert float(discriminators.fll_atan2(p0, p1, dt)[0]) > 0
+    # ... and be insensitive to a bit flip
+    assert float(discriminators.fll_atan2(p0, -p1, dt)[0]) == pytest.approx(
+        float(discriminators.fll_atan2(p0, p1, dt)[0]), rel=1e-5)
+    # DLL: replica lagging truth -> early stronger -> positive error
+    e = jnp.asarray([1.2 + 0j], jnp.complex64)
+    l = jnp.asarray([0.7 + 0j], jnp.complex64)
+    assert float(discriminators.dll_nc_emlp(e, l)[0]) > 0
+
+
+def test_single_channel_convergence():
+    fd_true, delay, cn0 = 1234.0, 0.0003, 48.0
+    rng = np.random.default_rng(1)
+    bits = generator.lnav_bits_to_symbols(rng.integers(0, 2, 100))
+    x = generator.generate(
+        SPEC, [generator.SatParams(prn=7, cn0_dbhz=cn0, doppler_hz=fd_true,
+                                   code_delay_s=delay, data_bits=bits)],
+        FS, 1.2, seed=3)
+    d, fd = _acquire(x, 7)
+    assert abs(d - delay * FS) <= 1.0
+    assert abs(fd - fd_true) <= 130.0
+
+    cfg = trk.default_config(SPEC, FS, chunk_ms=50)
+    st = trk.init_state(2)
+    ct = np.zeros((2, 1023), np.float32)
+    ct[0] = codes.gps_l1ca_code(7)
+    st = trk.start_channel(st, 0,
+                           code_freq=1.023e6 * (1 + fd / SPEC.carrier_freq_hz),
+                           doppler_hz=fd, sample_offset=d)
+    st, outs = _run_tracking(x, cfg, st, jnp.asarray(ct),
+                             int((len(x) - cfg.n_max) // cfg.chunk_len))
+
+    assert not bool(st.loss_of_lock[0])
+    assert int(st.state[0]) == trk.NARROW_TRACK
+    assert abs(float(st.carrier_freq[0]) - fd_true) < 5.0
+    # code freq must match carrier-aided truth within DLL noise
+    true_codef = 1.023e6 * (1 + fd_true / SPEC.carrier_freq_hz)
+    assert abs(float(st.code_freq[0]) - true_codef) < 0.5
+    last = outs[-1]
+    v = np.asarray(last.valid[:, 0])
+    assert abs(float(np.asarray(last.cn0_dbhz[:, 0])[v][-1]) - cn0) < 3.0
+    assert float(np.asarray(last.carrier_lock[:, 0])[v][-1]) > 0.9
+    # inactive channel must remain untouched
+    assert not bool(st.active[1]) and int(st.epoch_count[1]) == 0
+
+
+def test_data_bit_recovery():
+    """Prompt I signs must reproduce the injected 50 bps data stream."""
+    rng = np.random.default_rng(4)
+    bits01 = rng.integers(0, 2, 60)
+    bits = generator.lnav_bits_to_symbols(bits01)
+    x = generator.generate(
+        SPEC, [generator.SatParams(prn=3, cn0_dbhz=47, doppler_hz=-800.0,
+                                   code_delay_s=0.0002, data_bits=bits)],
+        FS, 1.2, seed=5)
+    d, fd = _acquire(x, 3)
+    cfg = trk.default_config(SPEC, FS, chunk_ms=50)
+    st = trk.init_state(1)
+    ct = jnp.asarray(codes.gps_l1ca_code(3)[None, :])
+    st = trk.start_channel(st, 0,
+                           code_freq=1.023e6 * (1 + fd / SPEC.carrier_freq_hz),
+                           doppler_hz=fd, sample_offset=d)
+    prompts, epoch_idx = [], []
+    base = 0
+    for _ in range(int((len(x) - cfg.n_max) // cfg.chunk_len)):
+        chunk = jnp.asarray(x[base: base + cfg.chunk_len + cfg.n_max])
+        st, out = trk.track_chunk(cfg, chunk, st, ct)
+        v = np.asarray(out.valid[:, 0])
+        prompts.append(np.asarray(out.prompt[:, 0])[v])
+        epoch_idx.append(np.asarray(out.epoch_index[:, 0])[v])
+        base += cfg.chunk_len
+    P = np.concatenate(prompts)
+    eidx = np.concatenate(epoch_idx)
+    # use the settled tail: epochs 400+
+    sel = eidx >= 400
+    P, eidx = P[sel], eidx[sel]
+    # generator aligns bit boundaries to code epoch 0 of transmit time; the
+    # first tracked epoch started at the acquisition delay => epoch_index is
+    # aligned with transmitted code periods (mod 20 = bit phase 0 if the first
+    # tracked epoch began at a bit boundary). Find the bit phase by majority.
+    phases = [np.mean([np.sign(P.real[i]) != np.sign(P.real[i - 1])
+                       for i in range(1, len(P)) if eidx[i] % 20 != ph])
+              for ph in range(20)]
+    # simpler: all sign flips must occur at a single epoch phase mod 20
+    flips = [int(eidx[i]) % 20 for i in range(1, len(P))
+             if np.sign(P.real[i]) != np.sign(P.real[i - 1])]
+    assert len(flips) > 5
+    assert len(set(flips)) == 1
+    # recover bits and compare against the injected pattern
+    ph = flips[0]
+    rel = (eidx - ph) // 20
+    recovered = {}
+    for r, s in zip(rel, np.sign(P.real)):
+        recovered.setdefault(int(r), []).append(s)
+    rec_bits = {r: np.sign(np.mean(v)) for r, v in recovered.items() if len(v) == 20}
+    # the transmitted bit for absolute code-period index e is bits[e//20 % len]
+    # (up to an overall polarity ambiguity); check consistency both ways
+    keys = sorted(rec_bits)
+    seq = np.array([rec_bits[k] for k in keys])
+    matches = 0
+    for pol in (+1, -1):
+        for off in range(len(bits)):
+            ref = np.array([pol * bits[(k + off) % len(bits)] for k in keys])
+            if np.array_equal(ref, seq):
+                matches += 1
+    assert matches >= 1
+
+
+def test_multichannel_batch_tracking():
+    """4 satellites tracked simultaneously as one batch."""
+    sats = [
+        generator.SatParams(prn=2, cn0_dbhz=46, doppler_hz=500.0, code_delay_s=1e-4),
+        generator.SatParams(prn=5, cn0_dbhz=44, doppler_hz=-2000.0, code_delay_s=3e-4),
+        generator.SatParams(prn=9, cn0_dbhz=48, doppler_hz=3100.0, code_delay_s=7e-4),
+        generator.SatParams(prn=23, cn0_dbhz=42, doppler_hz=-3700.0, code_delay_s=5e-4),
+    ]
+    x = generator.generate(SPEC, sats, FS, 1.0, seed=11)
+    cfg = trk.default_config(SPEC, FS, chunk_ms=50)
+    st = trk.init_state(4)
+    ct = np.stack([codes.gps_l1ca_code(s.prn) for s in sats]).astype(np.float32)
+    for i, s in enumerate(sats):
+        d, fd = _acquire(x, s.prn)
+        st = trk.start_channel(st, i,
+                               code_freq=1.023e6 * (1 + fd / SPEC.carrier_freq_hz),
+                               doppler_hz=fd, sample_offset=d)
+    st, _ = _run_tracking(x, cfg, st, jnp.asarray(ct),
+                          int((len(x) - cfg.n_max) // cfg.chunk_len))
+    for i, s in enumerate(sats):
+        assert not bool(st.loss_of_lock[i]), f"channel {i}"
+        assert abs(float(st.carrier_freq[i]) - s.doppler_hz) < 8.0, f"channel {i}"
+
+
+def test_lock_loss_detected_when_signal_dies():
+    """Signal present for 0.4 s then pure noise -> loss_of_lock must latch."""
+    x1 = generator.generate(
+        SPEC, [generator.SatParams(prn=7, cn0_dbhz=47, doppler_hz=1000.0)],
+        FS, 0.4, seed=6)
+    rng = np.random.default_rng(8)
+    n2 = int(FS * 0.8)
+    x2 = ((rng.standard_normal(n2) + 1j * rng.standard_normal(n2)) / np.sqrt(2)).astype(np.complex64)
+    x = np.concatenate([x1, x2])
+    d, fd = _acquire(x, 7)
+    cfg = trk.default_config(SPEC, FS, chunk_ms=50)
+    st = trk.init_state(1)
+    ct = jnp.asarray(codes.gps_l1ca_code(7)[None, :])
+    st = trk.start_channel(st, 0,
+                           code_freq=1.023e6 * (1 + fd / SPEC.carrier_freq_hz),
+                           doppler_hz=fd, sample_offset=d)
+    st, _ = _run_tracking(x, cfg, st, ct,
+                          int((len(x) - cfg.n_max) // cfg.chunk_len))
+    assert bool(st.loss_of_lock[0])
