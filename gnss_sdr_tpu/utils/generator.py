@@ -33,27 +33,19 @@ class SatParams:
     carrier_phase_cycles: float = 0.0
 
 
-def generate(spec: constants.SignalSpec, sats: list[SatParams], fs: float,
-             duration_s: float, *, if_freq_hz: float = 0.0,
-             noise: bool = True, seed: int = 0,
-             dtype=np.complex64) -> np.ndarray:
-    """Generate baseband IQ samples.
-
-    Noise is complex white Gaussian with unit variance per sample, so a
-    satellite at C/N0 gets amplitude A = sqrt(10^(cn0/10) / fs).
-    """
-    n = int(round(fs * duration_s))
-    t = np.arange(n, dtype=np.float64) / fs
+def _gen_block(spec, sats, fs, if_freq_hz, n0: int, n: int) -> np.ndarray:
+    """Signal (no noise) for samples [n0, n0+n), float64 time base."""
+    t = (n0 + np.arange(n, dtype=np.float64)) / fs
     out = np.zeros(n, dtype=np.complex128)
     fc = spec.carrier_freq_hz
+    periods_per_bit = max(1, int(round(
+        spec.bit_period_ms / (spec.code_length_chips / spec.code_rate_cps * 1e3))))
 
     for sp in sats:
         chips = codes.code_chips(spec.signal, sp.prn).astype(np.float64)
         lc = len(chips)
-        # instantaneous doppler & integrated carrier phase
-        fd = sp.doppler_hz + sp.doppler_rate_hz_s * t
-        phase = sp.carrier_phase_cycles + sp.doppler_hz * t + 0.5 * sp.doppler_rate_hz_s * t * t
-        # code phase (chips): rate scaled consistently with the carrier
+        phase = (sp.carrier_phase_cycles + sp.doppler_hz * t
+                 + 0.5 * sp.doppler_rate_hz_s * t * t)
         code_rate_scale = 1.0 + (sp.doppler_hz + 0.5 * sp.doppler_rate_hz_s * t) / fc
         chip_phase = (t - sp.code_delay_s) * spec.code_rate_cps * code_rate_scale
         chip_idx = np.floor(chip_phase).astype(np.int64)
@@ -62,21 +54,37 @@ def generate(spec: constants.SignalSpec, sats: list[SatParams], fs: float,
             sub_idx = np.floor(2.0 * chip_phase * spec.subcarrier_rate_hz
                                / spec.code_rate_cps).astype(np.int64) % 2
             code = code * (1.0 - 2.0 * sub_idx)
-        # data bits aligned to code-period boundaries (epoch 0 = bit boundary)
-        periods_per_bit = max(1, int(round(spec.bit_period_ms / (spec.code_length_chips / spec.code_rate_cps * 1e3))))
-        bit_idx = chip_idx // (lc * periods_per_bit)
         if sp.data_bits is not None:
             bits = np.asarray(sp.data_bits, dtype=np.float64)
+            bit_idx = chip_idx // (lc * periods_per_bit)
             data = bits[bit_idx % len(bits)]
         else:
             data = 1.0
         amp = np.sqrt(10.0 ** (sp.cn0_dbhz / 10.0) / fs)
-        out += amp * data * code * np.exp(2j * np.pi * ((if_freq_hz + 0.0) * t + phase))
+        out += amp * data * code * np.exp(2j * np.pi * (if_freq_hz * t + phase))
+    return out
 
-    if noise:
-        rng = np.random.default_rng(seed)
-        out += (rng.standard_normal(n) + 1j * rng.standard_normal(n)) / np.sqrt(2.0)
-    return out.astype(dtype)
+
+def generate(spec: constants.SignalSpec, sats: list[SatParams], fs: float,
+             duration_s: float, *, if_freq_hz: float = 0.0,
+             noise: bool = True, seed: int = 0,
+             dtype=np.complex64, block_s: float = 2.0) -> np.ndarray:
+    """Generate baseband IQ samples (block-wise to bound peak memory).
+
+    Noise is complex white Gaussian with unit variance per sample, so a
+    satellite at C/N0 gets amplitude A = sqrt(10^(cn0/10) / fs).
+    """
+    n = int(round(fs * duration_s))
+    out = np.empty(n, dtype=dtype)
+    rng = np.random.default_rng(seed)
+    block = int(fs * block_s)
+    for n0 in range(0, n, block):
+        nb = min(block, n - n0)
+        x = _gen_block(spec, sats, fs, if_freq_hz, n0, nb)
+        if noise:
+            x = x + (rng.standard_normal(nb) + 1j * rng.standard_normal(nb)) / np.sqrt(2.0)
+        out[n0:n0 + nb] = x.astype(dtype)
+    return out
 
 
 def lnav_bits_to_symbols(bits01: np.ndarray) -> np.ndarray:
