@@ -1,0 +1,124 @@
+"""PVT solver tests against the synthetic constellation oracle.
+
+The reference's equivalent is rtklib_solver_test.cc; here the truth is the
+constellation simulator, so errors are attributable purely to the solver.
+"""
+
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu import constants as C
+from gnss_sdr_tpu.models.ephemeris import IonoParams
+from gnss_sdr_tpu.receiver.pvt import geodesy, solver, atmosphere
+from gnss_sdr_tpu.utils import constellation
+
+TRUE_LLH = (np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)  # near CTTC
+T_RX = 354000.0
+
+
+@pytest.fixture(scope="module")
+def world():
+    ephs = constellation.almanac_constellation()
+    rcv = geodesy.geodetic_to_ecef(*TRUE_LLH)
+    vis = constellation.visible_sats(ephs, rcv, T_RX, el_mask_deg=10.0)
+    assert len(vis) >= 6, f"constellation gives only {len(vis)} visible sats"
+    return ephs, rcv, vis
+
+
+def test_geodesy_roundtrip():
+    for lat, lon, h in [(0.6, -2.0, 120.0), (-1.2, 3.0, 4000.0), (0.0, 0.0, 0.0)]:
+        xyz = geodesy.geodetic_to_ecef(lat, lon, h)
+        la, lo, hh = geodesy.ecef_to_geodetic(xyz)
+        assert abs(la - lat) < 1e-11 and abs(lo - lon) < 1e-11 and abs(hh - h) < 1e-6
+
+
+def test_pvt_noise_free(world):
+    ephs, rcv, vis = world
+    bias = 2.31e-4
+    obs = [constellation.simulate_observation(ephs[prn], rcv, T_RX,
+                                              rcv_clock_bias_s=bias)
+           for prn, _, _ in vis[:8]]
+    sol = solver.solve_pvt(obs, ephs, iono=None, apply_tropo=False)
+    assert sol.valid
+    err = np.linalg.norm(sol.pos_ecef - rcv)
+    assert err < 0.01, f"noise-free position error {err} m"
+    assert abs(sol.clock_bias_s - bias) < 1e-10
+    assert np.linalg.norm(sol.vel_ecef) < 0.01
+    assert sol.pdop < 5.0
+
+
+def test_pvt_with_noise(world):
+    ephs, rcv, vis = world
+    rng = np.random.default_rng(2)
+    errs = []
+    for trial in range(5):
+        obs = [constellation.simulate_observation(ephs[prn], rcv, T_RX + trial,
+                                                  rcv_clock_bias_s=1e-4)
+               for prn, _, _ in vis[:8]]
+        for o in obs:
+            o.pseudorange_m += rng.normal(0, 2.0)     # 2 m UERE
+            o.doppler_hz += rng.normal(0, 0.5)
+        sol = solver.solve_pvt(obs, ephs, iono=None, apply_tropo=False)
+        assert sol.valid
+        errs.append(np.linalg.norm(sol.pos_ecef - rcv))
+    assert np.mean(errs) < 15.0, errs
+
+
+def test_pvt_moving_receiver_velocity(world):
+    ephs, rcv, vis = world
+    vel = np.array([12.0, -5.0, 3.0])
+    obs = [constellation.simulate_observation(ephs[prn], rcv, T_RX,
+                                              rcv_vel_ecef=vel)
+           for prn, _, _ in vis[:8]]
+    sol = solver.solve_pvt(obs, ephs, iono=None, apply_tropo=False)
+    assert sol.valid
+    assert np.linalg.norm(sol.vel_ecef - vel) < 0.05
+
+
+def test_pvt_atmosphere_corrections_reduce_error(world):
+    """With simulated iono+tropo on the ranges, enabling the models helps."""
+    ephs, rcv, vis = world
+    iono = IonoParams(alpha=(1.2e-8, 1.5e-8, -6.0e-8, -6.0e-8),
+                      beta=(88064.0, 0.0, -196608.0, -65536.0), valid=True)
+    lat, lon, hgt = geodesy.ecef_to_geodetic(rcv)
+    obs = []
+    for prn, az, el in vis[:8]:
+        o = constellation.simulate_observation(ephs[prn], rcv, T_RX)
+        d_iono = atmosphere.iono_delay_scaled(
+            atmosphere.klobuchar_delay(iono.alpha, iono.beta, lat, lon, az, el,
+                                       o.t_tx_sv), o.carrier_freq_hz)
+        d_trop = atmosphere.saastamoinen_delay(el, hgt, lat)
+        o.pseudorange_m += d_iono + d_trop
+        obs.append(o)
+    sol_off = solver.solve_pvt(obs, ephs, iono=None, apply_tropo=False)
+    sol_on = solver.solve_pvt(obs, ephs, iono=iono, apply_tropo=True)
+    e_off = np.linalg.norm(sol_off.pos_ecef - rcv)
+    e_on = np.linalg.norm(sol_on.pos_ecef - rcv)
+    assert sol_on.valid and sol_off.valid
+    assert e_on < e_off
+    assert e_on < 2.0, f"corrected error {e_on} m"
+
+
+def test_pvt_insufficient_sats(world):
+    ephs, rcv, vis = world
+    obs = [constellation.simulate_observation(ephs[prn], rcv, T_RX)
+           for prn, _, _ in vis[:3]]
+    sol = solver.solve_pvt(obs, ephs)
+    assert not sol.valid
+
+
+def test_klobuchar_range():
+    """Klobuchar delay must be positive, a few meters at L1, larger at low el."""
+    alpha = (1.2e-8, 1.5e-8, -6.0e-8, -6.0e-8)
+    beta = (88064.0, 0.0, -196608.0, -65536.0)
+    d_hi = atmosphere.klobuchar_delay(alpha, beta, 0.7, 0.03, 1.0, np.deg2rad(80), 50400.0)
+    d_lo = atmosphere.klobuchar_delay(alpha, beta, 0.7, 0.03, 1.0, np.deg2rad(10), 50400.0)
+    assert 0 < d_hi * C.SPEED_OF_LIGHT_M_S < 30.0
+    assert d_lo > d_hi
+
+
+def test_saastamoinen_range():
+    d_zenith = atmosphere.saastamoinen_delay(np.pi / 2, 0.0)
+    d_low = atmosphere.saastamoinen_delay(np.deg2rad(10.0), 0.0)
+    assert 2.0 < d_zenith < 3.0
+    assert d_low > 3 * d_zenith
