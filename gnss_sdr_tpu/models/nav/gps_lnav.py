@@ -242,14 +242,20 @@ def encode_subframe(sfid: int, tow_this_s: float, eph: KeplerEphemeris,
 
 def encode_frames(eph: KeplerEphemeris, tow_start_s: float, n_subframes: int,
                   iono: IonoParams | None = None,
-                  utc: UtcParams | None = None) -> np.ndarray:
-    """Encode a continuous LNAV bit stream of n_subframes, cycling subframes
-    1..5, with the first subframe starting at tow_start_s (must be a multiple
-    of 6 s; subframe id follows the TOW position in the frame)."""
+                  utc: UtcParams | None = None,
+                  sfid_cycle: tuple | None = None) -> np.ndarray:
+    """Encode a continuous LNAV bit stream of n_subframes starting at
+    tow_start_s (a multiple of 6 s). By default the subframe id follows the
+    standard TOW grid (1..5 over 30 s); ``sfid_cycle`` overrides the id
+    sequence (e.g. (1, 2, 3) to broadcast ephemeris continuously — useful for
+    short simulation runs; decoders key off the HOW sfid, not the grid)."""
     bits = []
     tow = tow_start_s
     for k in range(n_subframes):
-        sfid = int(tow / 6.0) % 5 + 1
+        if sfid_cycle is not None:
+            sfid = sfid_cycle[k % len(sfid_cycle)]
+        else:
+            sfid = int(tow / 6.0) % 5 + 1
         bits.append(encode_subframe(sfid, tow, eph, iono, utc))
         tow += 6.0
     return np.concatenate(bits)

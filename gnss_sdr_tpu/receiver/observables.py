@@ -1,0 +1,120 @@
+"""Observables: common-epoch pseudorange / carrier-phase / Doppler formation.
+
+Reference analog: ``hybrid_observables_gs`` (``src/algorithms/observables/
+gnuradio_blocks/hybrid_observables_gs.cc``): interpolate each channel's
+transmit time to a common receiver-clock tick and form
+pseudorange = (t_rx - t_tx) * c.
+
+Here the receiver clock ticks are absolute sample counts (the sample counter
+*is* the receiver clock, as in the reference's gnss_sdr_sample_counter), and
+interpolation uses the tracking engine's per-epoch records: transmit time
+advances within an epoch by elapsed samples * code_freq / fs.
+Host float64 — exactness of the time bookkeeping matters (SURVEY §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from gnss_sdr_tpu import constants as C
+
+
+@dataclasses.dataclass
+class EpochRecord:
+    """One tracking epoch of one channel (host-side copy of TrackingOutput)."""
+
+    abs_start_sample: int
+    epoch_index: int
+    rem_code_phase: float       # chips at epoch start
+    code_freq: float            # chips/s
+    carrier_freq: float         # Hz (IF + doppler)
+    carr_phase_cycles: int
+    carr_phase_frac: float
+    cn0_dbhz: float
+
+
+@dataclasses.dataclass
+class ChannelObservable:
+    prn: int
+    signal: str
+    t_tx_sv: float              # transmit time (SV clock, s of week)
+    pseudorange_m: float
+    carrier_phase_cycles: float
+    doppler_hz: float
+    cn0_dbhz: float
+
+
+class ObservablesEngine:
+    """Forms synchronized observables at a fixed receiver-clock cadence."""
+
+    def __init__(self, fs: float, interval_ms: float = 20.0,
+                 rx_time_offset_s: float = 0.085):
+        self.fs = fs
+        self.interval_samples = int(round(fs * interval_ms * 1e-3))
+        self.rx_time_offset_s = rx_time_offset_s
+        self._rx_origin_tow: float | None = None  # receiver time at sample 0
+        self._next_tick: int | None = None
+
+    def ticks_for_range(self, start_sample: int, end_sample: int) -> list[int]:
+        """Receiver-clock tick samples in [start, end)."""
+        if self._next_tick is None:
+            self._next_tick = ((start_sample // self.interval_samples) + 1) \
+                * self.interval_samples
+        out = []
+        while self._next_tick < end_sample:
+            out.append(self._next_tick)
+            self._next_tick += self.interval_samples
+        return out
+
+    def compute(self, tick_sample: int, channels: list[dict]) -> list[ChannelObservable]:
+        """Observables for all locked channels at one tick.
+
+        Each entry of ``channels``: dict with keys
+          prn, signal, code_len, code_rate, if_freq,
+          record (EpochRecord covering or preceding tick_sample),
+          telemetry (object with .have_tow / .transmit_time)
+        """
+        per_ch = []
+        for ch in channels:
+            rec: EpochRecord = ch["record"]
+            tlm = ch["telemetry"]
+            if rec is None or not tlm.have_tow:
+                continue
+            ds = tick_sample - rec.abs_start_sample
+            if ds < 0:
+                continue
+            chips = rec.rem_code_phase + ds * rec.code_freq / self.fs
+            t_tx = tlm.transmit_time(rec.epoch_index, chips,
+                                     code_len=ch["code_len"],
+                                     code_rate=ch["code_rate"])
+            if t_tx is None:
+                continue
+            phase = (rec.carr_phase_cycles + rec.carr_phase_frac
+                     + ds * rec.carrier_freq / self.fs)
+            per_ch.append((ch, t_tx, phase))
+        if not per_ch:
+            return []
+
+        if self._rx_origin_tow is None:
+            t_max = max(t for _, t, _ in per_ch)
+            self._rx_origin_tow = (round((t_max + self.rx_time_offset_s) * 1e3)
+                                   / 1e3 - tick_sample / self.fs)
+
+        t_rx = self._rx_origin_tow + tick_sample / self.fs
+        out = []
+        for ch, t_tx, phase in per_ch:
+            pr = (t_rx - t_tx) * C.SPEED_OF_LIGHT_M_S
+            if pr < 0:
+                pr += C.SECONDS_PER_WEEK * C.SPEED_OF_LIGHT_M_S
+            out.append(ChannelObservable(
+                prn=ch["prn"], signal=ch["signal"], t_tx_sv=t_tx,
+                pseudorange_m=pr, carrier_phase_cycles=phase,
+                doppler_hz=ch["record"].carrier_freq - ch["if_freq"],
+                cn0_dbhz=ch["record"].cn0_dbhz))
+        return out
+
+    @property
+    def rx_clock_tow(self):
+        return self._rx_origin_tow

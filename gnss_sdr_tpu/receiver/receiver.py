@@ -1,0 +1,310 @@
+"""Top-level receiver: the chunked block-pipeline + channel manager.
+
+This is the TPU-native replacement for the reference's control plane + GNU
+Radio flowgraph (``GNSSFlowgraph`` in ``src/core/receiver/gnss_flowgraph.cc``
+and ``ControlThread``): instead of one thread per block with ring buffers, the
+receiver advances chunk by chunk; per chunk it runs
+   1. batched PCPS acquisition for idle channels  (one jit call, all PRNs)
+   2. the tracking scan for all channels          (one jit call)
+   3. host-side telemetry decoding / observables / PVT
+The channel manager mirrors the reference's state machine (idle -> acquiring ->
+tracking, reacquire on loss; gnss_flowgraph.cc:1203-1366).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import numpy as np
+import jax.numpy as jnp
+
+from gnss_sdr_tpu import constants
+from gnss_sdr_tpu.models import codes
+from gnss_sdr_tpu.ops import acquisition as acq_ops
+from gnss_sdr_tpu.receiver import tracking as trk
+from gnss_sdr_tpu.receiver.observables import ChannelObservable, EpochRecord, ObservablesEngine
+from gnss_sdr_tpu.receiver.pvt import solver as pvt_solver
+from gnss_sdr_tpu.receiver.telemetry import GpsL1CaTelemetry
+
+log = logging.getLogger("gnss_sdr_tpu")
+
+
+@dataclasses.dataclass
+class ReceiverConfig:
+    signal: str = "1C"
+    fs: float = 2.046e6                # internal (conditioned) sample rate
+    if_freq_hz: float = 0.0
+    n_channels: int = 8
+    prns: tuple = tuple(range(1, 33))  # satellite pool
+    chunk_ms: int = 100
+    # acquisition
+    acq_doppler_max_hz: float = 5000.0
+    acq_doppler_step_hz: float = 250.0
+    acq_threshold_cfar: float = 2.0
+    acq_noncoherent: int = 2
+    max_in_acquisition: int = 33       # batch width (all by default)
+    # tracking
+    pll_bw_hz: float = 40.0
+    dll_bw_hz: float = 4.0
+    fll_bw_hz: float = 10.0
+    pll_bw_narrow_hz: float = 15.0
+    dll_bw_narrow_hz: float = 2.0
+    # observables / pvt
+    obs_interval_ms: float = 20.0
+    pvt_output_rate_ms: float = 100.0
+    pvt_apply_tropo: bool = True
+    pvt_apply_iono: bool = True
+
+
+class Channel:
+    """Host-side per-channel bookkeeping (FSM mirror of reference Channel)."""
+
+    def __init__(self, ch_id: int):
+        self.ch_id = ch_id
+        self.prn: int | None = None
+        self.state = "idle"             # idle | tracking
+        self.telemetry: GpsL1CaTelemetry | None = None
+        self.records: list[EpochRecord] = []
+
+    def latest_record_before(self, sample: int) -> EpochRecord | None:
+        best = None
+        for r in self.records:
+            if r.abs_start_sample <= sample:
+                if best is None or r.abs_start_sample > best.abs_start_sample:
+                    best = r
+        return best
+
+
+class Receiver:
+    def __init__(self, config: ReceiverConfig):
+        self.cfg = config
+        self.spec = constants.SIGNALS[config.signal]
+        fs = config.fs
+        self.trk_cfg = trk.default_config(
+            self.spec, fs, config.chunk_ms,
+            if_freq_hz=config.if_freq_hz,
+            pll_bw_hz=config.pll_bw_hz, dll_bw_hz=config.dll_bw_hz,
+            fll_bw_hz=config.fll_bw_hz,
+            pll_bw_narrow_hz=config.pll_bw_narrow_hz,
+            dll_bw_narrow_hz=config.dll_bw_narrow_hz)
+        self.chunk_len = self.trk_cfg.chunk_len
+        self.n_max = self.trk_cfg.n_max
+
+        c = config.n_channels
+        self.channels = [Channel(i) for i in range(c)]
+        self.trk_state = trk.init_state(c)
+        table_len = self.spec.code_length_chips * self.trk_cfg.table_rate
+        self._code_tables = np.zeros((c, table_len), np.float32)
+
+        self.spc = int(round(fs * self.spec.code_period_s))
+        self._acq_reps = {}
+        self._acq_pool = list(config.prns)
+        self._acq_backoff: dict[int, int] = {}
+
+        self.observables = ObservablesEngine(fs, config.obs_interval_ms)
+        self.ephemerides = {}
+        self.iono = None
+        self.fixes: list[pvt_solver.PvtSolution] = []
+        self.obs_log: list[tuple[int, list[ChannelObservable]]] = []
+        self._sample_base = 0           # absolute sample index of chunk start
+        self._pvt_interval = int(round(
+            config.pvt_output_rate_ms / config.obs_interval_ms))
+        self._tick_count = 0
+        self._chunk_index = 0
+
+    # ------------------------------------------------------------------ acq
+    def _code_fft(self, prn: int) -> np.ndarray:
+        if prn not in self._acq_reps:
+            boc = self.spec.subcarrier_rate_hz
+            rep = codes.sample_code(
+                codes.code_chips(self.cfg.signal, prn), self.cfg.fs,
+                self.spec.code_rate_cps, self.spc, boc_rate=boc)
+            self._acq_reps[prn] = np.conj(np.fft.fft(rep)).astype(np.complex64)
+        return self._acq_reps[prn]
+
+    def _run_acquisition(self, chunk: np.ndarray) -> None:
+        idle = [ch for ch in self.channels if ch.state == "idle"]
+        if not idle:
+            return
+        tracked = {ch.prn for ch in self.channels if ch.state == "tracking"}
+        candidates = [p for p in self._acq_pool
+                      if p not in tracked
+                      and self._acq_backoff.get(p, 0) <= self._chunk_index]
+        candidates = candidates[: self.cfg.max_in_acquisition]
+        if not candidates:
+            return
+        nc = self.cfg.acq_noncoherent
+        if len(chunk) < nc * self.spc:
+            return
+        cf = jnp.asarray(np.stack([self._code_fft(p) for p in candidates]))
+        dopplers = jnp.asarray(acq_ops.make_doppler_grid(
+            self.cfg.acq_doppler_max_hz, self.cfg.acq_doppler_step_hz))
+        res = acq_ops.pcps_search(
+            jnp.asarray(chunk[: nc * self.spc]), cf, dopplers,
+            fs=self.cfg.fs, samples_per_code=self.spc,
+            samples_per_chip=max(1, int(self.cfg.fs / self.spec.code_rate_cps)),
+            noncoherent=nc)
+        cfar = np.asarray(res.test_cfar)
+        order = np.argsort(-cfar)
+        for idx in order:
+            if not idle:
+                break
+            prn = candidates[int(idx)]
+            if cfar[idx] < self.cfg.acq_threshold_cfar:
+                self._acq_backoff[prn] = self._chunk_index + 5
+                continue
+            ch = idle.pop(0)
+            self._assign_channel(ch, prn, int(res.code_phase[idx]),
+                                 float(res.doppler_hz[idx]))
+
+    def _assign_channel(self, ch: Channel, prn: int, delay: int,
+                        doppler: float) -> None:
+        fc = self.spec.carrier_freq_hz
+        code_freq = self.spec.code_rate_cps * (1.0 + doppler / fc)
+        # acquisition ran on the head of the *current* chunk, so the code
+        # boundary at `delay` is directly usable — tracking starts this chunk
+        table = codes.code_chips(self.cfg.signal, prn)
+        if self.trk_cfg.table_rate == 2:
+            # BOC(1,1): table at 2 entries/chip with the subcarrier applied
+            table = np.repeat(table, 2) * np.tile(
+                [1.0, -1.0], self.spec.code_length_chips).astype(np.float32)
+        self._code_tables[ch.ch_id] = table
+        self.trk_state = trk.start_channel(
+            self.trk_state, ch.ch_id, code_freq=code_freq, doppler_hz=doppler,
+            sample_offset=int(delay), if_freq_hz=self.cfg.if_freq_hz)
+        ch.prn = prn
+        ch.state = "tracking"
+        ch.telemetry = GpsL1CaTelemetry(prn)
+        ch.records = []
+        log.info("ch %d: PRN %d acquired (delay=%d, doppler=%.0f)",
+                 ch.ch_id, prn, delay, doppler)
+
+    def _drop_channel(self, ch: Channel) -> None:
+        log.info("ch %d: PRN %s loss of lock", ch.ch_id, ch.prn)
+        self.trk_state = trk.stop_channel(self.trk_state, ch.ch_id)
+        self._acq_backoff[ch.prn] = self._chunk_index + 10
+        ch.prn = None
+        ch.state = "idle"
+        ch.telemetry = None
+        ch.records = []
+
+    # ------------------------------------------------------------ tracking
+    def _run_tracking(self, chunk_with_halo: np.ndarray) -> None:
+        any_tracking = any(ch.state == "tracking" for ch in self.channels)
+        if not any_tracking:
+            return
+        self.trk_state, out = trk.track_chunk(
+            self.trk_cfg, jnp.asarray(chunk_with_halo), self.trk_state,
+            jnp.asarray(self._code_tables))
+        valid = np.asarray(out.valid)
+        prompt = np.asarray(out.prompt)
+        eidx = np.asarray(out.epoch_index)
+        start = np.asarray(out.start_offset)
+        rem = np.asarray(out.rem_code_phase)
+        codef = np.asarray(out.code_freq)
+        carrf = np.asarray(out.carrier_freq)
+        cyc = np.asarray(out.carr_phase_cycles)
+        frac = np.asarray(out.carr_phase_frac)
+        cn0 = np.asarray(out.cn0_dbhz)
+        lol = np.asarray(self.trk_state.loss_of_lock)
+
+        for ch in self.channels:
+            if ch.state != "tracking":
+                continue
+            i = ch.ch_id
+            v = valid[:, i]
+            if v.any():
+                ch.telemetry.push(eidx[v, i], prompt[v, i].real)
+                keep = ch.records[-1:]  # one record of history for early ticks
+                ch.records = keep + [
+                    EpochRecord(
+                        abs_start_sample=self._sample_base + int(s),
+                        epoch_index=int(e), rem_code_phase=float(r),
+                        code_freq=float(cf), carrier_freq=float(crf),
+                        carr_phase_cycles=int(cc), carr_phase_frac=float(ff),
+                        cn0_dbhz=float(c0))
+                    for s, e, r, cf, crf, cc, ff, c0 in zip(
+                        start[v, i], eidx[v, i], rem[v, i], codef[v, i],
+                        carrf[v, i], cyc[v, i], frac[v, i], cn0[v, i])]
+            if lol[i]:
+                self._drop_channel(ch)
+
+    # --------------------------------------------------------- observables
+    def _run_observables(self) -> None:
+        ticks = self.observables.ticks_for_range(
+            self._sample_base, self._sample_base + self.chunk_len)
+        for t in ticks:
+            chans = []
+            for ch in self.channels:
+                if ch.state != "tracking" or ch.telemetry is None:
+                    continue
+                rec = ch.latest_record_before(t)
+                if rec is None:
+                    continue
+                chans.append(dict(prn=ch.prn, signal=self.cfg.signal,
+                                  code_len=self.spec.code_length_chips,
+                                  code_rate=self.spec.code_rate_cps,
+                                  if_freq=self.cfg.if_freq_hz,
+                                  record=rec, telemetry=ch.telemetry))
+            obs = self.observables.compute(t, chans)
+            if obs:
+                self.obs_log.append((t, obs))
+            self._tick_count += 1
+            if obs and self._tick_count % self._pvt_interval == 0:
+                self._run_pvt(obs)
+
+    def _run_pvt(self, obs: list[ChannelObservable]) -> None:
+        # harvest ephemerides/iono from telemetry
+        for ch in self.channels:
+            if ch.state == "tracking" and ch.telemetry is not None:
+                eph = ch.telemetry.ephemeris()
+                if eph is not None:
+                    self.ephemerides[ch.prn] = eph
+                if ch.telemetry.assembler.iono.valid:
+                    self.iono = ch.telemetry.assembler.iono
+        inputs = [pvt_solver.ObsInput(
+            prn=o.prn, pseudorange_m=o.pseudorange_m, doppler_hz=o.doppler_hz,
+            carrier_freq_hz=self.spec.carrier_freq_hz, t_tx_sv=o.t_tx_sv,
+            cn0_dbhz=o.cn0_dbhz) for o in obs]
+        sol = pvt_solver.solve_pvt(
+            inputs, self.ephemerides,
+            iono=self.iono if self.cfg.pvt_apply_iono else None,
+            apply_tropo=self.cfg.pvt_apply_tropo)
+        if sol.valid:
+            self.fixes.append(sol)
+
+    # ------------------------------------------------------------- pipeline
+    def process(self, samples: np.ndarray) -> None:
+        """Feed a contiguous block of conditioned complex64 samples.
+
+        Must be called with blocks of exactly chunk_len except the last.
+        Internally keeps the one-epoch halo continuity.
+        """
+        if not hasattr(self, "_buf"):
+            self._buf = np.zeros(0, np.complex64)
+        self._buf = np.concatenate([self._buf, np.asarray(samples, np.complex64)])
+        while len(self._buf) >= self.chunk_len + self.n_max:
+            chunk = self._buf[: self.chunk_len + self.n_max]
+            self._run_acquisition(chunk)
+            self._run_tracking(chunk)
+            self._run_observables()
+            self._buf = self._buf[self.chunk_len:]
+            self._sample_base += self.chunk_len
+            self._chunk_index += 1
+
+    def run_source(self, source, max_chunks: int | None = None) -> None:
+        n = 0
+        while max_chunks is None or n < max_chunks:
+            block = source.read(self.chunk_len)
+            if len(block) == 0:
+                break
+            self.process(block)
+            n += 1
+
+    # ------------------------------------------------------------- queries
+    def tracked_prns(self) -> list[int]:
+        return [ch.prn for ch in self.channels if ch.state == "tracking"]
+
+    def latest_fix(self):
+        return self.fixes[-1] if self.fixes else None

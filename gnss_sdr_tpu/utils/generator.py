@@ -46,8 +46,10 @@ def _gen_block(spec, sats, fs, if_freq_hz, n0: int, n: int) -> np.ndarray:
         lc = len(chips)
         phase = (sp.carrier_phase_cycles + sp.doppler_hz * t
                  + 0.5 * sp.doppler_rate_hz_s * t * t)
-        code_rate_scale = 1.0 + (sp.doppler_hz + 0.5 * sp.doppler_rate_hz_s * t) / fc
-        chip_phase = (t - sp.code_delay_s) * spec.code_rate_cps * code_rate_scale
+        # code phase integrates the same instantaneous Doppler as the carrier:
+        # d(chip_phase)/dt = R * (1 + (doppler + rate*t)/fc)
+        chip_phase = (t - sp.code_delay_s + phase / fc
+                      - sp.carrier_phase_cycles / fc) * spec.code_rate_cps
         chip_idx = np.floor(chip_phase).astype(np.int64)
         code = chips[chip_idx % lc]
         if spec.subcarrier_rate_hz > 0:

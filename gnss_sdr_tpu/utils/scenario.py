@@ -1,0 +1,94 @@
+"""Full signal-level simulation scenario: constellation -> IQ samples.
+
+The system-test enabler (reference analog: the external gnss-sim spawned by
+``position_test.cc``): picks visible satellites for a receiver truth position,
+fits each satellite's transmit-time trajectory to the generator's
+(delay, doppler, doppler-rate) model, attaches real LNAV bits, and returns
+everything needed to synthesize IQ and to verify the receiver's output
+against absolute truth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from gnss_sdr_tpu import constants
+from gnss_sdr_tpu.models.ephemeris import KeplerEphemeris
+from gnss_sdr_tpu.models.nav import gps_lnav
+from gnss_sdr_tpu.receiver.pvt import geodesy
+from gnss_sdr_tpu.utils import constellation, generator
+
+
+@dataclasses.dataclass
+class Scenario:
+    rcv_ecef: np.ndarray
+    rcv_llh: tuple
+    t0_gps: float               # GPS time at receiver sample 0
+    tow_bits_start: float       # SV time of LNAV bit 0
+    duration_s: float
+    fs: float
+    ephemerides: dict[int, KeplerEphemeris]
+    sats: list[generator.SatParams]
+    prns: list[int]
+
+    def generate(self, seed: int = 0, noise: bool = True) -> np.ndarray:
+        return generator.generate(constants.GPS_L1_CA, self.sats, self.fs,
+                                  self.duration_s, seed=seed, noise=noise)
+
+
+def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),
+                          t0_gps: float = 352800.08, duration_s: float = 28.0,
+                          fs: float = 2.046e6, n_sats: int = 6,
+                          cn0_dbhz: float = 47.0,
+                          ephemerides: dict | None = None) -> Scenario:
+    """Build a static-receiver GPS L1 C/A scenario.
+
+    The LNAV streams cycle subframes (1,2,3) so ephemeris is decodable within
+    ~25 s of signal. SV transmit-time trajectories are quadratic fits of the
+    exact light-time solution — worst-case deviation over 30 s is millimetric.
+    """
+    ephs = ephemerides or constellation.almanac_constellation()
+    for e in ephs.values():
+        e.tgd = 0.0   # signal-level sim carries no inter-signal group delay
+    rcv = geodesy.geodetic_to_ecef(*rcv_llh)
+    vis = constellation.visible_sats(ephs, rcv, t0_gps, el_mask_deg=15.0)
+    chosen = [prn for prn, _, _ in vis[:n_sats]]
+    if len(chosen) < n_sats:
+        raise RuntimeError(f"only {len(chosen)} visible sats")
+
+    fc = constants.GPS_L1_CA.carrier_freq_hz
+    code_rate = constants.GPS_L1_CA.code_rate_cps
+
+    # common LNAV bit-stream origin: latest 6 s boundary before min t_tx(0)
+    t_tx0 = {}
+    for prn in chosen:
+        o = constellation.simulate_observation(ephs[prn], rcv, t0_gps)
+        t_tx0[prn] = o.t_tx_sv
+    tow_bits_start = 6.0 * np.floor(min(t_tx0.values()) / 6.0)
+
+    n_subframes = int(np.ceil((duration_s + 12.0) / 6.0)) + 1
+    sats = []
+    for prn in chosen:
+        eph = ephs[prn]
+        # quadratic fit of t_tx_sv(t), t = receiver time since sample 0
+        ts = np.array([0.0, duration_s / 2.0, duration_s])
+        tx = np.array([constellation.simulate_observation(
+            eph, rcv, t0_gps + t).t_tx_sv for t in ts])
+        a2, a1, a0 = np.polyfit(ts, tx, 2)
+        doppler = fc * (a1 - 1.0)
+        doppler_rate = fc * 2.0 * a2
+        # generator model: chip_phase(t) = R*(t - d + (fd*t + 0.5*r*t^2)/fc)
+        # matching R*(t_tx_sv(t) - tow_bits_start) termwise gives d = tow - a0
+        code_delay = tow_bits_start - a0
+        bits = generator.lnav_bits_to_symbols(gps_lnav.encode_frames(
+            eph, tow_bits_start, n_subframes, sfid_cycle=(1, 2, 3)))
+        sats.append(generator.SatParams(
+            prn=prn, cn0_dbhz=cn0_dbhz, doppler_hz=doppler,
+            doppler_rate_hz_s=doppler_rate, code_delay_s=code_delay,
+            data_bits=bits))
+
+    return Scenario(rcv_ecef=rcv, rcv_llh=rcv_llh, t0_gps=t0_gps,
+                    tow_bits_start=tow_bits_start, duration_s=duration_s,
+                    fs=fs, ephemerides=ephs, sats=sats, prns=chosen)

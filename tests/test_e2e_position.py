@@ -1,0 +1,78 @@
+"""System test: full signal-level chain to a position fix.
+
+The TPU-native equivalent of the reference's position_test.cc system test:
+synthesize a 6-satellite GPS L1 C/A constellation at IQ level (real LNAV
+ephemerides in the bits), run the complete receiver (acquisition -> tracking
+-> telemetry -> observables -> PVT), and assert the fix against the truth
+position using the reference's own accuracy budget
+(position_test_flags.h: 2D < 2 m, 3D < 5 m for static accuracy).
+"""
+
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu.receiver.pvt import geodesy
+from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+from gnss_sdr_tpu.io.sources import ArraySignalSource
+from gnss_sdr_tpu.utils import scenario as scen
+
+
+@pytest.fixture(scope="module")
+def e2e_run():
+    # fs must not be an integer multiple of the chip rate: with a ZOH code
+    # replica, commensurate sampling creates a static per-channel DLL bias
+    # (flat correlation peak). 2.0 MHz is the reference's own internal rate
+    # for this band (conf/gnss-sdr_GPS_L1_ishort.conf internal_fs_sps).
+    sc = scen.build_gps_l1_scenario(duration_s=28.0, n_sats=6, cn0_dbhz=47.0,
+                                    fs=2.0e6)
+    x = sc.generate(seed=123)
+    cfg = ReceiverConfig(
+        signal="1C", fs=sc.fs, n_channels=6, prns=tuple(sc.prns),
+        chunk_ms=100, acq_doppler_max_hz=5000.0, acq_doppler_step_hz=250.0,
+        pvt_apply_tropo=False, pvt_apply_iono=False)
+    rx = Receiver(cfg)
+    rx.run_source(ArraySignalSource(x, sc.fs))
+    return sc, rx
+
+
+def test_all_satellites_tracked(e2e_run):
+    sc, rx = e2e_run
+    assert sorted(rx.tracked_prns()) == sorted(sc.prns)
+
+
+def test_ephemerides_decoded(e2e_run):
+    sc, rx = e2e_run
+    assert len(rx.ephemerides) >= 4
+    for prn, eph in rx.ephemerides.items():
+        true = sc.ephemerides[prn]
+        assert abs(eph.sqrt_a - true.sqrt_a) <= 2.0 ** -19
+        assert eph.toe == true.toe
+
+
+def test_position_fix_accuracy(e2e_run):
+    sc, rx = e2e_run
+    assert len(rx.fixes) >= 5, f"only {len(rx.fixes)} fixes"
+    # static accuracy over the settled fixes (last 10)
+    lat, lon, _ = sc.rcv_llh
+    errs_enu = np.stack([
+        geodesy.ecef_to_enu(f.pos_ecef - sc.rcv_ecef, lat, lon)
+        for f in rx.fixes[-10:]])
+    mean_enu = errs_enu.mean(axis=0)
+    err_2d = np.hypot(mean_enu[0], mean_enu[1])
+    err_3d = np.linalg.norm(mean_enu)
+    # reference budget: position_test_flags.h horizontal<2m, 3D<5m
+    assert err_2d < 2.0, f"2D error {err_2d:.2f} m"
+    assert err_3d < 5.0, f"3D error {err_3d:.2f} m"
+
+
+def test_velocity_static(e2e_run):
+    _, rx = e2e_run
+    v = np.stack([f.vel_ecef for f in rx.fixes[-10:]]).mean(axis=0)
+    assert np.linalg.norm(v) < 0.5, f"static velocity {np.linalg.norm(v)} m/s"
+
+
+def test_dops_reported(e2e_run):
+    _, rx = e2e_run
+    f = rx.fixes[-1]
+    assert 0.5 < f.pdop < 10.0
+    assert f.n_sats >= 4

@@ -90,18 +90,19 @@ def test_ephemeris_decoded(telemetry_run):
 def test_transmit_time_accuracy(telemetry_run):
     """Tracked transmit time vs generator truth: this bounds pseudorange error.
 
-    Truth: chip c of the stream is emitted at tow0 + c / 1.023e6 and arrives
-    at receiver time t with c = (t - delay) * 1.023e6 * (1 + fd/fc).
+    Truth (generator model): chip c of the stream is emitted at
+    tow0 + c / 1.023e6 and arrives at receiver time t with
+    c = (t - delay + fd*t/fc) * 1.023e6.
     """
     r = telemetry_run
     tlm = r["tlm"]
-    scale = 1.0 + r["fd_true"] / SPEC.carrier_freq_hz
     errs = []
     starts, eidx, rems, _ = r["records"][-1]
     for s, e, rem in zip(starts[-50:], eidx[-50:], rems[-50:]):
         t_tx = tlm.transmit_time(int(e), float(rem))
         t_rx = s / FS
-        c_true = (t_rx - r["delay"]) * 1.023e6 * scale
+        c_true = (t_rx - r["delay"]
+                  + r["fd_true"] * t_rx / SPEC.carrier_freq_hz) * 1.023e6
         t_tx_true = r["tow0"] + c_true / 1.023e6
         errs.append(t_tx - t_tx_true)
     errs = np.array(errs)
