@@ -185,9 +185,9 @@ def solve_pvt(obs: list[ObsInput], ephemerides: dict[int, KeplerEphemeris],
         rho = np.linalg.norm(sp - x[:3])
         los = (sp - x[:3]) / rho
         lam = C.SPEED_OF_LIGHT_M_S / o.carrier_freq_hz
-        # satellite velocity in the rotating frame seen at reception
+        # broadcast-model satellite velocity is already ECEF (rotating frame);
+        # only rotate it into the reception-epoch frame — do NOT add omega x r
         sv = _rotate_sat(sat_vel[i], tau)
-        sv = sv + C.OMEGA_EARTH_DOT * np.array([sp[1], -sp[0], 0.0])
         rr[i] = -lam * o.doppler_hz + C.SPEED_OF_LIGHT_M_S * ddts[i] - los @ sv
         g[i] = [-los[0], -los[1], -los[2], 1.0]
     gw = g[used] * w[used, None]

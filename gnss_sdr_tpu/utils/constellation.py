@@ -95,11 +95,11 @@ def simulate_observation(eph: KeplerEphemeris, rcv_ecef: np.ndarray,
     # TGD applies to L1 single-frequency pseudoranges (IS-GPS-200 20.3.3.3.3.2)
     pr += C.SPEED_OF_LIGHT_M_S * eph.tgd
 
-    # Doppler: range-rate in the reception-epoch ECEF frame
+    # Doppler: range-rate in the reception-epoch ECEF frame (broadcast-model
+    # velocity is already expressed in the rotating ECEF frame)
     vel_r = np.array([np.cos(C.OMEGA_EARTH_DOT * tau) * vel[0] + np.sin(C.OMEGA_EARTH_DOT * tau) * vel[1],
                       -np.sin(C.OMEGA_EARTH_DOT * tau) * vel[0] + np.cos(C.OMEGA_EARTH_DOT * tau) * vel[1],
                       vel[2]])
-    vel_r = vel_r + C.OMEGA_EARTH_DOT * np.array([pos_r[1], -pos_r[0], 0.0])
     los = (pos_r - rcv_ecef) / np.linalg.norm(pos_r - rcv_ecef)
     rr = los @ (vel_r - rcv_vel_ecef)
     ddts = eph.af1 + 2.0 * eph.af2 * (t_tx_sv - eph.toc)
