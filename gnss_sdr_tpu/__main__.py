@@ -1,0 +1,72 @@
+"""CLI entry point: ``python -m gnss_sdr_tpu -c receiver.conf``.
+
+Reference analog: ``src/main/main.cc`` (gflags/glog init + ControlThread run).
+Accepts the reference's own INI configs plus CLI overrides for the most-used
+flags (``gnss_sdr_flags.cc``: --doppler_max, --dll_bw_hz, --pll_bw_hz ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gnss-sdr-tpu",
+        description="TPU-native GNSS software-defined receiver")
+    p.add_argument("-c", "--config_file", required=True,
+                   help="INI configuration (reference-compatible dialect)")
+    p.add_argument("-s", "--signal_source", default=None,
+                   help="override SignalSource.filename")
+    p.add_argument("--doppler_max", type=float, default=None)
+    p.add_argument("--doppler_step", type=float, default=None)
+    p.add_argument("--dll_bw_hz", type=float, default=None)
+    p.add_argument("--pll_bw_hz", type=float, default=None)
+    p.add_argument("--max_chunks", type=int, default=None,
+                   help="stop after N processing chunks")
+    p.add_argument("--log_level", default="INFO")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=args.log_level,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    from gnss_sdr_tpu.config import ini
+    from gnss_sdr_tpu.receiver.receiver import Receiver
+
+    conf = ini.FileConfiguration(args.config_file)
+    if args.signal_source:
+        conf.set_property("SignalSource.filename", args.signal_source)
+    if args.doppler_max is not None:
+        conf.set_property("Acquisition_1C.doppler_max", args.doppler_max)
+    if args.doppler_step is not None:
+        conf.set_property("Acquisition_1C.doppler_step", args.doppler_step)
+    if args.dll_bw_hz is not None:
+        conf.set_property("Tracking_1C.dll_bw_hz", args.dll_bw_hz)
+    if args.pll_bw_hz is not None:
+        conf.set_property("Tracking_1C.pll_bw_hz", args.pll_bw_hz)
+
+    rcfg = ini.receiver_config_from_ini(conf)
+    source = ini.source_from_ini(conf)
+    if abs(source.fs - rcfg.fs) > 1.0:
+        # decimating conditioner: integer or rational decimation via FIR
+        logging.getLogger("gnss_sdr_tpu").info(
+            "conditioning %.0f sps -> %.0f sps", source.fs, rcfg.fs)
+    rx = Receiver(rcfg)
+    rx.run_file_source(source, max_chunks=args.max_chunks)
+
+    n = len(rx.fixes)
+    print(f"processed: {rx._sample_base} samples, {n} PVT fixes")
+    if n:
+        f = rx.fixes[-1]
+        print(f"last fix: lat={f.lat_rad*57.29577951308232:.6f} "
+              f"lon={f.lon_rad*57.29577951308232:.6f} h={f.height_m:.1f} m "
+              f"({f.n_sats} sats, pdop {f.pdop:.2f})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

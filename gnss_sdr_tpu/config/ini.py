@@ -1,0 +1,136 @@
+"""Configuration system: reference-compatible INI dialect.
+
+API parity with the reference's ``ConfigurationInterface::property(name,
+default)`` (``src/core/interfaces/configuration_interface.h``) and its two
+implementations ``FileConfiguration`` (``file_configuration.cc:65``) and
+``InMemoryConfiguration`` — so the reference's ``conf/*.conf`` files drive
+this receiver directly for A/B runs.
+
+Dialect: ``Role.key=value`` lines; ``;`` and ``#`` comments; an optional
+``[GNSS-SDR]`` section header (ignored, as INIReader treats the whole file as
+one section).
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+
+def _parse(text: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith((";", "#", "[")):
+            continue
+        if "=" not in line:
+            continue
+        key, _, value = line.partition("=")
+        # strip trailing comments
+        for c in (";", "#"):
+            if c in value:
+                value = value.split(c, 1)[0]
+        out[key.strip()] = value.strip()
+    return out
+
+
+class Configuration:
+    """Typed property lookup over a flat key/value store."""
+
+    def __init__(self, values: dict[str, str] | None = None):
+        self._values = dict(values or {})
+
+    def property(self, name: str, default):
+        """Typed getter: the default's type decides the conversion
+        (reference semantics: property<T>(name, T default))."""
+        if name not in self._values:
+            return default
+        raw = self._values[name]
+        if isinstance(default, bool):
+            return raw.strip().lower() in ("true", "1", "yes", "on")
+        if isinstance(default, int):
+            try:
+                return int(float(raw))
+            except ValueError:
+                return default
+        if isinstance(default, float):
+            try:
+                return float(raw)
+            except ValueError:
+                return default
+        return raw
+
+    def set_property(self, name: str, value) -> None:
+        self._values[name] = str(value)
+
+    def is_present(self, name: str) -> bool:
+        return name in self._values
+
+    def keys_with_prefix(self, prefix: str) -> list[str]:
+        return [k for k in self._values if k.startswith(prefix)]
+
+
+class FileConfiguration(Configuration):
+    def __init__(self, path: str | pathlib.Path):
+        super().__init__(_parse(pathlib.Path(path).read_text()))
+        self.path = pathlib.Path(path)
+
+
+class InMemoryConfiguration(Configuration):
+    pass
+
+
+# signal code <-> reference channel-group suffix ("Channels_1C.count" etc.)
+SIGNAL_SUFFIXES = ("1C", "2S", "L5", "1B", "5X", "1G", "2G", "B1", "B3")
+
+
+def receiver_config_from_ini(conf: Configuration):
+    """Map a reference-style configuration onto ReceiverConfig.
+
+    Covers the single-signal GPS L1 path (the reference's
+    gnss-sdr_GPS_L1_ishort.conf shape); multi-signal configs pick the first
+    signal group with a nonzero channel count.
+    """
+    from gnss_sdr_tpu.receiver.receiver import ReceiverConfig
+
+    signal = "1C"
+    n_channels = 0
+    for suf in SIGNAL_SUFFIXES:
+        cnt = conf.property(f"Channels_{suf}.count", 0)
+        if cnt > 0:
+            signal, n_channels = suf, cnt
+            break
+    if n_channels == 0:
+        n_channels = 8
+
+    fs = float(conf.property("GNSS-SDR.internal_fs_sps",
+                             conf.property("GNSS-SDR.internal_fs_hz", 2_000_000)))
+    acq = f"Acquisition_{signal}"
+    trk = f"Tracking_{signal}"
+    return ReceiverConfig(
+        signal=signal,
+        fs=fs,
+        n_channels=n_channels,
+        acq_doppler_max_hz=float(conf.property(f"{acq}.doppler_max", 5000)),
+        acq_doppler_step_hz=float(conf.property(f"{acq}.doppler_step", 250)),
+        pll_bw_hz=conf.property(f"{trk}.pll_bw_hz", 40.0),
+        dll_bw_hz=conf.property(f"{trk}.dll_bw_hz", 4.0),
+        pll_bw_narrow_hz=conf.property(f"{trk}.pll_bw_narrow_hz", 15.0),
+        dll_bw_narrow_hz=conf.property(f"{trk}.dll_bw_narrow_hz", 2.0),
+        pvt_output_rate_ms=float(conf.property("PVT.output_rate_ms", 100)),
+    )
+
+
+def source_from_ini(conf: Configuration):
+    """Build the signal source + conversion/resampling plan from config."""
+    from gnss_sdr_tpu.io.sources import FileSignalSource
+
+    impl = conf.property("SignalSource.implementation", "File_Signal_Source")
+    if impl != "File_Signal_Source":
+        raise NotImplementedError(f"signal source {impl} not supported yet")
+    return FileSignalSource(
+        conf.property("SignalSource.filename", ""),
+        item_type=conf.property("SignalSource.item_type", "gr_complex"),
+        sampling_frequency=float(conf.property("SignalSource.sampling_frequency", 4_000_000)),
+        samples=conf.property("SignalSource.samples", 0),
+        repeat=conf.property("SignalSource.repeat", False),
+    )

@@ -14,7 +14,11 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:
+    from jax import shard_map  # jax >= 0.7
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 
 def sharded_fir(x: jax.Array, taps: jax.Array, mesh: Mesh,
@@ -48,4 +52,5 @@ def gather_channel_outputs(x: jax.Array, mesh: Mesh,
     """All-gather per-channel results (observables to the host/PVT)."""
     def local(x_loc):
         return jax.lax.all_gather(x_loc, axis, tiled=True)
-    return shard_map(local, mesh=mesh, in_specs=P(axis), out_specs=P())(x)
+    return shard_map(local, mesh=mesh, in_specs=P(axis), out_specs=P(),
+                     check_vma=False)(x)

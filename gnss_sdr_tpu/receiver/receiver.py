@@ -302,6 +302,30 @@ class Receiver:
             self.process(block)
             n += 1
 
+    def run_file_source(self, source, max_chunks: int | None = None) -> None:
+        """Run from a source whose rate may exceed the internal rate; a
+        decimating FIR conditioner bridges the rates (reference:
+        SignalConditioner = DataTypeAdapter -> InputFilter -> Resampler)."""
+        from gnss_sdr_tpu.ops.fir import StreamingFir, design_lowpass
+
+        ratio = source.fs / self.cfg.fs
+        if abs(ratio - 1.0) < 1e-9:
+            return self.run_source(source, max_chunks)
+        decim = int(round(ratio))
+        if abs(ratio - decim) > 1e-9:
+            raise NotImplementedError(
+                f"non-integer resampling {source.fs}->{self.cfg.fs} "
+                "not supported yet")
+        taps = design_lowpass(decim * 16 + 1, 0.8 / decim)
+        fir = StreamingFir(taps, decim=decim)
+        n = 0
+        while max_chunks is None or n < max_chunks:
+            block = source.read(self.chunk_len * decim)
+            if len(block) < decim:
+                break
+            self.process(np.asarray(fir(block)))
+            n += 1
+
     # ------------------------------------------------------------- queries
     def tracked_prns(self) -> list[int]:
         return [ch.prn for ch in self.channels if ch.state == "tracking"]

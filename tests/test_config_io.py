@@ -1,0 +1,140 @@
+"""Config system, signal sources, FIR conditioner, monitor tests.
+
+Reference analogs: control-plane unit tests (file_configuration_test.cc,
+in_memory_configuration_test.cc) and source/adapter tests.
+"""
+
+import json
+import socket
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from gnss_sdr_tpu.config import ini
+from gnss_sdr_tpu.io import sources
+from gnss_sdr_tpu.ops import fir
+
+from conftest import REFERENCE_SAMPLES
+
+
+def test_in_memory_configuration():
+    c = ini.InMemoryConfiguration()
+    c.set_property("Tracking_1C.pll_bw_hz", 35.0)
+    c.set_property("Channels_1C.count", 8)
+    c.set_property("SignalSource.repeat", "true")
+    assert c.property("Tracking_1C.pll_bw_hz", 40.0) == 35.0
+    assert c.property("Channels_1C.count", 0) == 8
+    assert c.property("SignalSource.repeat", False) is True
+    assert c.property("missing.key", 7) == 7
+    assert c.is_present("Channels_1C.count")
+
+
+def test_file_configuration(tmp_path):
+    p = tmp_path / "rx.conf"
+    p.write_text("""
+; comment
+[GNSS-SDR]
+GNSS-SDR.internal_fs_sps=2000000
+SignalSource.item_type=ishort ; trailing comment
+Channels_1C.count=8
+Acquisition_1C.doppler_max=10000
+Tracking_1C.pll_bw_hz=40.0;
+""")
+    c = ini.FileConfiguration(p)
+    assert c.property("GNSS-SDR.internal_fs_sps", 0) == 2_000_000
+    assert c.property("SignalSource.item_type", "") == "ishort"
+    assert c.property("Tracking_1C.pll_bw_hz", 0.0) == 40.0
+    rc = ini.receiver_config_from_ini(c)
+    assert rc.signal == "1C" and rc.n_channels == 8
+    assert rc.fs == 2_000_000.0
+    assert rc.acq_doppler_max_hz == 10000.0
+
+
+def test_reference_conf_parses():
+    import pathlib
+    ref = pathlib.Path("/root/reference/conf/gnss-sdr_GPS_L1_ishort.conf")
+    if not ref.exists():
+        pytest.skip("reference conf not present")
+    c = ini.FileConfiguration(ref)
+    rc = ini.receiver_config_from_ini(c)
+    assert rc.fs == 2_000_000.0
+    assert rc.n_channels == 8
+    assert rc.pll_bw_hz == 40.0 and rc.dll_bw_hz == 4.0
+
+
+@pytest.mark.parametrize("item_type,dtype,comps", [
+    ("ishort", np.int16, 2), ("ibyte", np.int8, 2), ("gr_complex", np.complex64, 1),
+])
+def test_file_source_roundtrip(tmp_path, item_type, dtype, comps):
+    rng = np.random.default_rng(0)
+    n = 1000
+    if item_type == "gr_complex":
+        data = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+        raw = data
+        expect = data
+    else:
+        raw = rng.integers(-100, 100, n * comps).astype(dtype)
+        f = raw.astype(np.float32)
+        expect = (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+    p = tmp_path / f"capture.{item_type}"
+    raw.tofile(p)
+    src = sources.FileSignalSource(p, item_type=item_type, sampling_frequency=4e6)
+    out = np.concatenate([src.read(300), src.read(400), src.read(10000)])
+    assert np.array_equal(out, expect)
+
+
+def test_file_source_valve_and_repeat(tmp_path):
+    data = np.arange(100, dtype=np.complex64)
+    p = tmp_path / "x.dat"
+    data.tofile(p)
+    src = sources.FileSignalSource(p, sampling_frequency=1e6, samples=50, repeat=True)
+    out = src.read(120)
+    assert len(out) == 120
+    assert np.array_equal(out[:50], data[:50])
+    assert np.array_equal(out[50:100], data[:50])
+
+
+def test_streaming_fir_matches_batch():
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)).astype(np.complex64)
+    taps = fir.design_lowpass(33, 0.4)
+    f = fir.StreamingFir(taps)
+    y_stream = np.concatenate([np.asarray(f(x[:1000])), np.asarray(f(x[1000:2500])),
+                               np.asarray(f(x[2500:]))])
+    full = np.convolve(np.concatenate([np.zeros(32, np.complex64), x]),
+                       taps.astype(np.complex64), mode="valid")
+    assert np.allclose(y_stream, full, atol=1e-4)
+
+
+def test_fir_decimation_preserves_signal():
+    """A 4->2 MHz decimating conditioner must preserve a 100 kHz tone."""
+    fs = 4e6
+    n = 40000
+    t = np.arange(n) / fs
+    x = np.exp(2j * np.pi * 1e5 * t).astype(np.complex64)
+    taps = fir.design_lowpass(33, 0.4)
+    f = fir.StreamingFir(taps, decim=2)
+    y = np.asarray(f(x))
+    t2 = np.arange(len(y)) * 2 / fs
+    expect = np.exp(2j * np.pi * 1e5 * (t2 - 16 / fs))  # group delay 16 samples
+    corr = np.vdot(expect[100:], y[100:]) / np.linalg.norm(expect[100:]) / np.linalg.norm(y[100:])
+    assert abs(corr) > 0.999
+
+
+def test_udp_monitor_sink():
+    from gnss_sdr_tpu.io import monitor
+    from gnss_sdr_tpu.receiver.observables import ChannelObservable
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(2.0)
+    port = rx.getsockname()[1]
+    mon = monitor.GnssSynchroMonitor([("127.0.0.1", port)], decimation=1)
+    obs = [ChannelObservable(prn=7, signal="1C", t_tx_sv=1.0,
+                             pseudorange_m=2.2e7, carrier_phase_cycles=12.5,
+                             doppler_hz=100.0, cn0_dbhz=45.0)]
+    mon.push(12345, obs)
+    msg = json.loads(rx.recv(65536).decode())
+    assert msg["type"] == "gnss_synchro"
+    assert msg["channels"][0]["prn"] == 7
+    rx.close()
