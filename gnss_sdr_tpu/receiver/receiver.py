@@ -25,7 +25,7 @@ from gnss_sdr_tpu.ops import acquisition as acq_ops
 from gnss_sdr_tpu.receiver import tracking as trk
 from gnss_sdr_tpu.receiver.observables import ChannelObservable, EpochRecord, ObservablesEngine
 from gnss_sdr_tpu.receiver.pvt import solver as pvt_solver
-from gnss_sdr_tpu.receiver.telemetry import GpsL1CaTelemetry
+from gnss_sdr_tpu.receiver.telemetry import make_telemetry
 
 log = logging.getLogger("gnss_sdr_tpu")
 
@@ -64,7 +64,7 @@ class Channel:
         self.ch_id = ch_id
         self.prn: int | None = None
         self.state = "idle"             # idle | tracking
-        self.telemetry: GpsL1CaTelemetry | None = None
+        self.telemetry = None
         self.records: list[EpochRecord] = []
 
     def latest_record_before(self, sample: int) -> EpochRecord | None:
@@ -112,6 +112,10 @@ class Receiver:
             config.pvt_output_rate_ms / config.obs_interval_ms))
         self._tick_count = 0
         self._chunk_index = 0
+        # output hooks (printers / monitors): called as f(sol) and
+        # f(tick_sample, observables) respectively
+        self.fix_sinks: list = []
+        self.obs_sinks: list = []
 
     # ------------------------------------------------------------------ acq
     def _code_fft(self, prn: int) -> np.ndarray:
@@ -175,7 +179,7 @@ class Receiver:
             sample_offset=int(delay), if_freq_hz=self.cfg.if_freq_hz)
         ch.prn = prn
         ch.state = "tracking"
-        ch.telemetry = GpsL1CaTelemetry(prn)
+        ch.telemetry = make_telemetry(self.cfg.signal, prn)
         ch.records = []
         log.info("ch %d: PRN %d acquired (delay=%d, doppler=%.0f)",
                  ch.ch_id, prn, delay, doppler)
@@ -250,6 +254,8 @@ class Receiver:
             obs = self.observables.compute(t, chans)
             if obs:
                 self.obs_log.append((t, obs))
+                for sink in self.obs_sinks:
+                    sink(t, obs)
             self._tick_count += 1
             if obs and self._tick_count % self._pvt_interval == 0:
                 self._run_pvt(obs)
@@ -261,8 +267,9 @@ class Receiver:
                 eph = ch.telemetry.ephemeris()
                 if eph is not None:
                     self.ephemerides[ch.prn] = eph
-                if ch.telemetry.assembler.iono.valid:
-                    self.iono = ch.telemetry.assembler.iono
+                iono = getattr(ch.telemetry.assembler, "iono", None)
+                if iono is not None and iono.valid:
+                    self.iono = iono
         inputs = [pvt_solver.ObsInput(
             prn=o.prn, pseudorange_m=o.pseudorange_m, doppler_hz=o.doppler_hz,
             carrier_freq_hz=self.spec.carrier_freq_hz, t_tx_sv=o.t_tx_sv,
@@ -272,7 +279,11 @@ class Receiver:
             iono=self.iono if self.cfg.pvt_apply_iono else None,
             apply_tropo=self.cfg.pvt_apply_tropo)
         if sol.valid:
+            if sol.week == 0 and self.ephemerides:
+                sol.week = next(iter(self.ephemerides.values())).week
             self.fixes.append(sol)
+            for sink in self.fix_sinks:
+                sink(sol)
 
     # ------------------------------------------------------------- pipeline
     def process(self, samples: np.ndarray) -> None:

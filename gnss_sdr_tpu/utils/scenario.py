@@ -32,9 +32,10 @@ class Scenario:
     ephemerides: dict[int, KeplerEphemeris]
     sats: list[generator.SatParams]
     prns: list[int]
+    spec: constants.SignalSpec = constants.GPS_L1_CA
 
     def generate(self, seed: int = 0, noise: bool = True) -> np.ndarray:
-        return generator.generate(constants.GPS_L1_CA, self.sats, self.fs,
+        return generator.generate(self.spec, self.sats, self.fs,
                                   self.duration_s, seed=seed, noise=noise)
 
 
@@ -92,3 +93,52 @@ def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
     return Scenario(rcv_ecef=rcv, rcv_llh=rcv_llh, t0_gps=t0_gps,
                     tow_bits_start=tow_bits_start, duration_s=duration_s,
                     fs=fs, ephemerides=ephs, sats=sats, prns=chosen)
+
+
+def build_galileo_e1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),
+                              t0_gps: float = 352800.13, duration_s: float = 18.0,
+                              fs: float = 4.0e6, n_sats: int = 5,
+                              cn0_dbhz: float = 48.0) -> Scenario:
+    """Galileo E1-B (CBOC-as-BOC(1,1)) signal-level scenario with I/NAV.
+
+    Pages cycle word types 1..5 (2 s each), so the full ephemeris + GST
+    anchor arrive within 10 s of page sync.
+    """
+    from gnss_sdr_tpu.models.nav import galileo_inav
+
+    spec = constants.GALILEO_E1_B
+    ephs = constellation.almanac_constellation()
+    for e in ephs.values():
+        e.tgd = 0.0
+        e.gm = constants.GM_EARTH_GAL
+    rcv = geodesy.geodetic_to_ecef(*rcv_llh)
+    vis = constellation.visible_sats(ephs, rcv, t0_gps, el_mask_deg=15.0)
+    chosen = [prn for prn, _, _ in vis[:n_sats]]
+    if len(chosen) < n_sats:
+        raise RuntimeError(f"only {len(chosen)} visible sats")
+
+    fc = spec.carrier_freq_hz
+    t_tx0 = {prn: constellation.simulate_observation(ephs[prn], rcv, t0_gps).t_tx_sv
+             for prn in chosen}
+    # symbol stream origin: a 2 s page boundary before the earliest t_tx(0)
+    tow_sym_start = 2.0 * np.floor(min(t_tx0.values()) / 2.0)
+    n_pages = int(np.ceil((duration_s + 4.0) / 2.0)) + 1
+
+    sats = []
+    for prn in chosen:
+        eph = ephs[prn]
+        ts = np.array([0.0, duration_s / 2.0, duration_s])
+        tx = np.array([constellation.simulate_observation(
+            eph, rcv, t0_gps + t).t_tx_sv for t in ts])
+        a2, a1, a0 = np.polyfit(ts, tx, 2)
+        symbols = galileo_inav.encode_stream(eph, tow_sym_start, n_pages)
+        sats.append(generator.SatParams(
+            prn=prn, cn0_dbhz=cn0_dbhz,
+            doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
+            code_delay_s=tow_sym_start - a0,
+            data_bits=generator.lnav_bits_to_symbols(symbols)))
+
+    return Scenario(rcv_ecef=rcv, rcv_llh=rcv_llh, t0_gps=t0_gps,
+                    tow_bits_start=tow_sym_start, duration_s=duration_s,
+                    fs=fs, ephemerides=ephs, sats=sats, prns=chosen,
+                    spec=spec)

