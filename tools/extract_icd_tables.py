@@ -106,6 +106,14 @@ def main():
     b3i = read("algorithms/libs/beidou_b3i_signal_processing.cc")
     tables["beidou_b3i_g2_init"] = extract_bitset_array(b3i, "G2_register_shifted")
 
+    # GLONASS GNAV Hamming-code data-bit index sets (GLONASS ICD Table 4.4)
+    glo = read("core/system_parameters/GLONASS_L1_L2_CA.h")
+    for name in "IJKLMNPQ":
+        key = f"GLONASS_GNAV_CRC_{name}_INDEX"
+        m = re.search(re.escape(key) + r"\{(.*?)\};", glo, re.S)
+        tables[f"glonass_gnav_crc_{name.lower()}"] = [
+            int(t) for t in m.group(1).replace("\n", "").split(",") if t.strip()]
+
     OUT.parent.mkdir(parents=True, exist_ok=True)
     OUT.write_text(json.dumps(tables))
     for k, v in tables.items():
