@@ -1,0 +1,171 @@
+"""Round-trip tests for GPS CNAV, GLONASS GNAV, BeiDou D1 nav messages
++ the GLONASS PZ-90 orbit integrator."""
+
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu.models.nav import beidou_d1, fec, glonass_gnav, gps_cnav
+from gnss_sdr_tpu.models.ephemeris import IonoParams
+
+from test_lnav import sample_ephemeris
+
+
+# ---------------------------------------------------------------- GPS CNAV
+
+def test_cnav_message_roundtrip():
+    eph = sample_ephemeris()
+    eph.toe = 352800.0  # multiple of 300
+    eph.toc = 352800.0
+    iono = IonoParams(alpha=(1.2e-8, 1.5e-8, -6.0e-8, -6.0e-8),
+                      beta=(88064.0, 0.0, -196608.0, -65536.0), valid=True)
+    asm = gps_cnav.CnavAssembler(7)
+    for mt in (10, 11, 30):
+        m = gps_cnav.encode_message(mt, 7, 352806.0, eph, iono)
+        res = gps_cnav.decode_message(m)
+        assert res is not None
+        mtype, prn, tow, fields = res
+        assert mtype == mt and prn == 7 and tow == 352806.0
+        asm.push(mtype, fields)
+    dec = asm.ephemeris()
+    assert dec is not None
+    assert abs(dec.sqrt_a - eph.sqrt_a) < 1e-5
+    assert abs(dec.m0 - eph.m0) <= 2.0 ** -32 * np.pi
+    assert abs(dec.omega_dot - eph.omega_dot) <= 2.0 ** -44 * np.pi
+    assert abs(dec.af0 - eph.af0) <= 2.0 ** -35
+    assert abs(dec.tgd - eph.tgd) <= 2.0 ** -35
+    assert asm.iono.valid
+    np.testing.assert_allclose(asm.iono.alpha, iono.alpha, atol=2.0 ** -24)
+
+
+def test_cnav_crc_rejects_corruption():
+    eph = sample_ephemeris()
+    eph.toe = eph.toc = 352800.0
+    m = gps_cnav.encode_message(10, 7, 352806.0, eph)
+    bad = m.copy()
+    bad[150] ^= 1
+    assert gps_cnav.decode_message(bad) is None
+
+
+def test_cnav_symbol_stream_decodes_through_fec():
+    eph = sample_ephemeris()
+    eph.toe = eph.toc = 352800.0
+    sym = gps_cnav.encode_symbol_stream(eph, 352800.0, 3)
+    soft = sym.astype(np.float64) * 2.0 - 1.0
+    bits = fec.viterbi_decode(soft, 900)
+    for k in range(3):
+        res = gps_cnav.decode_message(bits[k * 300:(k + 1) * 300])
+        assert res is not None, f"message {k}"
+
+
+# ------------------------------------------------------------ GLONASS GNAV
+
+def glonass_sample_eph():
+    return glonass_gnav.GlonassEphemeris(
+        slot=5, freq_slot=1, tb_s=11700.0,
+        pos_m=(10521358.3, 15037252.1, 17452812.9),
+        vel_m_s=(-1324.25, 2145.73, -1054.12),
+        acc_m_s2=(1.86e-6, -0.93e-6, 2.79e-6),
+        gamma_n=6.4e-10, tau_n=-8.3e-5, health=0)
+
+
+def test_gnav_string_roundtrip():
+    eph = glonass_sample_eph()
+    asm = glonass_gnav.GnavAssembler()
+    for sid in (1, 2, 3, 4):
+        s = glonass_gnav.encode_string(sid, eph)
+        assert glonass_gnav.hamming_check(s)
+        res = glonass_gnav.decode_string(s)
+        assert res is not None and res[0] == sid
+        asm.push(*res)
+    dec = asm.ephemeris()
+    assert dec is not None
+    np.testing.assert_allclose(dec.pos_m, eph.pos_m, atol=0.5)
+    np.testing.assert_allclose(dec.vel_m_s, eph.vel_m_s, atol=1e-3)
+    assert abs(dec.tau_n - eph.tau_n) <= 2.0 ** -30
+    assert abs(dec.gamma_n - eph.gamma_n) <= 2.0 ** -40
+    assert dec.slot == 5 and dec.tb_s == 11700.0
+
+
+def test_gnav_hamming_rejects_errors():
+    s = glonass_gnav.encode_string(1, glonass_sample_eph())
+    bad = s.copy()
+    bad[40] ^= 1
+    assert glonass_gnav.decode_string(bad) is None
+
+
+def test_glonass_orbit_integration():
+    """RK4 propagation must preserve orbit energy and be time-reversible."""
+    eph = glonass_sample_eph()
+    r0 = np.linalg.norm(eph.pos_m)
+    p, v = eph.position_velocity(eph.tb_s + 900.0)
+    assert 24.0e6 < np.linalg.norm(p) < 26.5e6
+    # propagate back
+    eph2 = glonass_gnav.GlonassEphemeris(
+        tb_s=eph.tb_s + 900.0, pos_m=tuple(p), vel_m_s=tuple(v),
+        acc_m_s2=eph.acc_m_s2)
+    p0, v0 = eph2.position_velocity(eph.tb_s)
+    np.testing.assert_allclose(p0, eph.pos_m, atol=0.02)
+    np.testing.assert_allclose(v0, eph.vel_m_s, atol=1e-5)
+
+
+def test_gnav_symbol_stream():
+    eph = glonass_sample_eph()
+    sym = glonass_gnav.encode_symbol_stream(eph, n_frames=1)
+    assert len(sym) == 4 * 200
+    # strip meander of first string and decode
+    s0 = sym[:170]
+    bits = s0[0::2]
+    assert np.array_equal(s0[1::2], bits ^ 1)   # meander property
+    res = glonass_gnav.decode_string(bits)
+    assert res is not None and res[0] == 1
+    np.testing.assert_array_equal(sym[170:200], glonass_gnav.TIME_MARK)
+
+
+# -------------------------------------------------------------- BeiDou D1
+
+def test_bch15_codec():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        info = rng.integers(0, 2, 11).astype(np.uint8)
+        cw = beidou_d1._bch15_encode(info)
+        assert beidou_d1._bch15_check(cw)
+        bad = cw.copy()
+        bad[int(rng.integers(0, 15))] ^= 1
+        assert not beidou_d1._bch15_check(bad)
+
+
+def test_d1_subframe_roundtrip():
+    eph = sample_ephemeris()
+    eph.toe = 352800.0  # multiple of 8
+    eph.toc = 352800.0  # multiple of 8
+    iono = IonoParams(alpha=(1.2e-8, 1.5e-8, -6.0e-8, -6.0e-8),
+                      beta=(88064.0, 0.0, -196608.0, -65536.0), valid=True)
+    asm = beidou_d1.D1Assembler(13)
+    for fraid in (1, 2, 3):
+        tx = beidou_d1.encode_subframe(fraid, 352800.0 + fraid * 6, eph, iono)
+        assert tx.shape == (300,)
+        res = beidou_d1.decode_subframe(tx)
+        assert res is not None
+        fid, sow, fields = res
+        assert fid == fraid
+        assert sow == 352800.0 + fraid * 6
+        asm.push(fid, fields)
+    dec = asm.ephemeris()
+    assert dec is not None
+    assert abs(dec.sqrt_a - eph.sqrt_a) <= 2.0 ** -19
+    assert dec.toe == eph.toe
+    assert dec.toc == eph.toc
+    assert abs(dec.m0 - eph.m0) <= 2.0 ** -31 * np.pi
+    assert abs(dec.af0 - eph.af0) <= 2.0 ** -33
+    assert abs(dec.tgd - eph.tgd) <= 0.1e-9
+    assert asm.iono.valid
+    assert dec.gm == pytest.approx(3.986004418e14)
+
+
+def test_d1_bch_rejects_corruption():
+    eph = sample_ephemeris()
+    eph.toe = eph.toc = 352800.0
+    tx = beidou_d1.encode_subframe(2, 352800.0, eph)
+    bad = tx.copy()
+    bad[45] ^= 1
+    assert beidou_d1.decode_subframe(bad) is None
