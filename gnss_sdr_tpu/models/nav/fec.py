@@ -67,9 +67,9 @@ def viterbi_decode(symbols: np.ndarray, n_bits: int,
     n_steps = len(sym) // 2
     out_tab = _output_tables(invert_g2).astype(np.float64) * 2.0 - 1.0
 
-    # vectorized trellis: path metrics over 64 states
-    pm = np.full(NSTATES, -1e18)
-    pm[0] = 0.0
+    # vectorized trellis: path metrics over 64 states. Uniform start metrics —
+    # nav streams are decoded mid-stream (continuous FEC, unknown start state).
+    pm = np.zeros(NSTATES)
     decisions = np.zeros((n_steps, NSTATES), np.uint8)
     states = np.arange(NSTATES)
     # transition: state s, input b -> next state ns = (s >> 1) | (b << 5)

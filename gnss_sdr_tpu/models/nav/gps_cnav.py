@@ -176,7 +176,9 @@ def encode_symbol_stream(eph: KeplerEphemeris, tow_start_s: float,
     bits = []
     for k in range(n_messages):
         mt = types[k % 3]
-        bits.append(encode_message(mt, eph.prn, tow_start_s + 12.0 * k, eph, iono))
+        # IS-GPS-200: the CNAV TOW count tags the start of the NEXT message
+        bits.append(encode_message(mt, eph.prn, tow_start_s + 12.0 * (k + 1),
+                                   eph, iono))
     all_bits = np.concatenate(bits)
     return fec.conv_encode(all_bits, invert_g2=False, flush=True)
 

@@ -237,6 +237,299 @@ class GalileoE1BTelemetry:
         return self.assembler.ephemeris()
 
 
+class GpsL2CMTelemetry:
+    """GPS L2C CNAV telemetry: 1 symbol per 20 ms CM code epoch (50 sps),
+    continuous K=7 r=1/2 FEC, CRC-24Q framing.
+
+    Reference analog: gps_l2c_telemetry_decoder_gs.cc + libswiftcnav.
+    Frame sync: try both FEC phase hypotheses (symbol pairing) x polarity and
+    scan Viterbi output for preamble + CRC.
+    """
+
+    def __init__(self, prn: int):
+        from gnss_sdr_tpu.models.nav import fec, gps_cnav
+        self._fec = fec
+        self._cnav = gps_cnav
+        self.prn = prn
+        self._epochs = np.zeros(0, np.int64)
+        self._soft = np.zeros(0, np.float64)   # + == bit 1
+        self.assembler = gps_cnav.CnavAssembler(prn)
+        self.tow_ref: TowReference | None = None
+        self._frame_anchor: tuple[int, int] | None = None  # (sym_offset, pol)
+        self._decoded_upto = 0
+        self.message_count = 0
+
+    def push(self, epoch_indices, prompts_i) -> None:
+        if len(epoch_indices) == 0:
+            return
+        self._epochs = np.concatenate([self._epochs, np.asarray(epoch_indices, np.int64)])
+        self._soft = np.concatenate([self._soft, -np.asarray(prompts_i, np.float64)])
+        self._decode()
+
+    def _try_decode_at(self, off: int, pol: float):
+        """Viterbi-decode 600 symbols -> 300 bits, validate preamble+CRC."""
+        sym = pol * self._soft[off: off + 612]
+        if len(sym) < 612:
+            return None
+        bits = self._fec.viterbi_decode(sym, 300)
+        return self._cnav.decode_message(bits)
+
+    def _decode(self) -> None:
+        n = len(self._soft)
+        if self._frame_anchor is None:
+            for off in range(0, min(n - 612, 1300)):
+                for pol in (1.0, -1.0):
+                    res = self._try_decode_at(off, pol)
+                    if res is not None:
+                        self._frame_anchor = (off, pol)
+                        self._decoded_upto = off
+                        break
+                if self._frame_anchor:
+                    break
+            if self._frame_anchor is None:
+                return
+        _, pol = self._frame_anchor
+        while self._decoded_upto + 612 <= n:
+            off = self._decoded_upto
+            res = self._try_decode_at(off, pol)
+            if res is not None:
+                mtype, prn, tow, fields = res
+                self.assembler.push(mtype, fields)
+                self.message_count += 1
+                first_epoch = int(self._epochs[0]) + off
+                # CNAV TOW is the time of the NEXT message start (12 s later
+                # on L2C); this message started 12 s before that epoch tag.
+                self.tow_ref = TowReference(tow_s=tow - 12.0,
+                                            epoch=first_epoch, polarity=1)
+            self._decoded_upto = off + 600
+
+    @property
+    def have_tow(self) -> bool:
+        return self.tow_ref is not None
+
+    def transmit_time(self, epoch: int, chips: float, code_len: int = 10230,
+                      code_rate: float = 0.5115e6) -> float | None:
+        if self.tow_ref is None:
+            return None
+        de = epoch - self.tow_ref.epoch
+        return self.tow_ref.tow_s + (de * code_len + chips) / code_rate
+
+    def ephemeris(self):
+        return self.assembler.ephemeris()
+
+
+class GlonassL1CaTelemetry:
+    """GLONASS L1 C/A GNAV telemetry: 1 ms epochs -> 100 sps half-bit stream,
+    time-mark sync, meander stripping, Hamming-checked strings.
+
+    Reference analog: glonass_l1_ca_telemetry_decoder_gs.cc.
+    """
+
+    SLOTS_PER_STRING = 200   # 170 half-bits + 30 time-mark chips, 10 ms each
+
+    def __init__(self, prn: int):
+        from gnss_sdr_tpu.models.nav import glonass_gnav
+        self._gn = glonass_gnav
+        self.prn = prn
+        self._epochs = np.zeros(0, np.int64)
+        self._prompts = np.zeros(0, np.float64)
+        self.assembler = glonass_gnav.GnavAssembler(prn)
+        self._anchor: tuple[int, float] | None = None  # (slot0 epoch, polarity)
+        self._decoded_upto = 0
+        self.string_count = 0
+        self.tow_ref: TowReference | None = None
+        self.tk_ref: tuple[float, int] | None = None   # (tk_s, epoch at string start)
+
+    def push(self, epoch_indices, prompts_i) -> None:
+        if len(epoch_indices) == 0:
+            return
+        self._epochs = np.concatenate([self._epochs, np.asarray(epoch_indices, np.int64)])
+        self._prompts = np.concatenate([self._prompts, np.asarray(prompts_i, np.float64)])
+        self._decode()
+
+    def _slots(self, phase: int) -> np.ndarray:
+        """Integrate 1 kHz prompts into 100 sps slots at a given ms phase."""
+        p = self._prompts
+        e0 = int(self._epochs[0])
+        start = (phase - e0) % 10
+        n_slots = (len(p) - start) // 10
+        if n_slots <= 0:
+            return np.zeros(0)
+        return p[start: start + n_slots * 10].reshape(n_slots, 10).sum(axis=1)
+
+    def _decode(self) -> None:
+        gn = self._gn
+        mark_pm = 1.0 - 2.0 * gn.TIME_MARK.astype(np.float64)
+        if self._anchor is None:
+            best = None
+            for phase in range(10):
+                slots = self._slots(phase)
+                if len(slots) < 230:
+                    continue
+                s = np.sign(slots)
+                for i in range(len(slots) - 30):
+                    c = float(np.dot(s[i: i + 30], mark_pm))
+                    if abs(c) >= 28:
+                        pol = 1.0 if c > 0 else -1.0
+                        # string data begins right after the time mark
+                        e0 = int(self._epochs[0])
+                        start_ep = e0 + ((phase - e0) % 10) + (i + 30) * 10
+                        self._anchor = (start_ep, pol)
+                        self._phase = phase
+                        self._decoded_upto = i + 30
+                        best = True
+                        break
+                if best:
+                    break
+            if self._anchor is None:
+                return
+        slots = self._slots(self._phase)
+        start_ep, pol = self._anchor
+        while self._decoded_upto + self.SLOTS_PER_STRING <= len(slots):
+            i = self._decoded_upto
+            seg = pol * slots[i: i + 170]
+            soft_bits = seg[0::2] - seg[1::2]          # meander stripping
+            bits = (soft_bits < 0).astype(np.uint8)    # +amp == bit 0 (chip conv)
+            res = gn.decode_string(bits)
+            if res is not None:
+                sid, fields = res
+                self.assembler.push(sid, fields)
+                self.string_count += 1
+                if sid == 1 and "tk_s" in fields:
+                    e0 = int(self._epochs[0])
+                    string_start_ep = e0 + ((self._phase - e0) % 10) + i * 10
+                    self.tk_ref = (fields["tk_s"], string_start_ep)
+            self._decoded_upto = i + self.SLOTS_PER_STRING
+
+    @property
+    def have_tow(self) -> bool:
+        return self.tk_ref is not None
+
+    def transmit_time(self, epoch: int, chips: float, code_len: int = 511,
+                      code_rate: float = 0.511e6) -> float | None:
+        """GLONASS time of day (Moscow) — caller handles timescale offsets."""
+        if self.tk_ref is None:
+            return None
+        tk, e0 = self.tk_ref
+        return tk + ((epoch - e0) * code_len + chips) / code_rate
+
+    def ephemeris(self):
+        return self.assembler.ephemeris()
+
+
+class BeidouB1ITelemetry:
+    """BeiDou B1I D1 telemetry: NH20-modulated 50 bps, BCH-checked subframes.
+
+    Reference analog: beidou_b1i_telemetry_decoder_gs.cc. Each 1 ms epoch
+    prompt = data_bit * NH20[epoch % 20]; bit sync correlates against the NH
+    sequence, then subframes are preamble-synced and BCH-validated.
+    """
+
+    NH20 = np.array([0, 0, 0, 0, 0, 1, 0, 0, 1, 1, 0, 1, 0, 1, 0, 0, 1, 1, 1, 0], np.uint8)
+
+    def __init__(self, prn: int):
+        from gnss_sdr_tpu.models.nav import beidou_d1
+        self._d1 = beidou_d1
+        self.prn = prn
+        self._epochs = np.zeros(0, np.int64)
+        self._prompts = np.zeros(0, np.float64)
+        self.assembler = beidou_d1.D1Assembler(prn)
+        self.bit_phase: int | None = None
+        self._polarity = 1.0
+        self.tow_ref: TowReference | None = None
+        self._frame_anchor_bit: int | None = None
+        self._decoded_upto = 0
+        self.subframe_count = 0
+
+    def push(self, epoch_indices, prompts_i) -> None:
+        if len(epoch_indices) == 0:
+            return
+        self._epochs = np.concatenate([self._epochs, np.asarray(epoch_indices, np.int64)])
+        self._prompts = np.concatenate([self._prompts, np.asarray(prompts_i, np.float64)])
+        self._decode()
+
+    def _bits(self):
+        """NH-wipe and integrate to 50 bps soft bits."""
+        nh_pm = 1.0 - 2.0 * self.NH20.astype(np.float64)
+        p = self._prompts
+        e0 = int(self._epochs[0])
+        if self.bit_phase is None:
+            # correlate 20-ms windows against NH at each phase
+            n_win = (len(p) - 20) // 20
+            if n_win < 10:
+                return None, None
+            best_phase, best_mag = None, 0.0
+            for phase in range(20):
+                off = (phase - e0) % 20
+                n_b = (len(p) - off) // 20
+                if n_b < 8:
+                    continue
+                seg = p[off: off + n_b * 20].reshape(n_b, 20)
+                corr = np.abs(seg @ nh_pm).sum()
+                if corr > best_mag:
+                    best_mag, best_phase = corr, phase
+            # require NH correlation clearly above the average alternative
+            self.bit_phase = best_phase
+        off = (self.bit_phase - e0) % 20
+        n_b = (len(p) - off) // 20
+        if n_b <= 0:
+            return None, None
+        seg = p[off: off + n_b * 20].reshape(n_b, 20)
+        soft = seg @ nh_pm
+        starts = e0 + off + np.arange(n_b, dtype=np.int64) * 20
+        return soft, starts
+
+    def _decode(self) -> None:
+        res = self._bits()
+        if res[0] is None:
+            return
+        soft, starts = res
+        n = len(soft)
+        pre_pm = 1.0 - 2.0 * self._d1.PREAMBLE.astype(np.float64)
+        if self._frame_anchor_bit is None:
+            for i in range(0, n - 300):
+                c = float(np.dot(np.sign(soft[i: i + 11]), pre_pm))
+                if abs(c) != 11:
+                    continue
+                pol = 1.0 if c > 0 else -1.0
+                bits = ((1 - pol * np.sign(soft[i: i + 300])) // 2).astype(np.uint8)
+                out = self._d1.decode_subframe(bits)
+                if out is None:
+                    continue
+                self._frame_anchor_bit = i
+                self._polarity = pol
+                self._decoded_upto = i
+                break
+            if self._frame_anchor_bit is None:
+                return
+        while self._decoded_upto + 300 <= n:
+            i = self._decoded_upto
+            bits = ((1 - self._polarity * np.sign(soft[i: i + 300])) // 2).astype(np.uint8)
+            out = self._d1.decode_subframe(bits)
+            if out is not None:
+                fraid, sow, fields = out
+                self.assembler.push(fraid, fields)
+                self.subframe_count += 1
+                self.tow_ref = TowReference(tow_s=sow, epoch=int(starts[i]),
+                                            polarity=int(self._polarity))
+            self._decoded_upto = i + 300
+
+    @property
+    def have_tow(self) -> bool:
+        return self.tow_ref is not None
+
+    def transmit_time(self, epoch: int, chips: float, code_len: int = 2046,
+                      code_rate: float = 2.046e6) -> float | None:
+        """BDT seconds of week (BDT = GPS time - 14 s at the system level)."""
+        if self.tow_ref is None:
+            return None
+        de = epoch - self.tow_ref.epoch
+        return self.tow_ref.tow_s + (de * code_len + chips) / code_rate
+
+    def ephemeris(self):
+        return self.assembler.ephemeris()
+
+
 def make_telemetry(signal: str, prn: int):
     """Telemetry decoder factory by signal code (reference:
     GNSSBlockFactory::GetTlmBlock)."""
@@ -244,4 +537,10 @@ def make_telemetry(signal: str, prn: int):
         return GpsL1CaTelemetry(prn)
     if signal == "1B":
         return GalileoE1BTelemetry(prn)
+    if signal == "2S":
+        return GpsL2CMTelemetry(prn)
+    if signal in ("1G", "2G"):
+        return GlonassL1CaTelemetry(prn)
+    if signal in ("B1", "B3"):
+        return BeidouB1ITelemetry(prn)
     raise NotImplementedError(f"telemetry for signal {signal!r} not implemented yet")

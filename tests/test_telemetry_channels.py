@@ -1,0 +1,103 @@
+"""Telemetry channel decoders driven by synthetic prompt streams.
+
+Tests the symbol-domain chain (sync, FEC, framing) for L2C CNAV, GLONASS
+GNAV and BeiDou D1 without full IQ simulation: prompts are generated exactly
+as the tracking engine would emit them (chip convention: bit b -> +-(1-2b)*A
+plus noise), including an arbitrary stream start offset and polarity flip.
+"""
+
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu.models.nav import beidou_d1, glonass_gnav, gps_cnav
+from gnss_sdr_tpu.receiver.telemetry import (BeidouB1ITelemetry,
+                                             GlonassL1CaTelemetry,
+                                             GpsL2CMTelemetry, make_telemetry)
+
+from test_lnav import sample_ephemeris
+
+
+def _feed(tlm, prompts, chunk=137, epoch0=0):
+    e = epoch0 + np.arange(len(prompts), dtype=np.int64)
+    for i in range(0, len(prompts), chunk):
+        tlm.push(e[i:i + chunk], prompts[i:i + chunk])
+
+
+def test_l2c_cnav_telemetry():
+    eph = sample_ephemeris()
+    eph.toe = eph.toc = 352800.0
+    rng = np.random.default_rng(3)
+    sym = gps_cnav.encode_symbol_stream(eph, 352800.0, 6)  # 6 messages, 72 s
+    amp = 120.0
+    prompts = -amp * (2.0 * sym.astype(np.float64) - 1.0)  # chip convention
+    prompts += rng.normal(0, 20.0, len(prompts))
+    start = 213  # arbitrary mid-stream start
+    tlm = GpsL2CMTelemetry(prn=7)
+    _feed(tlm, -prompts[start:])  # polarity flip too
+    assert tlm.message_count >= 3, tlm.message_count
+    assert tlm.have_tow
+    dec = tlm.ephemeris()
+    assert dec is not None
+    assert abs(dec.sqrt_a - eph.sqrt_a) < 1e-5
+    # transmit-time mapping: message k starts at tow_start + 12k; symbol s of
+    # the stream is at tow_start + s * 0.02; epoch e (20 ms CM period) maps to
+    # tow_start + (start + e)*0.02
+    t = tlm.transmit_time(100, 0.0)
+    expect = 352800.0 + (start + 100 - int(tlm._epochs[0])) * 0.02 - start * 0.0
+    # direct check: anchor consistency
+    assert t == pytest.approx(352800.0 + (start + 100) * 0.02, abs=1e-9)
+
+
+def test_glonass_gnav_telemetry():
+    eph = glonass_gnav.GlonassEphemeris(
+        slot=5, tb_s=11700.0, pos_m=(1.0e7, 1.5e7, 1.7e7),
+        vel_m_s=(-1324.25, 2145.73, -1054.12),
+        acc_m_s2=(1.9e-6, -0.9e-6, 2.8e-6), gamma_n=6.4e-10, tau_n=-8.3e-5)
+    sym = glonass_gnav.encode_symbol_stream(eph, n_frames=3)  # 12 strings
+    rng = np.random.default_rng(5)
+    # expand 100 sps slots to 1 kHz prompts (10 epochs per slot)
+    amp = 90.0
+    slot_amp = amp * (1.0 - 2.0 * sym.astype(np.float64))
+    prompts = np.repeat(slot_amp, 10) + rng.normal(0, 25.0, len(sym) * 10)
+    start = 1234
+    tlm = GlonassL1CaTelemetry(prn=5)
+    _feed(tlm, prompts[start:], epoch0=777)
+    assert tlm.string_count >= 8, tlm.string_count
+    dec = tlm.ephemeris()
+    assert dec is not None
+    np.testing.assert_allclose(dec.pos_m, eph.pos_m, atol=0.5)
+    assert dec.tb_s == eph.tb_s
+    assert tlm.have_tow
+
+
+def test_beidou_d1_telemetry():
+    eph = sample_ephemeris()
+    eph.toe = eph.toc = 352800.0
+    subframes = [beidou_d1.encode_subframe(f, 352800.0 + 6.0 * k, eph)
+                 for k, f in enumerate([1, 2, 3, 4, 5, 1, 2, 3])]
+    bits = np.concatenate(subframes)
+    nh = BeidouB1ITelemetry.NH20.astype(np.float64)
+    amp = 80.0
+    # prompts: data bit (chip conv) * NH chip (chip conv), 20 epochs per bit
+    data_amp = amp * (1.0 - 2.0 * bits.astype(np.float64))
+    prompts = (np.repeat(data_amp, 20).reshape(-1, 20)
+               * (1.0 - 2.0 * nh)[None, :]).reshape(-1)
+    rng = np.random.default_rng(7)
+    prompts = prompts + rng.normal(0, 18.0, len(prompts))
+    start = 431
+    tlm = BeidouB1ITelemetry(prn=13)
+    _feed(tlm, -prompts[start:], epoch0=55)
+    assert tlm.subframe_count >= 4, tlm.subframe_count
+    assert tlm.have_tow
+    dec = tlm.ephemeris()
+    assert dec is not None
+    assert abs(dec.sqrt_a - eph.sqrt_a) <= 2.0 ** -19
+    assert dec.toe == eph.toe
+
+
+def test_make_telemetry_factory():
+    assert make_telemetry("2S", 1).__class__.__name__ == "GpsL2CMTelemetry"
+    assert make_telemetry("1G", 1).__class__.__name__ == "GlonassL1CaTelemetry"
+    assert make_telemetry("B1", 1).__class__.__name__ == "BeidouB1ITelemetry"
+    with pytest.raises(NotImplementedError):
+        make_telemetry("XX", 1)
