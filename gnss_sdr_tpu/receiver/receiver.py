@@ -116,6 +116,13 @@ class Receiver:
         # f(tick_sample, observables) respectively
         self.fix_sinks: list = []
         self.obs_sinks: list = []
+        # control plane (telecommands are polled between chunks)
+        from gnss_sdr_tpu.receiver import control as control_mod
+        self._control_mod = control_mod
+        self.control_queue = control_mod.ControlQueue()
+        self.restart_requested = False
+        self.standby = False
+        self._pinned: dict[int, int] = {}   # channel -> PRN
 
     # ------------------------------------------------------------------ acq
     def _code_fft(self, prn: int) -> np.ndarray:
@@ -297,12 +304,60 @@ class Receiver:
         self._buf = np.concatenate([self._buf, np.asarray(samples, np.complex64)])
         while len(self._buf) >= self.chunk_len + self.n_max:
             chunk = self._buf[: self.chunk_len + self.n_max]
-            self._run_acquisition(chunk)
-            self._run_tracking(chunk)
-            self._run_observables()
+            self._dispatch_commands()
+            if not self.standby:
+                self._run_acquisition(chunk)
+                self._run_tracking(chunk)
+                self._run_observables()
             self._buf = self._buf[self.chunk_len:]
             self._sample_base += self.chunk_len
             self._chunk_index += 1
+
+    # ------------------------------------------------------------- control
+    def _dispatch_commands(self) -> None:
+        for ev in self.control_queue.pop_all():
+            log.info("telecommand: %s %s", ev.command, ev.args)
+            if ev.command == "standby":
+                self.standby = True
+                for ch in self.channels:
+                    if ch.state == "tracking":
+                        self._drop_channel(ch)
+            elif ev.command in ("coldstart", "warmstart", "hotstart"):
+                self.standby = False
+                if ev.command == "coldstart":
+                    self.ephemerides.clear()
+                    self.iono = None
+                for ch in self.channels:
+                    if ch.state == "tracking":
+                        self._drop_channel(ch)
+                self._acq_backoff.clear()
+            elif ev.command == "reset":
+                self.restart_requested = True
+            elif ev.command == "set_ch_satellite":
+                ch_id, prn = ev.args
+                if 0 <= ch_id < len(self.channels):
+                    self._pinned[ch_id] = prn
+                    if prn not in self._acq_pool:
+                        self._acq_pool.append(prn)
+
+    def status_text(self) -> str:
+        f = self.latest_fix()
+        tracked = ",".join(str(p) for p in self.tracked_prns())
+        if f is None:
+            return f"NO FIX; tracking PRNs [{tracked}]"
+        return (f"FIX lat={np.degrees(f.lat_rad):.6f} "
+                f"lon={np.degrees(f.lon_rad):.6f} h={f.height_m:.1f} "
+                f"sats={f.n_sats} pdop={f.pdop:.2f}; tracking [{tracked}]")
+
+    def checkpoint(self, path) -> None:
+        """Persist assistance data (ephemeris/iono) for warm/hot start."""
+        self._control_mod.save_assistance(path, self.ephemerides, self.iono)
+
+    def restore(self, path) -> None:
+        ephs, iono, _ = self._control_mod.load_assistance(path)
+        self.ephemerides.update(ephs)
+        if iono is not None:
+            self.iono = iono
 
     def run_source(self, source, max_chunks: int | None = None) -> None:
         n = 0

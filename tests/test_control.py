@@ -1,0 +1,106 @@
+"""Control plane tests: telecommand TCP server, assistance checkpoint/restore,
+standby/coldstart dispatch.
+
+Reference analogs: control_thread_test.cc, tcp cmd interface behavior.
+"""
+
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu.models.ephemeris import IonoParams
+from gnss_sdr_tpu.receiver import control
+from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+
+from test_lnav import sample_ephemeris
+
+
+def _send(port, line):
+    s = socket.create_connection(("127.0.0.1", port), timeout=3)
+    f = s.makefile("rw")
+    f.write(line + "\n")
+    f.flush()
+    reply = f.readline().strip()
+    s.close()
+    return reply
+
+
+def test_telecommand_server():
+    q = control.ControlQueue()
+    srv = control.TelecommandServer(q, status_fn=lambda: "STATUS-OK")
+    try:
+        assert _send(srv.port, "status") == "STATUS-OK"
+        assert _send(srv.port, "standby") == "OK: standby"
+        assert _send(srv.port, "coldstart") == "OK: coldstart"
+        assert _send(srv.port, "set_ch_satellite 2 17") == "OK: set_ch_satellite"
+        assert _send(srv.port, "bogus").startswith("ERROR")
+        time.sleep(0.1)
+        cmds = q.pop_all()
+        names = [c.command for c in cmds]
+        assert names == ["standby", "coldstart", "set_ch_satellite"]
+        assert cmds[2].args == (2, 17)
+    finally:
+        srv.close()
+
+
+def test_assistance_roundtrip(tmp_path):
+    eph = sample_ephemeris()
+    iono = IonoParams(alpha=(1e-8, 2e-8, -1e-7, 3e-8),
+                      beta=(88064.0, 0.0, -196608.0, 0.0), valid=True)
+    p = tmp_path / "assist.json"
+    control.save_assistance(p, {7: eph}, iono)
+    ephs, iono2, _ = control.load_assistance(p)
+    assert 7 in ephs
+    assert ephs[7].sqrt_a == eph.sqrt_a
+    assert ephs[7].m0 == eph.m0
+    assert iono2.valid and iono2.alpha == iono.alpha
+    # missing file -> empty
+    ephs3, i3, u3 = control.load_assistance(tmp_path / "nope.json")
+    assert ephs3 == {} and i3 is None
+
+
+def test_receiver_command_dispatch():
+    rng = np.random.default_rng(0)
+    cfg = ReceiverConfig(signal="1C", fs=1.023e6, n_channels=2, chunk_ms=20,
+                         prns=(1, 2))
+    rx = Receiver(cfg)
+    noise = (rng.standard_normal(cfg.fs.__int__() // 10)
+             + 1j * rng.standard_normal(int(cfg.fs) // 10)).astype(np.complex64)
+    rx.control_queue.push(control.CommandEvent("standby"))
+    rx.process(noise)
+    assert rx.standby
+    rx.control_queue.push(control.CommandEvent("coldstart"))
+    rx.process(noise)
+    assert not rx.standby
+    rx.control_queue.push(control.CommandEvent("reset"))
+    rx.process(noise)
+    assert rx.restart_requested
+    assert "NO FIX" in rx.status_text()
+
+
+def test_receiver_checkpoint_restore(tmp_path):
+    cfg = ReceiverConfig(signal="1C", fs=1.023e6, n_channels=1)
+    rx = Receiver(cfg)
+    rx.ephemerides[7] = sample_ephemeris()
+    p = tmp_path / "ck.json"
+    rx.checkpoint(p)
+    rx2 = Receiver(cfg)
+    rx2.restore(p)
+    assert 7 in rx2.ephemerides
+    assert rx2.ephemerides[7].toe == rx.ephemerides[7].toe
+
+
+def test_predicted_doppler():
+    from gnss_sdr_tpu.utils import constellation
+    from gnss_sdr_tpu.receiver.pvt import geodesy
+    ephs = constellation.almanac_constellation()
+    rcv = geodesy.geodetic_to_ecef(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
+    vis = constellation.visible_sats(ephs, rcv, 354000.0)
+    prn = vis[0][0]
+    fd = control.predicted_doppler(ephs[prn], rcv, 354000.0, 1.57542e9)
+    # compare with the full observation simulator
+    o = constellation.simulate_observation(ephs[prn], rcv, 354000.0)
+    assert abs(fd - o.doppler_hz) < 30.0   # clock-drift term excluded
+    assert abs(fd) < 5000.0
