@@ -140,3 +140,32 @@ def simple_threshold_from_pfa(pfa: float, n_cells: int, n_fft: int) -> float:
     """Exponential-cell CFAR threshold for the max/power statistic."""
     lam = -np.log(max(1.0 - (1.0 - pfa) ** (1.0 / float(n_cells)), 1e-300))
     return float(2.0 * lam / n_fft)
+
+
+class TongDetector:
+    """Tong sequential detector (reference: pcps_tong_acquisition_cc).
+
+    Counter starts at B; +1 on a per-dwell hit, -1 on a miss; declare
+    detection at A, dismissal at 0. Robust near-threshold integration without
+    fixing the dwell count in advance.
+    """
+
+    def __init__(self, a: int = 8, b: int = 2, max_dwells: int = 30):
+        self.a = a
+        self.b = b
+        self.max_dwells = max_dwells
+        self.reset()
+
+    def reset(self) -> None:
+        self.count = self.b
+        self.dwells = 0
+
+    def update(self, hit: bool) -> str:
+        """Returns 'detected' | 'dismissed' | 'pending'."""
+        self.dwells += 1
+        self.count += 1 if hit else -1
+        if self.count >= self.a:
+            return "detected"
+        if self.count <= 0 or self.dwells >= self.max_dwells:
+            return "dismissed"
+        return "pending"

@@ -43,6 +43,9 @@ class ReceiverConfig:
     acq_doppler_step_hz: float = 250.0
     acq_threshold_cfar: float = 2.0
     acq_noncoherent: int = 2
+    acq_bit_transition: bool = False   # doubled-FFT transition-tolerant mode
+    acq_two_step: bool = True          # fine-Doppler refinement after a hit
+    acq_doppler_step2_hz: float = 25.0
     max_in_acquisition: int = 33       # batch width (all by default)
     # tracking
     pll_bw_hz: float = 40.0
@@ -131,8 +134,40 @@ class Receiver:
             rep = codes.sample_code(
                 codes.code_chips(self.cfg.signal, prn), self.cfg.fs,
                 self.spec.code_rate_cps, self.spc, boc_rate=boc)
+            if self.cfg.acq_bit_transition:
+                # doubled-FFT mode (reference bit_transition_flag,
+                # pcps_acquisition.cc:101): zero-pad the code to 2 periods so
+                # every code-phase hypothesis correlates over an uninterrupted
+                # window even when a data-bit edge falls inside the dwell
+                rep = np.concatenate([rep, np.zeros_like(rep)])
             self._acq_reps[prn] = np.conj(np.fft.fft(rep)).astype(np.complex64)
         return self._acq_reps[prn]
+
+    def _refine_doppler(self, chunk: np.ndarray, prn: int, delay: int,
+                        doppler: float) -> float:
+        """Step-two fine Doppler (reference d_step_two analog): correlate K
+        consecutive code periods at the coarse Doppler and estimate the
+        residual from the prompt phase slope — data-bit insensitive
+        (atan of consecutive-prompt products), pull range +-1/(4 T_code)."""
+        k = 8
+        n = self.spc
+        if delay + k * n > len(chunk):
+            return doppler
+        boc = self.spec.subcarrier_rate_hz
+        rep = codes.sample_code(codes.code_chips(self.cfg.signal, prn),
+                                self.cfg.fs, self.spec.code_rate_cps, n,
+                                boc_rate=boc).astype(np.float64)
+        t = np.arange(n) / self.cfg.fs
+        wipe = np.exp(-2j * np.pi * doppler * (np.arange(k * n) / self.cfg.fs))
+        seg = chunk[delay: delay + k * n].astype(np.complex128) * wipe
+        corr = (seg.reshape(k, n) * rep[None, :]).sum(axis=1)
+        z = corr[1:] * np.conj(corr[:-1])
+        # bit-insensitive frequency discriminator, averaged over K-1 pairs
+        dot = np.real(z)
+        dot = np.where(np.abs(dot) < 1e-30, 1e-30, dot)
+        t_per = n / self.cfg.fs
+        f_res = float(np.mean(np.arctan(np.imag(z) / dot))) / (2 * np.pi * t_per)
+        return doppler + f_res
 
     def _run_acquisition(self, chunk: np.ndarray) -> None:
         idle = [ch for ch in self.channels if ch.state == "idle"]
@@ -146,13 +181,14 @@ class Receiver:
         if not candidates:
             return
         nc = self.cfg.acq_noncoherent
-        if len(chunk) < nc * self.spc:
+        slab = 2 * self.spc if self.cfg.acq_bit_transition else self.spc
+        if len(chunk) < nc * slab:
             return
         cf = jnp.asarray(np.stack([self._code_fft(p) for p in candidates]))
         dopplers = jnp.asarray(acq_ops.make_doppler_grid(
             self.cfg.acq_doppler_max_hz, self.cfg.acq_doppler_step_hz))
         res = acq_ops.pcps_search(
-            jnp.asarray(chunk[: nc * self.spc]), cf, dopplers,
+            jnp.asarray(chunk[: nc * slab]), cf, dopplers,
             fs=self.cfg.fs, samples_per_code=self.spc,
             samples_per_chip=max(1, int(self.cfg.fs / self.spec.code_rate_cps)),
             noncoherent=nc)
@@ -165,9 +201,18 @@ class Receiver:
             if cfar[idx] < self.cfg.acq_threshold_cfar:
                 self._acq_backoff[prn] = self._chunk_index + 5
                 continue
-            ch = idle.pop(0)
-            self._assign_channel(ch, prn, int(res.code_phase[idx]),
-                                 float(res.doppler_hz[idx]))
+            delay = int(res.code_phase[idx])
+            doppler = float(res.doppler_hz[idx])
+            if self.cfg.acq_two_step:
+                doppler = self._refine_doppler(chunk, prn, delay, doppler)
+            # honor channel pinning from set_ch_satellite telecommands
+            pinned_chs = [c for c in idle if self._pinned.get(c.ch_id) == prn]
+            free_chs = [c for c in idle if c.ch_id not in self._pinned]
+            pick = pinned_chs[0] if pinned_chs else (free_chs[0] if free_chs else None)
+            if pick is None:
+                continue
+            idle.remove(pick)
+            self._assign_channel(pick, prn, delay, doppler)
 
     def _assign_channel(self, ch: Channel, prn: int, delay: int,
                         doppler: float) -> None:
