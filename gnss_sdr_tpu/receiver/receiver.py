@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import pathlib
 
 import numpy as np
 import jax.numpy as jnp
@@ -58,6 +59,8 @@ class ReceiverConfig:
     pvt_output_rate_ms: float = 100.0
     pvt_apply_tropo: bool = True
     pvt_apply_iono: bool = True
+    # tracing dumps (reference: per-block dump=true -> .dat/.mat)
+    dump_dir: str | None = None
 
 
 class Channel:
@@ -126,6 +129,19 @@ class Receiver:
         self.restart_requested = False
         self.standby = False
         self._pinned: dict[int, int] = {}   # channel -> PRN
+        # tracing dumps
+        self._dumps = None
+        if config.dump_dir:
+            from gnss_sdr_tpu.io import dumps as dumps_mod
+            d = pathlib.Path(config.dump_dir)
+            self._dumps = dict(
+                tracking=dumps_mod.TrackingDump(d / "tracking.npz"),
+                observables=dumps_mod.ObservablesDump(d / "observables.npz"),
+                pvt=dumps_mod.PvtDump(d / "pvt.npz"))
+            self.obs_sinks.append(
+                lambda t, obs: self._dumps["observables"].push_epoch(t, obs))
+            self.fix_sinks.append(
+                lambda sol: self._dumps["pvt"].push_fix(sol))
 
     # ------------------------------------------------------------------ acq
     def _code_fft(self, prn: int) -> np.ndarray:
@@ -283,6 +299,12 @@ class Receiver:
                     for s, e, r, cf, crf, cc, ff, c0 in zip(
                         start[v, i], eidx[v, i], rem[v, i], codef[v, i],
                         carrf[v, i], cyc[v, i], frac[v, i], cn0[v, i])]
+            if v.any() and self._dumps is not None:
+                lock = np.asarray(out.carrier_lock)
+                self._dumps["tracking"].push_epochs(
+                    i, ch.prn, self._sample_base + start[v, i], eidx[v, i],
+                    prompt[v, i], cn0[v, i], carrf[v, i], codef[v, i],
+                    rem[v, i], lock[v, i])
             if lol[i]:
                 self._drop_channel(ch)
 
@@ -393,6 +415,11 @@ class Receiver:
         return (f"FIX lat={np.degrees(f.lat_rad):.6f} "
                 f"lon={np.degrees(f.lon_rad):.6f} h={f.height_m:.1f} "
                 f"sats={f.n_sats} pdop={f.pdop:.2f}; tracking [{tracked}]")
+
+    def close_dumps(self) -> None:
+        if self._dumps is not None:
+            for d in self._dumps.values():
+                d.close()
 
     def checkpoint(self, path) -> None:
         """Persist assistance data (ephemeris/iono) for warm/hot start."""

@@ -1,0 +1,41 @@
+"""Tracing dump tests (reference: dump readers as test oracles)."""
+
+import numpy as np
+
+from gnss_sdr_tpu import constants
+from gnss_sdr_tpu.io import dumps
+from gnss_sdr_tpu.io.sources import ArraySignalSource
+from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+from gnss_sdr_tpu.utils import generator
+
+
+def test_stage_dump_roundtrip(tmp_path):
+    d = dumps.StageDump(tmp_path / "s.npz")
+    d.push(a=np.arange(3), b=1.5)
+    d.push(a=np.arange(2), b=2.5)
+    d.close()
+    z = dumps.load_dump(tmp_path / "s.npz")
+    np.testing.assert_array_equal(z["a"], [0, 1, 2, 0, 1])
+    np.testing.assert_array_equal(z["b"], [1.5, 2.5])
+
+
+def test_receiver_tracking_dump(tmp_path):
+    fs = 2.5e6
+    x = generator.generate(
+        constants.GPS_L1_CA,
+        [generator.SatParams(prn=7, cn0_dbhz=47, doppler_hz=900.0,
+                             code_delay_s=2e-4)], fs, 0.5, seed=1)
+    cfg = ReceiverConfig(signal="1C", fs=fs, n_channels=1, prns=(7,),
+                         chunk_ms=100, dump_dir=str(tmp_path))
+    rx = Receiver(cfg)
+    rx.run_source(ArraySignalSource(x, fs))
+    rx.close_dumps()
+    z = dumps.load_dump(tmp_path / "tracking.npz")
+    assert len(z["prompt_i"]) > 300
+    assert np.all(z["prn"] == 7)
+    # settled prompts should be coherent (|I| >> |Q|)
+    tail_i = np.abs(z["prompt_i"][-100:]).mean()
+    tail_q = np.abs(z["prompt_q"][-100:]).mean()
+    assert tail_i > 3 * tail_q
+    # epoch counter strictly increasing
+    assert np.all(np.diff(z["epoch"]) > 0)
