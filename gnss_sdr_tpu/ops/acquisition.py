@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gnss_sdr_tpu.ops import fft as mxu_fft
+
 
 class AcqGridResult(NamedTuple):
     """Per-signal acquisition grid reduction results (leading axis = signal)."""
@@ -69,13 +71,15 @@ def pcps_search(x: jax.Array, code_fft_conj: jax.Array, dopplers: jax.Array,
     # [D, N] Doppler wipeoff carriers
     carriers = jnp.exp(jnp.complex64(-2j * np.pi) * (dopplers[:, None] * n[None, :]))
 
-    # [B, D, N] wiped input, one FFT batch
+    # [B, D, N] wiped input, one batched MXU-FFT (see ops/fft.py — the FFT is
+    # expressed as DFT matmuls so it runs on the MXU and needs no FFT
+    # custom-call support from the backend)
     xw = xb[:, None, :] * carriers[None, :, :]
-    Xf = jnp.fft.fft(xw, axis=-1)
+    Xf = mxu_fft.fft(xw)
 
     def per_signal(cfc):
         # cfc: [N] -> grid [D, N] noncoherently accumulated over B
-        corr = jnp.fft.ifft(Xf * cfc[None, None, :], axis=-1)
+        corr = mxu_fft.ifft(Xf * cfc[None, None, :])
         # FFTW-normalized magnitude (reference uses unnormalized transforms)
         mag = jnp.sum(jnp.abs(corr) ** 2, axis=0) * jnp.float32(n_fft * n_fft)
         return mag
