@@ -50,12 +50,36 @@ class ObservablesEngine:
     """Forms synchronized observables at a fixed receiver-clock cadence."""
 
     def __init__(self, fs: float, interval_ms: float = 20.0,
-                 rx_time_offset_s: float = 0.085):
+                 rx_time_offset_s: float = 0.085,
+                 carrier_smoothing_factor: int = 0):
         self.fs = fs
         self.interval_samples = int(round(fs * interval_ms * 1e-3))
         self.rx_time_offset_s = rx_time_offset_s
         self._rx_origin_tow: float | None = None  # receiver time at sample 0
         self._next_tick: int | None = None
+        # Hatch-filter carrier smoothing (reference: Observables
+        # enable_carrier_smoothing / smoothing_factor M)
+        self.smoothing_m = carrier_smoothing_factor
+        self._smooth: dict[tuple, tuple] = {}  # (sig,prn) -> (pr, phase, k)
+
+    def _hatch(self, key, pr: float, phase_cycles: float,
+               wavelength_m: float) -> float:
+        if self.smoothing_m <= 1:
+            return pr
+        prev = self._smooth.get(key)
+        if prev is None:
+            self._smooth[key] = (pr, phase_cycles, 1)
+            return pr
+        pr_s_prev, phase_prev, k = prev
+        dphi = (phase_cycles - phase_prev) * wavelength_m
+        # cycle-slip guard: a jump far beyond dynamics resets the filter
+        if abs(dphi) > 1000.0:
+            self._smooth[key] = (pr, phase_cycles, 1)
+            return pr
+        k = min(k + 1, self.smoothing_m)
+        pr_s = pr / k + (pr_s_prev + dphi) * (k - 1) / k
+        self._smooth[key] = (pr_s, phase_cycles, k)
+        return pr_s
 
     def ticks_for_range(self, start_sample: int, end_sample: int) -> list[int]:
         """Receiver-clock tick samples in [start, end)."""
@@ -108,6 +132,10 @@ class ObservablesEngine:
             pr = (t_rx - t_tx) * C.SPEED_OF_LIGHT_M_S
             if pr < 0:
                 pr += C.SECONDS_PER_WEEK * C.SPEED_OF_LIGHT_M_S
+            if self.smoothing_m > 1:
+                lam = C.SPEED_OF_LIGHT_M_S / ch.get(
+                    "carrier_freq", 1_575_420_000.0)
+                pr = self._hatch((ch["signal"], ch["prn"]), pr, phase, lam)
             out.append(ChannelObservable(
                 prn=ch["prn"], signal=ch["signal"], t_tx_sv=t_tx,
                 pseudorange_m=pr, carrier_phase_cycles=phase,
