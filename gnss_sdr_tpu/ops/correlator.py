@@ -49,7 +49,12 @@ def epoch_correlate(chunk: jax.Array,
     Returns:
       [K] complex64 correlator outputs.
     """
-    win = jax.lax.dynamic_slice(chunk, (offset,), (n_max,))
+    # window fetch as an explicit computed-index gather: under vmap this is a
+    # [C, n_max] gather from the shared chunk — one HBM read per element,
+    # identical cost to a batched dynamic_slice but a simpler lowering for
+    # backends whose batched-dynamic-slice path is unsupported
+    win_idx = offset + jnp.arange(n_max, dtype=jnp.int32)
+    win = chunk[win_idx]
     n = jnp.arange(n_max, dtype=jnp.float32)
     mask = n < n_samples.astype(jnp.float32)
 
