@@ -26,6 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pll_bw_hz", type=float, default=None)
     p.add_argument("--max_chunks", type=int, default=None,
                    help="stop after N processing chunks")
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu, tpu)")
     p.add_argument("--log_level", default="INFO")
     return p
 
@@ -34,6 +36,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=args.log_level,
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     from gnss_sdr_tpu.config import ini
     from gnss_sdr_tpu.receiver.receiver import Receiver
 

@@ -136,20 +136,30 @@ class TrackingOutput(NamedTuple):
 
 
 def init_state(n_channels: int) -> TrackingState:
+    """Host-side (numpy) state construction — the carry lives on host between
+    chunks so the control plane can edit it without eager device ops (some
+    backends only support jit execution, not eager primitive dispatch)."""
     c = n_channels
-    z32 = jnp.zeros((c,), jnp.int32)
-    zf = jnp.zeros((c,), jnp.float32)
+    z32 = np.zeros((c,), np.int32)
+    zf = np.zeros((c,), np.float32)
+    eps = np.full((c,), 1e-12, np.float32)
     return TrackingState(
-        active=jnp.zeros((c,), bool),
-        state=z32, sample_offset=z32, rem_code_phase=zf,
-        code_freq=zf, carrier_freq=zf, carr_phase_frac=zf,
-        carr_phase_cycles=z32,
-        dll=lf.loop2_init((c,), 0.0), pll=lf.loop3_init((c,), 0.0),
-        prev_prompt=jnp.zeros((c,), jnp.complex64),
-        cn0=cn0_ops.cn0_init((c,)),
-        epochs_in_state=z32, epoch_count=z32, lock_fail=z32,
-        loss_of_lock=jnp.zeros((c,), bool),
+        active=np.zeros((c,), bool),
+        state=z32.copy(), sample_offset=z32.copy(), rem_code_phase=zf.copy(),
+        code_freq=zf.copy(), carrier_freq=zf.copy(), carr_phase_frac=zf.copy(),
+        carr_phase_cycles=z32.copy(),
+        dll=lf.Loop2State(acc1=zf.copy()),
+        pll=lf.Loop3State(acc1=zf.copy(), acc2=zf.copy()),
+        prev_prompt=np.zeros((c,), np.complex64),
+        cn0=cn0_ops.Cn0State(zf.copy(), eps.copy(), zf.copy(), eps.copy()),
+        epochs_in_state=z32.copy(), epoch_count=z32.copy(),
+        lock_fail=z32.copy(),
+        loss_of_lock=np.zeros((c,), bool),
     )
+
+
+def _to_host(state: TrackingState) -> TrackingState:
+    return jax.tree.map(np.asarray, state)
 
 
 def start_channel(state: TrackingState, ch: int, *, code_freq: float,
@@ -157,37 +167,38 @@ def start_channel(state: TrackingState, ch: int, *, code_freq: float,
                   rem_code_phase: float = 0.0,
                   if_freq_hz: float = 0.0) -> TrackingState:
     """Host-side acq->trk handoff for one channel (reference:
-    TrackingInterface::start_tracking, dll_pll state 1 pull-in init)."""
-
-    def set1(arr, v):
-        return arr.at[ch].set(v)
-
-    return state._replace(
-        active=set1(state.active, True),
-        state=set1(state.state, PULL_IN),
-        sample_offset=set1(state.sample_offset, sample_offset),
-        rem_code_phase=set1(state.rem_code_phase, rem_code_phase),
-        code_freq=set1(state.code_freq, code_freq),
-        carrier_freq=set1(state.carrier_freq, if_freq_hz + doppler_hz),
-        carr_phase_frac=set1(state.carr_phase_frac, 0.0),
-        carr_phase_cycles=set1(state.carr_phase_cycles, 0),
-        dll=lf.Loop2State(acc1=set1(state.dll.acc1, 0.0)),
-        pll=lf.Loop3State(acc1=set1(state.pll.acc1, if_freq_hz + doppler_hz),
-                          acc2=set1(state.pll.acc2, 0.0)),
-        prev_prompt=set1(state.prev_prompt, 0.0),
-        cn0=cn0_ops.cn0_init(state.cn0.ema_abs_i.shape)._replace(
-            ema_abs_i=state.cn0.ema_abs_i.at[ch].set(0.0)),
-        epochs_in_state=set1(state.epochs_in_state, 0),
-        epoch_count=set1(state.epoch_count, 0),
-        lock_fail=set1(state.lock_fail, 0),
-        loss_of_lock=set1(state.loss_of_lock, False),
-    )
+    TrackingInterface::start_tracking, dll_pll state 1 pull-in init).
+    Pure numpy mutation of a host copy of the carry."""
+    st = _to_host(state)
+    st = jax.tree.map(np.array, st)  # writable copies
+    st.active[ch] = True
+    st.state[ch] = PULL_IN
+    st.sample_offset[ch] = sample_offset
+    st.rem_code_phase[ch] = rem_code_phase
+    st.code_freq[ch] = code_freq
+    st.carrier_freq[ch] = if_freq_hz + doppler_hz
+    st.carr_phase_frac[ch] = 0.0
+    st.carr_phase_cycles[ch] = 0
+    st.dll.acc1[ch] = 0.0
+    st.pll.acc1[ch] = if_freq_hz + doppler_hz
+    st.pll.acc2[ch] = 0.0
+    st.prev_prompt[ch] = 0.0
+    st.cn0.ema_abs_i[ch] = 0.0
+    st.cn0.ema_p2[ch] = 1e-12
+    st.cn0.ema_i2_minus_q2[ch] = 0.0
+    st.cn0.ema_i2_plus_q2[ch] = 1e-12
+    st.epochs_in_state[ch] = 0
+    st.epoch_count[ch] = 0
+    st.lock_fail[ch] = 0
+    st.loss_of_lock[ch] = False
+    return st
 
 
 def stop_channel(state: TrackingState, ch: int) -> TrackingState:
-    return state._replace(
-        active=state.active.at[ch].set(False),
-        state=state.state.at[ch].set(STANDBY))
+    st = jax.tree.map(np.array, _to_host(state))
+    st.active[ch] = False
+    st.state[ch] = STANDBY
+    return st
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
