@@ -23,6 +23,7 @@ def main() -> None:
     import jax.numpy as jnp
     from gnss_sdr_tpu.models import codes
     from gnss_sdr_tpu.ops import acquisition as acq_ops
+    from gnss_sdr_tpu.ops import iq
     from gnss_sdr_tpu.receiver import tracking as trk
     from gnss_sdr_tpu import constants
     from gnss_sdr_tpu.utils import generator
@@ -42,7 +43,7 @@ def main() -> None:
             for i, p in enumerate(prns)]
     n_chunk = cfg.chunk_len + cfg.n_max
     x = generator.generate(spec, sats, fs, (n_chunk + spc) / fs, seed=1)
-    chunk = jnp.asarray(x[:n_chunk])
+    chunk = jnp.asarray(iq.split(x[:n_chunk]))   # split-IQ boundary
 
     state = trk.init_state(n_channels)
     tables = np.stack([codes.gps_l1ca_code(p) for p in prns]).astype(np.float32)
@@ -53,9 +54,9 @@ def main() -> None:
     tables = jnp.asarray(tables)
 
     cf = jnp.asarray(np.stack([
-        np.conj(np.fft.fft(codes.sample_code(codes.gps_l1ca_code(p), fs,
-                                             1.023e6, spc)))
-        for p in prns]).astype(np.complex64))
+        iq.split(np.conj(np.fft.fft(codes.sample_code(
+            codes.gps_l1ca_code(p), fs, 1.023e6, spc))))
+        for p in prns]))
     dopplers = jnp.asarray(acq_ops.make_doppler_grid(5000, 250))
 
     def track_step(st):

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gnss_sdr_tpu.ops import fft as mxu_fft
+from gnss_sdr_tpu.ops import iq
 
 
 class AcqGridResult(NamedTuple):
@@ -54,16 +55,20 @@ def pcps_search(x: jax.Array, code_fft_conj: jax.Array, dopplers: jax.Array,
     """Run the full PCPS grid for a batch of signals.
 
     Args:
-      x: [noncoherent * n_fft] complex64 input samples (n_fft per dwell).
-      code_fft_conj: [S, n_fft] complex64, conj(FFT(zero-padded local code)).
+      x: [noncoherent * n_fft, 2] float32 split-IQ input samples (n_fft per
+        dwell); complex64 also accepted (see ops/iq.py).
+      code_fft_conj: [S, n_fft, 2] float32 split conj(FFT(zero-padded local
+        code)); complex64 also accepted.
       dopplers: [D] float32 Doppler bins (Hz).
       fs: sample rate (Hz).
       samples_per_code: length of one code period in samples (<= n_fft).
       samples_per_chip: for the CFAR exclusion window.
       noncoherent: number of accumulated dwells.
 
-    Returns AcqGridResult with statistics per signal.
+    Returns AcqGridResult with statistics per signal (all real dtypes).
     """
+    x = iq.as_complex(x)
+    code_fft_conj = iq.as_complex(code_fft_conj)
     n_fft = code_fft_conj.shape[-1]
     xb = x[: noncoherent * n_fft].reshape(noncoherent, n_fft)
 
@@ -129,10 +134,12 @@ def fine_doppler_search(x: jax.Array, code_replica: jax.Array,
     ``d_step_two`` path, pcps_acquisition.cc:772) — returns [D] powers.
 
     Args:
-      x: [N] complex64 samples aligned so the code starts at sample 0.
+      x: [N, 2] float32 split-IQ samples aligned so the code starts at
+        sample 0 (complex64 also accepted).
       code_replica: [N] float32 sampled local code.
       dopplers: [D] float32 fine Doppler bins.
     """
+    x = iq.as_complex(x)
     n = jnp.arange(x.shape[0], dtype=jnp.float32) * jnp.float32(1.0 / fs)
     wiped = x * code_replica  # code wipeoff
     carriers = jnp.exp(jnp.complex64(-2j * np.pi) * (dopplers[:, None] * n[None, :]))

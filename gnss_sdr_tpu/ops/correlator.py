@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gnss_sdr_tpu.ops import iq
+
 
 def epoch_correlate(chunk: jax.Array,
                     offset: jax.Array,
@@ -34,7 +36,9 @@ def epoch_correlate(chunk: jax.Array,
     """Correlate one epoch window against K code taps (single channel).
 
     Args:
-      chunk: [L] complex64 conditioned samples (shared across channels).
+      chunk: [L, 2] float32 split-IQ conditioned samples (shared across
+        channels; complex input also accepted — see ops/iq.py for why the
+        boundary format is split-IQ).
       offset: int32 start of the epoch window within ``chunk``.
       n_samples: int32 number of valid samples in this epoch.
       code_table: [Lc] float32 +/-1 chip (or sub-chip) table for this channel.
@@ -47,8 +51,9 @@ def epoch_correlate(chunk: jax.Array,
       table_rate: static entries per chip in code_table (2 for BOC(1,1)).
 
     Returns:
-      [K] complex64 correlator outputs.
+      [K, 2] float32 correlator outputs (I, Q per tap).
     """
+    chunk = iq.as_iq2(chunk)
     # window fetch as an explicit computed-index gather: under vmap this is a
     # [C, n_max] gather from the shared chunk — one HBM read per element,
     # identical cost to a batched dynamic_slice but a simpler lowering for
@@ -63,8 +68,8 @@ def epoch_correlate(chunk: jax.Array,
     two_pi = jnp.float32(2.0 * np.pi)
     c = jnp.cos(two_pi * phase)
     s = jnp.sin(two_pi * phase)
-    wr = jnp.real(win)
-    wi = jnp.imag(win)
+    wr = win[:, 0]
+    wi = win[:, 1]
     # (wr + j wi) * (c - j s)
     xr = (wr * c + wi * s) * mask
     xi = (wi * c - wr * s) * mask
@@ -78,8 +83,7 @@ def epoch_correlate(chunk: jax.Array,
 
     # [K, N] @ [N, 2] -> [K, 2] (MXU-friendly contraction)
     x2 = jnp.stack([xr, xi], axis=-1)
-    out = jnp.dot(codes_kn, x2, preferred_element_type=jnp.float32)
-    return jax.lax.complex(out[:, 0], out[:, 1])
+    return jnp.dot(codes_kn, x2, preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("n_max", "table_rate"))
@@ -90,7 +94,7 @@ def batch_epoch_correlate(chunk, offsets, n_samples, code_tables,
     """vmap of :func:`epoch_correlate` over the channel axis.
 
     Shapes: offsets/n_samples/rem/... are [C]; code_tables is [C, Lc];
-    tap_offsets is [K] (shared). Returns [C, K] complex64.
+    tap_offsets is [K] (shared). Returns [C, K, 2] float32 (split-IQ).
     """
     fn = jax.vmap(
         functools.partial(epoch_correlate, n_max=n_max, table_rate=table_rate),

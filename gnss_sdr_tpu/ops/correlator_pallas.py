@@ -29,6 +29,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gnss_sdr_tpu.ops import iq
+
 
 def _kernel(offsets_ref, nsamp_ref, params_ref,        # scalar prefetch (SMEM)
             chunk_re_ref, chunk_im_ref, codes_ref, taps_ref,  # inputs
@@ -78,8 +80,10 @@ def pallas_epoch_correlate(chunk, offsets, n_samples, code_tables,
                            interpret: bool = False) -> jax.Array:
     """Drop-in replacement for correlator.batch_epoch_correlate.
 
-    Returns [C, K] complex64.
+    chunk is [L, 2] float32 split-IQ (complex also accepted).
+    Returns [C, K, 2] float32.
     """
+    chunk = iq.as_iq2(chunk)
     n_ch = offsets.shape[0]
     n_taps = tap_offsets.shape[0]
     code_len = code_tables.shape[1] // table_rate
@@ -110,7 +114,7 @@ def pallas_epoch_correlate(chunk, offsets, n_samples, code_tables,
         interpret=interpret,
     )(offsets.astype(jnp.int32), n_samples.astype(jnp.int32),
       params.astype(jnp.float32),
-      jnp.real(chunk), jnp.imag(chunk),
+      chunk[:, 0], chunk[:, 1],
       code_tables, tap_offsets[None, :].astype(jnp.float32))
 
-    return jax.lax.complex(out[:, 0::2], out[:, 1::2])
+    return jnp.stack([out[:, 0::2], out[:, 1::2]], axis=-1)

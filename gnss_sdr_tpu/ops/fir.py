@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gnss_sdr_tpu.ops import iq
+
 
 def design_lowpass(num_taps: int, cutoff_norm: float, window: str = "hamming") -> np.ndarray:
     """Windowed-sinc lowpass FIR. cutoff_norm = f_c / (fs/2) in (0, 1)."""
@@ -40,16 +42,20 @@ def fir_filter_chunk(x: jax.Array, taps: jax.Array, tail: jax.Array,
     """Filter one chunk with carry-over state.
 
     Args:
-      x: [N] complex64 new samples.
+      x: [N, 2] float32 split-IQ new samples (complex64 also accepted).
       taps: [T] float32 FIR taps.
-      tail: [T-1] complex64 last samples of the previous chunk.
+      tail: [T-1, 2] float32 last samples of the previous chunk.
       decim: integer decimation factor (N must be a multiple).
 
-    Returns (y, new_tail): y has length N // decim.
+    Returns (y, new_tail): y has length N // decim; both split-IQ float32.
     """
+    x = iq.as_iq2(x)
+    tail = iq.as_iq2(tail)
     t = taps.shape[0]
-    xx = jnp.concatenate([tail, x])
-    y = jnp.convolve(xx, taps.astype(jnp.complex64), mode="valid")
+    xx = jnp.concatenate([tail, x])                  # [T-1+N, 2]
+    # real-taps FIR on both I and Q lanes in one correlation
+    y = jax.vmap(lambda col: jnp.convolve(col, taps, mode="valid"),
+                 in_axes=1, out_axes=1)(xx)
     if decim > 1:
         y = y[::decim]
     return y, x[-(t - 1):]
@@ -59,14 +65,15 @@ class StreamingFir:
     """Host wrapper holding the overlap tail between chunks."""
 
     def __init__(self, taps: np.ndarray, decim: int = 1):
-        self.taps = jnp.asarray(taps, jnp.float32)
+        self.taps = np.asarray(taps, np.float32)
         self.decim = decim
-        self._tail = jnp.zeros(len(taps) - 1, jnp.complex64)
+        self._tail = np.zeros((len(taps) - 1, 2), np.float32)
 
     def __call__(self, x) -> np.ndarray:
-        y, self._tail = fir_filter_chunk(jnp.asarray(x, jnp.complex64),
-                                         self.taps, self._tail, self.decim)
-        return y
+        y, tail = fir_filter_chunk(iq.split(x), self.taps, self._tail,
+                                   self.decim)
+        self._tail = np.asarray(tail)
+        return np.asarray(y)                  # [M, 2] float32 split-IQ
 
 
 @functools.partial(jax.jit, static_argnames=("factor_num", "factor_den", "n_out"))
@@ -81,7 +88,8 @@ def direct_resample(x: jax.Array, factor_num: int, factor_den: int,
 def freq_translate(x: jax.Array, f_shift_hz: float, fs: float,
                    n0: int = 0) -> jax.Array:
     """Frequency-translate a chunk (IF -> baseband); n0 = absolute sample
-    index of x[0] to keep phase continuity across chunks."""
-    n = n0 + jnp.arange(x.shape[0])
+    index of x[0] to keep phase continuity across chunks. Split-IQ in/out."""
+    z = iq.as_complex(x)
+    n = n0 + jnp.arange(z.shape[0])
     ph = -2.0 * np.pi * f_shift_hz / fs * n
-    return x * jnp.exp(1j * ph.astype(jnp.float32))
+    return iq.as_iq2(z * jnp.exp(1j * ph.astype(jnp.float32)))

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from gnss_sdr_tpu.ops import fft as mxu_fft
+from gnss_sdr_tpu.ops import iq
 
 
 @functools.partial(jax.jit, static_argnames=("window",))
@@ -25,8 +26,9 @@ def pulse_blanking(x: jax.Array, threshold: float = 10.0,
     A sample is blanked when its |x|^2 exceeds ``threshold`` times the chunk's
     median-ish power (mean of window-averages), evaluated on ``window``-sample
     segments — the reference's segment-wise blanking with a fixed chunk noise
-    floor.
+    floor. Split-IQ float32 in/out (complex also accepted in-trace).
     """
+    x = iq.as_complex(x)
     n = (x.shape[0] // window) * window
     p = jnp.abs(x[:n].reshape(-1, window)) ** 2
     seg_power = p.mean(axis=1)                      # [n/window]
@@ -34,7 +36,7 @@ def pulse_blanking(x: jax.Array, threshold: float = 10.0,
     blank = seg_power > threshold * floor           # [n/window]
     mask = jnp.repeat(~blank, window)
     out = x[:n] * mask.astype(x.dtype)
-    return jnp.concatenate([out, x[n:]])
+    return iq.as_iq2(jnp.concatenate([out, x[n:]]))
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -44,9 +46,10 @@ def notch_excision(x: jax.Array, threshold_db: float = 12.0) -> jax.Array:
     FFT the chunk, null bins whose power exceeds the median bin power by
     ``threshold_db``, inverse FFT. GNSS signals are ~30 dB below the noise
     floor, so any visible spectral line is interference.
+    Split-IQ float32 in/out (complex also accepted in-trace).
     """
-    X = mxu_fft.fft(x)
+    X = mxu_fft.fft(iq.as_complex(x))
     p = jnp.abs(X) ** 2
     floor = jnp.median(p)
     keep = p < floor * jnp.float32(10.0 ** (threshold_db / 10.0))
-    return mxu_fft.ifft(X * keep.astype(X.dtype))
+    return iq.as_iq2(mxu_fft.ifft(X * keep.astype(X.dtype)))

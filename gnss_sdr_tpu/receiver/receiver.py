@@ -18,11 +18,11 @@ import logging
 import pathlib
 
 import numpy as np
-import jax.numpy as jnp
 
 from gnss_sdr_tpu import constants
 from gnss_sdr_tpu.models import codes
 from gnss_sdr_tpu.ops import acquisition as acq_ops
+from gnss_sdr_tpu.ops import iq
 from gnss_sdr_tpu.receiver import tracking as trk
 from gnss_sdr_tpu.receiver.observables import ChannelObservable, EpochRecord, ObservablesEngine
 from gnss_sdr_tpu.receiver.pvt import solver as pvt_solver
@@ -156,7 +156,8 @@ class Receiver:
                 # every code-phase hypothesis correlates over an uninterrupted
                 # window even when a data-bit edge falls inside the dwell
                 rep = np.concatenate([rep, np.zeros_like(rep)])
-            self._acq_reps[prn] = np.conj(np.fft.fft(rep)).astype(np.complex64)
+            # split-IQ: complex never crosses the host->device boundary
+            self._acq_reps[prn] = iq.split(np.conj(np.fft.fft(rep)))
         return self._acq_reps[prn]
 
     def _refine_doppler(self, chunk: np.ndarray, prn: int, delay: int,
@@ -200,11 +201,11 @@ class Receiver:
         slab = 2 * self.spc if self.cfg.acq_bit_transition else self.spc
         if len(chunk) < nc * slab:
             return
-        cf = jnp.asarray(np.stack([self._code_fft(p) for p in candidates]))
-        dopplers = jnp.asarray(acq_ops.make_doppler_grid(
-            self.cfg.acq_doppler_max_hz, self.cfg.acq_doppler_step_hz))
+        cf = np.stack([self._code_fft(p) for p in candidates])
+        dopplers = acq_ops.make_doppler_grid(
+            self.cfg.acq_doppler_max_hz, self.cfg.acq_doppler_step_hz)
         res = acq_ops.pcps_search(
-            jnp.asarray(chunk[: nc * slab]), cf, dopplers,
+            iq.split(chunk[: nc * slab]), cf, dopplers,
             fs=self.cfg.fs, samples_per_code=self.spc,
             samples_per_chip=max(1, int(self.cfg.fs / self.spec.code_rate_cps)),
             noncoherent=nc)
@@ -267,10 +268,10 @@ class Receiver:
         if not any_tracking:
             return
         self.trk_state, out = trk.track_chunk(
-            self.trk_cfg, jnp.asarray(chunk_with_halo), self.trk_state,
-            jnp.asarray(self._code_tables))
+            self.trk_cfg, iq.split(chunk_with_halo), self.trk_state,
+            self._code_tables)
         valid = np.asarray(out.valid)
-        prompt = np.asarray(out.prompt)
+        prompt = iq.combine(np.asarray(out.prompt))   # [S, C] complex (host)
         eidx = np.asarray(out.epoch_index)
         start = np.asarray(out.start_offset)
         rem = np.asarray(out.rem_code_phase)
@@ -361,14 +362,18 @@ class Receiver:
 
     # ------------------------------------------------------------- pipeline
     def process(self, samples: np.ndarray) -> None:
-        """Feed a contiguous block of conditioned complex64 samples.
+        """Feed a contiguous block of conditioned samples (complex64 or
+        split-IQ float32 [N, 2]).
 
         Must be called with blocks of exactly chunk_len except the last.
         Internally keeps the one-epoch halo continuity.
         """
+        samples = np.asarray(samples)
+        if samples.dtype.kind != "c":
+            samples = iq.combine(samples)
         if not hasattr(self, "_buf"):
             self._buf = np.zeros(0, np.complex64)
-        self._buf = np.concatenate([self._buf, np.asarray(samples, np.complex64)])
+        self._buf = np.concatenate([self._buf, samples.astype(np.complex64)])
         while len(self._buf) >= self.chunk_len + self.n_max:
             chunk = self._buf[: self.chunk_len + self.n_max]
             self._dispatch_commands()

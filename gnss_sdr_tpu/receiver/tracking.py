@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gnss_sdr_tpu.ops import cn0 as cn0_ops
-from gnss_sdr_tpu.ops import correlator, discriminators
+from gnss_sdr_tpu.ops import correlator, discriminators, iq
 from gnss_sdr_tpu.ops import loop_filters as lf
 
 # channel tracking-state codes (reference: dll_pll_veml_tracking state machine)
@@ -108,7 +108,7 @@ class TrackingState(NamedTuple):
     carr_phase_cycles: jax.Array  # int32 — accumulated whole cycles
     dll: lf.Loop2State
     pll: lf.Loop3State
-    prev_prompt: jax.Array      # complex64
+    prev_prompt: jax.Array      # float32 [C, 2] split-IQ (see ops/iq.py)
     cn0: cn0_ops.Cn0State
     epochs_in_state: jax.Array  # int32
     epoch_count: jax.Array      # int32 — total valid epochs since start_tracking
@@ -120,8 +120,8 @@ class TrackingOutput(NamedTuple):
     """Per-scan-step outputs, arrays shaped [n_steps, C]."""
 
     valid: jax.Array
-    prompt: jax.Array           # complex64 prompt correlator
-    correlators: jax.Array      # [n_steps, C, K] complex64 (all taps)
+    prompt: jax.Array           # float32 [n_steps, C, 2] prompt (split-IQ)
+    correlators: jax.Array      # [n_steps, C, K, 2] float32 (all taps, I/Q)
     start_offset: jax.Array     # int32 epoch start sample within chunk
     n_samples: jax.Array        # int32 epoch length
     rem_code_phase: jax.Array   # float32 chips at epoch START
@@ -150,7 +150,7 @@ def init_state(n_channels: int) -> TrackingState:
         carr_phase_cycles=z32.copy(),
         dll=lf.Loop2State(acc1=zf.copy()),
         pll=lf.Loop3State(acc1=zf.copy(), acc2=zf.copy()),
-        prev_prompt=np.zeros((c,), np.complex64),
+        prev_prompt=np.zeros((c, 2), np.float32),
         cn0=cn0_ops.Cn0State(zf.copy(), eps.copy(), zf.copy(), eps.copy()),
         epochs_in_state=z32.copy(), epoch_count=z32.copy(),
         lock_fail=z32.copy(),
@@ -182,7 +182,7 @@ def start_channel(state: TrackingState, ch: int, *, code_freq: float,
     st.dll.acc1[ch] = 0.0
     st.pll.acc1[ch] = if_freq_hz + doppler_hz
     st.pll.acc2[ch] = 0.0
-    st.prev_prompt[ch] = 0.0
+    st.prev_prompt[ch, :] = 0.0
     st.cn0.ema_abs_i[ch] = 0.0
     st.cn0.ema_p2[ch] = 1e-12
     st.cn0.ema_i2_minus_q2[ch] = 0.0
@@ -208,13 +208,15 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
 
     Args:
       cfg: static tracking config.
-      chunk: [chunk_len + n_max] complex64 (chunk + halo from next chunk).
+      chunk: [chunk_len + n_max, 2] float32 split-IQ samples (chunk + halo
+        from the next chunk); complex64 also accepted in-trace.
       state: carry from previous chunk.
       code_tables: [C, Lc*table_rate] float32 per-channel local code tables.
 
     Returns (new_state, outputs). ``new_state.sample_offset`` is already
     rebased for the next chunk (offset -= chunk_len).
     """
+    chunk = iq.as_iq2(chunk)
     fs = jnp.float32(cfg.fs)
     code_len = jnp.float32(cfg.code_length_chips)
     taps = jnp.asarray(cfg.tap_offsets, jnp.float32)
@@ -233,20 +235,22 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
         corr = correlator.batch_epoch_correlate(
             chunk, safe_off, jnp.where(valid, n_samp, 0), code_tables,
             st.rem_code_phase, cps, st.carr_phase_frac, st.carrier_freq / fs,
-            taps, n_max=cfg.n_max, table_rate=cfg.table_rate)   # [C, K]
+            taps, n_max=cfg.n_max, table_rate=cfg.table_rate)   # [C, K, 2]
 
-        prompt = corr[:, prompt_i]
-        early = corr[:, prompt_i - 1]
-        late = corr[:, prompt_i + 1]
+        prompt2 = corr[:, prompt_i]                  # [C, 2] split-IQ
+        prompt = iq.as_complex(prompt2)              # complex, in-jit only
+        early = iq.as_complex(corr[:, prompt_i - 1])
+        late = iq.as_complex(corr[:, prompt_i + 1])
         dt = n_samp.astype(jnp.float32) / fs
 
         # ---- discriminators ------------------------------------------------
         spacing = float(cfg.tap_offsets[prompt_i + 1] - cfg.tap_offsets[prompt_i])
         code_err = discriminators.dll_nc_emlp(early, late, spacing)   # chips
         phase_err = discriminators.pll_costas(prompt)                 # cycles
-        freq_err = discriminators.fll_atan2(st.prev_prompt, prompt, dt)  # Hz
+        prev_prompt = iq.as_complex(st.prev_prompt)
+        freq_err = discriminators.fll_atan2(prev_prompt, prompt, dt)  # Hz
         # FLL only during pull-in, and only once a previous prompt exists
-        has_prev = jnp.abs(st.prev_prompt) > 0
+        has_prev = jnp.abs(prev_prompt) > 0
         fll_on = (st.state == PULL_IN) & has_prev
         freq_err = jnp.where(fll_on, freq_err, 0.0)
 
@@ -307,7 +311,7 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
 
         out = TrackingOutput(
             valid=valid,
-            prompt=prompt,
+            prompt=prompt2,
             correlators=corr,
             start_offset=st.sample_offset,
             n_samples=n_samp,
@@ -333,7 +337,7 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
             carr_phase_cycles=sel(new_cycles, st.carr_phase_cycles),
             dll=selt(new_dll, st.dll),
             pll=selt(new_pll, st.pll),
-            prev_prompt=sel(prompt, st.prev_prompt),
+            prev_prompt=jnp.where(valid[:, None], prompt2, st.prev_prompt),
             cn0=selt(new_cn0, st.cn0),
             epochs_in_state=sel(eis, st.epochs_in_state),
             epoch_count=sel(st.epoch_count + 1, st.epoch_count),

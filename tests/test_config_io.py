@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from gnss_sdr_tpu.config import ini
 from gnss_sdr_tpu.io import sources
-from gnss_sdr_tpu.ops import fir
+from gnss_sdr_tpu.ops import fir, iq
 
 from conftest import REFERENCE_SAMPLES
 
@@ -100,8 +100,8 @@ def test_streaming_fir_matches_batch():
     x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)).astype(np.complex64)
     taps = fir.design_lowpass(33, 0.4)
     f = fir.StreamingFir(taps)
-    y_stream = np.concatenate([np.asarray(f(x[:1000])), np.asarray(f(x[1000:2500])),
-                               np.asarray(f(x[2500:]))])
+    y_stream = np.concatenate([iq.combine(f(x[:1000])), iq.combine(f(x[1000:2500])),
+                               iq.combine(f(x[2500:]))])
     full = np.convolve(np.concatenate([np.zeros(32, np.complex64), x]),
                        taps.astype(np.complex64), mode="valid")
     assert np.allclose(y_stream, full, atol=1e-4)
@@ -115,7 +115,7 @@ def test_fir_decimation_preserves_signal():
     x = np.exp(2j * np.pi * 1e5 * t).astype(np.complex64)
     taps = fir.design_lowpass(33, 0.4)
     f = fir.StreamingFir(taps, decim=2)
-    y = np.asarray(f(x))
+    y = iq.combine(f(x))
     t2 = np.arange(len(y)) * 2 / fs
     expect = np.exp(2j * np.pi * 1e5 * (t2 - 16 / fs))  # group delay 16 samples
     corr = np.vdot(expect[100:], y[100:]) / np.linalg.norm(expect[100:]) / np.linalg.norm(y[100:])

@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
-from gnss_sdr_tpu.ops import correlator
+from gnss_sdr_tpu.ops import correlator, iq
 from gnss_sdr_tpu.ops.correlator_pallas import pallas_epoch_correlate
 
 
@@ -60,7 +60,8 @@ def test_xla_correlator_matches_oracle(case):
         jnp.asarray(case["frac"]), jnp.asarray(case["step"]),
         jnp.asarray(case["taps"]), n_max=case["n_max"])
     expect = _expected(case)
-    np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(iq.combine(np.asarray(out)), expect,
+                               rtol=2e-4, atol=2e-3)
 
 
 def test_pallas_correlator_matches_oracle(case):
@@ -71,7 +72,8 @@ def test_pallas_correlator_matches_oracle(case):
         jnp.asarray(case["frac"]), jnp.asarray(case["step"]),
         jnp.asarray(case["taps"]), n_max=case["n_max"], interpret=True)
     expect = _expected(case)
-    np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(iq.combine(np.asarray(out)), expect,
+                               rtol=2e-4, atol=2e-3)
 
 
 def test_boc_table_rate(case):

@@ -56,7 +56,7 @@ def telemetry_run():
         st, out = trk.track_chunk(cfg, chunk, st, ct)
         v = np.asarray(out.valid[:, 0])
         eidx = np.asarray(out.epoch_index[:, 0])[v]
-        tlm.push(eidx, np.asarray(out.prompt[:, 0].real)[v])
+        tlm.push(eidx, np.asarray(out.prompt[:, 0, 0])[v])   # prompt I lane
         records.append((base + np.asarray(out.start_offset[:, 0])[v],
                         eidx,
                         np.asarray(out.rem_code_phase[:, 0])[v],

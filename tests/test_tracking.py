@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from gnss_sdr_tpu import constants
 from gnss_sdr_tpu.models import codes
 from gnss_sdr_tpu.ops import acquisition as acq
-from gnss_sdr_tpu.ops import discriminators
+from gnss_sdr_tpu.ops import discriminators, iq
 from gnss_sdr_tpu.utils import generator
 from gnss_sdr_tpu.receiver import tracking as trk
 
@@ -121,7 +121,7 @@ def test_data_bit_recovery():
         chunk = jnp.asarray(x[base: base + cfg.chunk_len + cfg.n_max])
         st, out = trk.track_chunk(cfg, chunk, st, ct)
         v = np.asarray(out.valid[:, 0])
-        prompts.append(np.asarray(out.prompt[:, 0])[v])
+        prompts.append(iq.combine(np.asarray(out.prompt[:, 0])[v]))
         epoch_idx.append(np.asarray(out.epoch_index[:, 0])[v])
         base += cfg.chunk_len
     P = np.concatenate(prompts)
