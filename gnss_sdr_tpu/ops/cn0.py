@@ -12,8 +12,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_EPS = jnp.float32(1e-12)
+# numpy, not jnp: module-level jnp constants are eager device arrays that
+# poison jitted scans on the target TPU runtime (see ops/discriminators.py)
+_EPS = np.float32(1e-12)
 
 
 class Cn0State(NamedTuple):

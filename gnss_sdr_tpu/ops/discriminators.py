@@ -12,8 +12,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_TWO_PI = jnp.float32(2.0 * np.pi)
-_EPS = jnp.float32(1e-20)
+# plain numpy scalars, NOT jnp: a module-level jnp constant is an eager
+# device array; closed over by a jitted scan it forces the whole loop onto a
+# ~60x slower execution path on the target TPU runtime (and the eager op
+# itself may not be supported on backends without eager dispatch)
+_TWO_PI = np.float32(2.0 * np.pi)
+_EPS = np.float32(1e-20)
 
 
 def dll_nc_emlp(early: jax.Array, late: jax.Array,
