@@ -86,21 +86,21 @@ SIGNAL_SUFFIXES = ("1C", "2S", "L5", "1B", "5X", "1G", "2G", "B1", "B3")
 def receiver_config_from_ini(conf: Configuration):
     """Map a reference-style configuration onto ReceiverConfig.
 
-    Covers the single-signal GPS L1 path (the reference's
-    gnss-sdr_GPS_L1_ishort.conf shape); multi-signal configs pick the first
-    signal group with a nonzero channel count.
+    Every ``Channels_<sig>.count > 0`` becomes a signal group (the reference's
+    hybrid configs, e.g. conf/gnss-sdr_multisource_Hybrid_ishort.conf run
+    GPS L1 + Galileo E1 + GLONASS channels concurrently); loop parameters are
+    read from the FIRST group's Acquisition_/Tracking_ sections.
     """
     from gnss_sdr_tpu.receiver.receiver import ReceiverConfig
 
-    signal = "1C"
-    n_channels = 0
+    plan = []
     for suf in SIGNAL_SUFFIXES:
         cnt = conf.property(f"Channels_{suf}.count", 0)
         if cnt > 0:
-            signal, n_channels = suf, cnt
-            break
-    if n_channels == 0:
-        n_channels = 8
+            plan.append((suf, cnt))
+    if not plan:
+        plan = [("1C", 8)]
+    signal, n_channels = plan[0]
 
     fs = float(conf.property("GNSS-SDR.internal_fs_sps",
                              conf.property("GNSS-SDR.internal_fs_hz", 2_000_000)))
@@ -110,6 +110,7 @@ def receiver_config_from_ini(conf: Configuration):
         signal=signal,
         fs=fs,
         n_channels=n_channels,
+        signal_plan=tuple(plan),
         acq_doppler_max_hz=float(conf.property(f"{acq}.doppler_max", 5000)),
         acq_doppler_step_hz=float(conf.property(f"{acq}.doppler_step", 250)),
         pll_bw_hz=conf.property(f"{trk}.pll_bw_hz", 40.0),

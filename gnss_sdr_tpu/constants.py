@@ -95,7 +95,7 @@ GALILEO_E5A_I = SignalSpec(
     system="E", signal="5X", name="Galileo E5a-I",
     carrier_freq_hz=1_176_450_000.0, code_rate_cps=10.23e6,
     code_length_chips=10230, code_period_s=1e-3, bit_period_ms=20, prn_max=50,
-    secondary_code="100001100101",  # CS20_1 applies to pilot; data uses CS20
+    secondary_code="10000100001011101001",  # CS20 (0x842E9) on E5a-I data
 )
 
 GLONASS_L1_CA = SignalSpec(

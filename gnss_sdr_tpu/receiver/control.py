@@ -131,12 +131,33 @@ class TelecommandServer:
 # ---------------------------------------------------------------------------
 
 
-def save_assistance(path, ephemerides: dict[int, KeplerEphemeris],
+def _eph_key_str(key) -> str:
+    """(system, prn) -> "G12"; bare int prn (legacy) -> "G<prn>"."""
+    if isinstance(key, tuple):
+        return f"{key[0]}{key[1]}"
+    return f"G{key}"
+
+
+def _eph_key_parse(s: str):
+    if s[0].isalpha():
+        return (s[0], int(s[1:]))
+    return ("G", int(s))   # legacy bare-prn checkpoints
+
+
+def save_assistance(path, ephemerides: dict,
                     iono: IonoParams | None = None,
                     utc: UtcParams | None = None) -> None:
+    """Ephemerides keyed by (system, prn) (bare int prn also accepted);
+    values are KeplerEphemeris or GlonassEphemeris dataclasses, tagged with
+    their class for reload (reference analog: PVT block XML serialization,
+    control_thread.cc read_assistance_from_XML)."""
+    ser = {}
+    for key, e in ephemerides.items():
+        d = dataclasses.asdict(e)
+        d["__cls__"] = type(e).__name__
+        ser[_eph_key_str(key)] = d
     data = {
-        "ephemerides": {str(p): dataclasses.asdict(e)
-                        for p, e in ephemerides.items()},
+        "ephemerides": ser,
         "iono": dataclasses.asdict(iono) if iono else None,
         "utc": dataclasses.asdict(utc) if utc else None,
     }
@@ -144,14 +165,24 @@ def save_assistance(path, ephemerides: dict[int, KeplerEphemeris],
 
 
 def load_assistance(path):
-    """Returns (ephemerides, iono, utc); missing file -> empty assistance."""
+    """Returns (ephemerides, iono, utc); missing file -> empty assistance.
+    Ephemerides come back keyed by (system, prn)."""
+    from gnss_sdr_tpu.models.nav.glonass_gnav import GlonassEphemeris
     p = pathlib.Path(path)
     if not p.exists():
         return {}, None, None
     data = json.loads(p.read_text())
     ephs = {}
-    for prn, d in data.get("ephemerides", {}).items():
-        ephs[int(prn)] = KeplerEphemeris(**d)
+    for key, d in data.get("ephemerides", {}).items():
+        cls_name = d.pop("__cls__", "KeplerEphemeris")
+        if cls_name == "GlonassEphemeris":
+            for f in ("pos_m", "vel_m_s", "acc_m_s2"):
+                if f in d:
+                    d[f] = tuple(d[f])
+            eph = GlonassEphemeris(**d)
+        else:
+            eph = KeplerEphemeris(**d)
+        ephs[_eph_key_parse(key)] = eph
     iono = None
     if data.get("iono"):
         d = data["iono"]

@@ -30,6 +30,7 @@ class ObsInput:
     carrier_freq_hz: float     # nominal carrier of the tracked signal
     t_tx_sv: float             # transmit time in SV clock (s of week)
     cn0_dbhz: float = 45.0
+    system: str = "G"          # constellation: G(PS) E(Galileo) R(GLONASS) C(BeiDou)
 
 
 @dataclasses.dataclass
@@ -39,6 +40,11 @@ class PvtSolution:
     vel_ecef: np.ndarray = None
     clock_bias_s: float = 0.0
     clock_drift_s_s: float = 0.0
+    # per-system receiver clock biases (s), keyed by constellation letter;
+    # entry "G" (or the first system present) equals clock_bias_s. The
+    # differences are the inter-system biases (reference: rtklib pntpos
+    # estimates 3+NSYS states the same way).
+    system_clock_s: dict = dataclasses.field(default_factory=dict)
     tow_s: float = 0.0
     week: int = 0
     n_sats: int = 0
@@ -97,48 +103,72 @@ def _rotate_sat(pos: np.ndarray, tau: float) -> np.ndarray:
     return np.array([c * pos[0] + s * pos[1], -s * pos[0] + c * pos[1], pos[2]])
 
 
-def solve_pvt(obs: list[ObsInput], ephemerides: dict[int, KeplerEphemeris],
+def _eph_lookup(ephemerides: dict, o: ObsInput):
+    """Ephemeris keyed by (system, prn), falling back to bare prn (legacy
+    single-system callers)."""
+    eph = ephemerides.get((o.system, o.prn))
+    if eph is None and o.system == "G":
+        eph = ephemerides.get(o.prn)
+    return eph
+
+
+def solve_pvt(obs: list[ObsInput], ephemerides: dict,
               iono: IonoParams | None = None,
               apply_tropo: bool = True, n_iter: int = 8,
               el_mask_rad: float = np.deg2rad(5.0)) -> PvtSolution:
-    """Iterated WLS single-point solution at one receiver epoch."""
-    usable = [o for o in obs if o.prn in ephemerides]
-    if len(usable) < 4:
+    """Iterated WLS single-point solution at one receiver epoch.
+
+    Multi-constellation: one receiver-clock state per system present
+    (x = [p, c*dt_sys0, c*dt_sys1, ...]); each system's inter-system bias
+    (incl. GGTO / BDT offsets) is absorbed by its own clock column, matching
+    the reference's rtklib pntpos state layout (rtklib_pntpos.cc NX=3+NSYS).
+    """
+    usable = [o for o in obs if _eph_lookup(ephemerides, o) is not None]
+    systems = sorted({o.system for o in usable})
+    n_clk = len(systems)
+    if len(usable) < 3 + max(n_clk, 1):
         return PvtSolution(valid=False, n_sats=len(usable))
 
     n = len(usable)
+    sys_idx = np.array([systems.index(o.system) for o in usable])
     sat_pos = np.zeros((n, 3))
     sat_vel = np.zeros((n, 3))
     dts = np.zeros(n)
     ddts = np.zeros(n)
     tgd = np.zeros(n)
     for i, o in enumerate(usable):
-        eph = ephemerides[o.prn]
+        eph = _eph_lookup(ephemerides, o)
         dt_sv = eph.clock_offset(o.t_tx_sv)
         t_gps = o.t_tx_sv - dt_sv
         p, v = eph.position_velocity(t_gps)
         sat_pos[i] = p
         sat_vel[i] = v
         dts[i] = dt_sv
-        ddts[i] = eph.af1 + 2.0 * eph.af2 * (o.t_tx_sv - eph.toc)
-        tgd[i] = eph.tgd
+        ddts[i] = (getattr(eph, "af1", 0.0)
+                   + 2.0 * getattr(eph, "af2", 0.0)
+                   * (o.t_tx_sv - getattr(eph, "toc", 0.0)))
+        tgd[i] = getattr(eph, "tgd", 0.0)
 
     pr_raw = np.array([o.pseudorange_m for o in usable])
     # SV clock correction (incl. relativistic); TGD applies on L1
     pr = pr_raw + C.SPEED_OF_LIGHT_M_S * (dts - tgd)
 
-    # initial guess: Bancroft on clock-corrected ranges (rough rotation)
+    # initial guess: Bancroft on clock-corrected ranges (rough rotation),
+    # single common clock — per-system clocks separate during the WLS
     tau0 = pr / C.SPEED_OF_LIGHT_M_S
     sp0 = np.stack([_rotate_sat(sat_pos[i], tau0[i]) for i in range(n)])
+    nx = 3 + n_clk
+    x = np.zeros(nx)
     try:
         u0 = bancroft(sp0, pr)
-        x = np.array([u0[0], u0[1], u0[2], u0[3]])
+        x[:3] = u0[:3]
+        x[3:] = u0[3]
     except np.linalg.LinAlgError:
-        x = np.zeros(4)
+        pass
 
     week = 0
     used = np.ones(n, bool)
-    h = np.zeros((n, 4))
+    h = np.zeros((n, nx))
     resid = np.zeros(n)
     w = np.ones(n)
     for it in range(n_iter):
@@ -161,8 +191,12 @@ def solve_pvt(obs: list[ObsInput], ephemerides: dict[int, KeplerEphemeris],
                         d_l1, usable[i].carrier_freq_hz)
                 if apply_tropo:
                     corr += atmosphere.saastamoinen_delay(el, hgt, lat)
-            h[i] = [-los[0], -los[1], -los[2], 1.0]
-            resid[i] = pr[i] - (rho + x[3] + corr)
+            h[i, :3] = -los
+            h[i, 3:] = 0.0
+            h[i, 3 + sys_idx[i]] = 1.0
+            resid[i] = pr[i] - (rho + x[3 + sys_idx[i]] + corr)
+        # every system must keep >= 1 usable sat, else drop its clock from
+        # this epoch by zeroing those rows (rank guard)
         hw = h[used] * w[used, None]
         try:
             dx = np.linalg.lstsq(hw.T @ h[used], hw.T @ resid[used], rcond=None)[0]
@@ -172,7 +206,7 @@ def solve_pvt(obs: list[ObsInput], ephemerides: dict[int, KeplerEphemeris],
         if np.linalg.norm(dx[:3]) < 1e-4:
             break
 
-    if used.sum() < 4 or not np.all(np.isfinite(x)):
+    if used.sum() < 3 + n_clk or not np.all(np.isfinite(x)):
         return PvtSolution(valid=False, n_sats=int(used.sum()))
 
     # velocity from Doppler: rr = -lambda * fd ; rr_pred = los.(v_sat - v_rcv)
@@ -204,11 +238,14 @@ def solve_pvt(obs: list[ObsInput], ephemerides: dict[int, KeplerEphemeris],
     d = geodesy.dops(los_all[used], x[:3])
 
     t_rx = usable[0].t_tx_sv + pr_raw[0] / C.SPEED_OF_LIGHT_M_S
+    clk0 = x[3 + sys_idx[0]]
     return PvtSolution(
         valid=True, pos_ecef=x[:3].copy(), vel_ecef=vsol[:3].copy(),
         clock_bias_s=x[3] / C.SPEED_OF_LIGHT_M_S,
         clock_drift_s_s=vsol[3] / C.SPEED_OF_LIGHT_M_S,
-        tow_s=t_rx - x[3] / C.SPEED_OF_LIGHT_M_S, week=week,
+        system_clock_s={s: x[3 + k] / C.SPEED_OF_LIGHT_M_S
+                        for k, s in enumerate(systems)},
+        tow_s=t_rx - clk0 / C.SPEED_OF_LIGHT_M_S, week=week,
         n_sats=int(used.sum()), residuals_m=resid.copy(),
         lat_rad=lat, lon_rad=lon, height_m=hgt, **d_subset(d))
 

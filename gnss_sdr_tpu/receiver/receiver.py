@@ -4,11 +4,18 @@ This is the TPU-native replacement for the reference's control plane + GNU
 Radio flowgraph (``GNSSFlowgraph`` in ``src/core/receiver/gnss_flowgraph.cc``
 and ``ControlThread``): instead of one thread per block with ring buffers, the
 receiver advances chunk by chunk; per chunk it runs
-   1. batched PCPS acquisition for idle channels  (one jit call, all PRNs)
-   2. the tracking scan for all channels          (one jit call)
+   1. batched PCPS acquisition for idle channels  (one jit call per signal)
+   2. the tracking scan for all channels          (one jit call per signal)
    3. host-side telemetry decoding / observables / PVT
 The channel manager mirrors the reference's state machine (idle -> acquiring ->
 tracking, reacquire on loss; gnss_flowgraph.cc:1203-1366).
+
+Multi-constellation: channels are organized in **signal groups** (one per
+signal family, e.g. GPS L1 C/A + Galileo E1b — the reference's
+``Channels_1C.count=8`` / ``Channels_1B.count=8`` hybrid configs,
+conf/gnss-sdr_multisource_Hybrid_*.conf). Each group runs its own tracking
+scan and acquisition batch on the shared conditioned stream; observables and
+PVT merge all groups, with per-system receiver clocks in the solver.
 """
 
 from __future__ import annotations
@@ -37,7 +44,10 @@ class ReceiverConfig:
     fs: float = 2.046e6                # internal (conditioned) sample rate
     if_freq_hz: float = 0.0
     n_channels: int = 8
-    prns: tuple = tuple(range(1, 33))  # satellite pool
+    prns: tuple = tuple(range(1, 33))  # satellite pool (primary signal)
+    # multi-signal plan: tuple of (signal, n_channels) or
+    # (signal, n_channels, prns); empty = single group from the fields above
+    signal_plan: tuple = ()
     chunk_ms: int = 100
     # acquisition
     acq_doppler_max_hz: float = 5000.0
@@ -66,8 +76,9 @@ class ReceiverConfig:
 class Channel:
     """Host-side per-channel bookkeeping (FSM mirror of reference Channel)."""
 
-    def __init__(self, ch_id: int):
-        self.ch_id = ch_id
+    def __init__(self, ch_id: int, global_id: int):
+        self.ch_id = ch_id              # index within its signal group
+        self.global_id = global_id      # receiver-wide index (telecommands)
         self.prn: int | None = None
         self.state = "idle"             # idle | tracking
         self.telemetry = None
@@ -82,34 +93,59 @@ class Channel:
         return best
 
 
+class SignalGroup:
+    """Per-signal-family receiver state: tracking scan carry, code tables,
+    acquisition pool (reference: one GetChannel_* family per signal)."""
+
+    def __init__(self, cfg: ReceiverConfig, signal: str, n_channels: int,
+                 prns: tuple, global_id0: int):
+        self.signal = signal
+        self.spec = constants.SIGNALS[signal]
+        self.trk_cfg = trk.default_config(
+            self.spec, cfg.fs, cfg.chunk_ms,
+            if_freq_hz=cfg.if_freq_hz,
+            pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
+            fll_bw_hz=cfg.fll_bw_hz,
+            pll_bw_narrow_hz=cfg.pll_bw_narrow_hz,
+            dll_bw_narrow_hz=cfg.dll_bw_narrow_hz)
+        self.channels = [Channel(i, global_id0 + i) for i in range(n_channels)]
+        self.trk_state = trk.init_state(n_channels)
+        table_len = self.spec.code_length_chips * self.trk_cfg.table_rate
+        self.code_tables = np.zeros((n_channels, table_len), np.float32)
+        self.spc = int(round(cfg.fs * self.spec.code_period_s))
+        self.acq_reps: dict[int, np.ndarray] = {}
+        self.acq_pool = list(prns)
+        self.acq_backoff: dict[int, int] = {}
+        self.pinned: dict[int, int] = {}   # local channel -> PRN
+
+    @property
+    def n_max(self) -> int:
+        return self.trk_cfg.n_max
+
+
 class Receiver:
     def __init__(self, config: ReceiverConfig):
         self.cfg = config
-        self.spec = constants.SIGNALS[config.signal]
-        fs = config.fs
-        self.trk_cfg = trk.default_config(
-            self.spec, fs, config.chunk_ms,
-            if_freq_hz=config.if_freq_hz,
-            pll_bw_hz=config.pll_bw_hz, dll_bw_hz=config.dll_bw_hz,
-            fll_bw_hz=config.fll_bw_hz,
-            pll_bw_narrow_hz=config.pll_bw_narrow_hz,
-            dll_bw_narrow_hz=config.dll_bw_narrow_hz)
-        self.chunk_len = self.trk_cfg.chunk_len
-        self.n_max = self.trk_cfg.n_max
+        plan = list(config.signal_plan) or [
+            (config.signal, config.n_channels, config.prns)]
+        self.groups: list[SignalGroup] = []
+        gid = 0
+        for entry in plan:
+            sig, n_ch = entry[0], entry[1]
+            prns = entry[2] if len(entry) > 2 and entry[2] else tuple(
+                range(1, constants.SIGNALS[sig].prn_max + 1))
+            self.groups.append(SignalGroup(config, sig, n_ch, prns, gid))
+            gid += n_ch
+        # primary group keeps the single-signal API working
+        g0 = self.groups[0]
+        self.spec = g0.spec
+        self.trk_cfg = g0.trk_cfg
+        self.chunk_len = g0.trk_cfg.chunk_len
+        self.n_max = max(g.n_max for g in self.groups)
+        self.spc = g0.spc
 
-        c = config.n_channels
-        self.channels = [Channel(i) for i in range(c)]
-        self.trk_state = trk.init_state(c)
-        table_len = self.spec.code_length_chips * self.trk_cfg.table_rate
-        self._code_tables = np.zeros((c, table_len), np.float32)
-
-        self.spc = int(round(fs * self.spec.code_period_s))
-        self._acq_reps = {}
-        self._acq_pool = list(config.prns)
-        self._acq_backoff: dict[int, int] = {}
-
-        self.observables = ObservablesEngine(fs, config.obs_interval_ms)
-        self.ephemerides = {}
+        self.observables = ObservablesEngine(config.fs, config.obs_interval_ms)
+        self.ephemerides = {}           # keyed (system, prn)
         self.iono = None
         self.fixes: list[pvt_solver.PvtSolution] = []
         self.obs_log: list[tuple[int, list[ChannelObservable]]] = []
@@ -128,7 +164,6 @@ class Receiver:
         self.control_queue = control_mod.ControlQueue()
         self.restart_requested = False
         self.standby = False
-        self._pinned: dict[int, int] = {}   # channel -> PRN
         # tracing dumps
         self._dumps = None
         if config.dump_dir:
@@ -143,13 +178,30 @@ class Receiver:
             self.fix_sinks.append(
                 lambda sol: self._dumps["pvt"].push_fix(sol))
 
+    # ------------------------------------------------------------- channels
+    @property
+    def channels(self) -> list[Channel]:
+        """Receiver-wide channel list (all groups, global order)."""
+        return [ch for g in self.groups for ch in g.channels]
+
+    @property
+    def trk_state(self):
+        """Primary signal group's tracking carry (single-signal API)."""
+        return self.groups[0].trk_state
+
+    def _group_of(self, ch: Channel) -> SignalGroup:
+        for g in self.groups:
+            if ch in g.channels:
+                return g
+        raise KeyError(ch)
+
     # ------------------------------------------------------------------ acq
-    def _code_fft(self, prn: int) -> np.ndarray:
-        if prn not in self._acq_reps:
-            boc = self.spec.subcarrier_rate_hz
+    def _code_fft(self, g: SignalGroup, prn: int) -> np.ndarray:
+        if prn not in g.acq_reps:
+            boc = g.spec.subcarrier_rate_hz
             rep = codes.sample_code(
-                codes.code_chips(self.cfg.signal, prn), self.cfg.fs,
-                self.spec.code_rate_cps, self.spc, boc_rate=boc)
+                codes.code_chips(g.signal, prn), self.cfg.fs,
+                g.spec.code_rate_cps, g.spc, boc_rate=boc)
             if self.cfg.acq_bit_transition:
                 # doubled-FFT mode (reference bit_transition_flag,
                 # pcps_acquisition.cc:101): zero-pad the code to 2 periods so
@@ -157,24 +209,23 @@ class Receiver:
                 # window even when a data-bit edge falls inside the dwell
                 rep = np.concatenate([rep, np.zeros_like(rep)])
             # split-IQ: complex never crosses the host->device boundary
-            self._acq_reps[prn] = iq.split(np.conj(np.fft.fft(rep)))
-        return self._acq_reps[prn]
+            g.acq_reps[prn] = iq.split(np.conj(np.fft.fft(rep)))
+        return g.acq_reps[prn]
 
-    def _refine_doppler(self, chunk: np.ndarray, prn: int, delay: int,
-                        doppler: float) -> float:
+    def _refine_doppler(self, g: SignalGroup, chunk: np.ndarray, prn: int,
+                        delay: int, doppler: float) -> float:
         """Step-two fine Doppler (reference d_step_two analog): correlate K
         consecutive code periods at the coarse Doppler and estimate the
         residual from the prompt phase slope — data-bit insensitive
         (atan of consecutive-prompt products), pull range +-1/(4 T_code)."""
         k = 8
-        n = self.spc
+        n = g.spc
         if delay + k * n > len(chunk):
             return doppler
-        boc = self.spec.subcarrier_rate_hz
-        rep = codes.sample_code(codes.code_chips(self.cfg.signal, prn),
-                                self.cfg.fs, self.spec.code_rate_cps, n,
+        boc = g.spec.subcarrier_rate_hz
+        rep = codes.sample_code(codes.code_chips(g.signal, prn),
+                                self.cfg.fs, g.spec.code_rate_cps, n,
                                 boc_rate=boc).astype(np.float64)
-        t = np.arange(n) / self.cfg.fs
         wipe = np.exp(-2j * np.pi * doppler * (np.arange(k * n) / self.cfg.fs))
         seg = chunk[delay: delay + k * n].astype(np.complex128) * wipe
         corr = (seg.reshape(k, n) * rep[None, :]).sum(axis=1)
@@ -186,28 +237,28 @@ class Receiver:
         f_res = float(np.mean(np.arctan(np.imag(z) / dot))) / (2 * np.pi * t_per)
         return doppler + f_res
 
-    def _run_acquisition(self, chunk: np.ndarray) -> None:
-        idle = [ch for ch in self.channels if ch.state == "idle"]
+    def _run_acquisition(self, g: SignalGroup, chunk: np.ndarray) -> None:
+        idle = [ch for ch in g.channels if ch.state == "idle"]
         if not idle:
             return
-        tracked = {ch.prn for ch in self.channels if ch.state == "tracking"}
-        candidates = [p for p in self._acq_pool
+        tracked = {ch.prn for ch in g.channels if ch.state == "tracking"}
+        candidates = [p for p in g.acq_pool
                       if p not in tracked
-                      and self._acq_backoff.get(p, 0) <= self._chunk_index]
+                      and g.acq_backoff.get(p, 0) <= self._chunk_index]
         candidates = candidates[: self.cfg.max_in_acquisition]
         if not candidates:
             return
         nc = self.cfg.acq_noncoherent
-        slab = 2 * self.spc if self.cfg.acq_bit_transition else self.spc
+        slab = 2 * g.spc if self.cfg.acq_bit_transition else g.spc
         if len(chunk) < nc * slab:
             return
-        cf = np.stack([self._code_fft(p) for p in candidates])
+        cf = np.stack([self._code_fft(g, p) for p in candidates])
         dopplers = acq_ops.make_doppler_grid(
             self.cfg.acq_doppler_max_hz, self.cfg.acq_doppler_step_hz)
         res = acq_ops.pcps_search(
             iq.split(chunk[: nc * slab]), cf, dopplers,
-            fs=self.cfg.fs, samples_per_code=self.spc,
-            samples_per_chip=max(1, int(self.cfg.fs / self.spec.code_rate_cps)),
+            fs=self.cfg.fs, samples_per_code=g.spc,
+            samples_per_chip=max(1, int(self.cfg.fs / g.spec.code_rate_cps)),
             noncoherent=nc)
         cfar = np.asarray(res.test_cfar)
         order = np.argsort(-cfar)
@@ -216,60 +267,60 @@ class Receiver:
                 break
             prn = candidates[int(idx)]
             if cfar[idx] < self.cfg.acq_threshold_cfar:
-                self._acq_backoff[prn] = self._chunk_index + 5
+                g.acq_backoff[prn] = self._chunk_index + 5
                 continue
             delay = int(res.code_phase[idx])
             doppler = float(res.doppler_hz[idx])
             if self.cfg.acq_two_step:
-                doppler = self._refine_doppler(chunk, prn, delay, doppler)
+                doppler = self._refine_doppler(g, chunk, prn, delay, doppler)
             # honor channel pinning from set_ch_satellite telecommands
-            pinned_chs = [c for c in idle if self._pinned.get(c.ch_id) == prn]
-            free_chs = [c for c in idle if c.ch_id not in self._pinned]
+            pinned_chs = [c for c in idle if g.pinned.get(c.ch_id) == prn]
+            free_chs = [c for c in idle if c.ch_id not in g.pinned]
             pick = pinned_chs[0] if pinned_chs else (free_chs[0] if free_chs else None)
             if pick is None:
                 continue
             idle.remove(pick)
-            self._assign_channel(pick, prn, delay, doppler)
+            self._assign_channel(g, pick, prn, delay, doppler)
 
-    def _assign_channel(self, ch: Channel, prn: int, delay: int,
-                        doppler: float) -> None:
-        fc = self.spec.carrier_freq_hz
-        code_freq = self.spec.code_rate_cps * (1.0 + doppler / fc)
+    def _assign_channel(self, g: SignalGroup, ch: Channel, prn: int,
+                        delay: int, doppler: float) -> None:
+        fc = g.spec.carrier_freq_hz
+        code_freq = g.spec.code_rate_cps * (1.0 + doppler / fc)
         # acquisition ran on the head of the *current* chunk, so the code
         # boundary at `delay` is directly usable — tracking starts this chunk
-        table = codes.code_chips(self.cfg.signal, prn)
-        if self.trk_cfg.table_rate == 2:
+        table = codes.code_chips(g.signal, prn)
+        if g.trk_cfg.table_rate == 2:
             # BOC(1,1): table at 2 entries/chip with the subcarrier applied
             table = np.repeat(table, 2) * np.tile(
-                [1.0, -1.0], self.spec.code_length_chips).astype(np.float32)
-        self._code_tables[ch.ch_id] = table
-        self.trk_state = trk.start_channel(
-            self.trk_state, ch.ch_id, code_freq=code_freq, doppler_hz=doppler,
+                [1.0, -1.0], g.spec.code_length_chips).astype(np.float32)
+        g.code_tables[ch.ch_id] = table
+        g.trk_state = trk.start_channel(
+            g.trk_state, ch.ch_id, code_freq=code_freq, doppler_hz=doppler,
             sample_offset=int(delay), if_freq_hz=self.cfg.if_freq_hz)
         ch.prn = prn
         ch.state = "tracking"
-        ch.telemetry = make_telemetry(self.cfg.signal, prn)
+        ch.telemetry = make_telemetry(g.signal, prn)
         ch.records = []
-        log.info("ch %d: PRN %d acquired (delay=%d, doppler=%.0f)",
-                 ch.ch_id, prn, delay, doppler)
+        log.info("ch %d [%s]: PRN %d acquired (delay=%d, doppler=%.0f)",
+                 ch.global_id, g.signal, prn, delay, doppler)
 
-    def _drop_channel(self, ch: Channel) -> None:
-        log.info("ch %d: PRN %s loss of lock", ch.ch_id, ch.prn)
-        self.trk_state = trk.stop_channel(self.trk_state, ch.ch_id)
-        self._acq_backoff[ch.prn] = self._chunk_index + 10
+    def _drop_channel(self, g: SignalGroup, ch: Channel) -> None:
+        log.info("ch %d [%s]: PRN %s loss of lock",
+                 ch.global_id, g.signal, ch.prn)
+        g.trk_state = trk.stop_channel(g.trk_state, ch.ch_id)
+        g.acq_backoff[ch.prn] = self._chunk_index + 10
         ch.prn = None
         ch.state = "idle"
         ch.telemetry = None
         ch.records = []
 
     # ------------------------------------------------------------ tracking
-    def _run_tracking(self, chunk_with_halo: np.ndarray) -> None:
-        any_tracking = any(ch.state == "tracking" for ch in self.channels)
-        if not any_tracking:
+    def _run_tracking(self, g: SignalGroup, chunk_with_halo: np.ndarray) -> None:
+        if not any(ch.state == "tracking" for ch in g.channels):
             return
-        self.trk_state, out = trk.track_chunk(
-            self.trk_cfg, iq.split(chunk_with_halo), self.trk_state,
-            self._code_tables)
+        g.trk_state, out = trk.track_chunk(
+            g.trk_cfg, iq.split(chunk_with_halo[: self.chunk_len + g.n_max]),
+            g.trk_state, g.code_tables)
         valid = np.asarray(out.valid)
         prompt = iq.combine(np.asarray(out.prompt))   # [S, C] complex (host)
         eidx = np.asarray(out.epoch_index)
@@ -280,9 +331,9 @@ class Receiver:
         cyc = np.asarray(out.carr_phase_cycles)
         frac = np.asarray(out.carr_phase_frac)
         cn0 = np.asarray(out.cn0_dbhz)
-        lol = np.asarray(self.trk_state.loss_of_lock)
+        lol = np.asarray(g.trk_state.loss_of_lock)
 
-        for ch in self.channels:
+        for ch in g.channels:
             if ch.state != "tracking":
                 continue
             i = ch.ch_id
@@ -303,11 +354,11 @@ class Receiver:
             if v.any() and self._dumps is not None:
                 lock = np.asarray(out.carrier_lock)
                 self._dumps["tracking"].push_epochs(
-                    i, ch.prn, self._sample_base + start[v, i], eidx[v, i],
-                    prompt[v, i], cn0[v, i], carrf[v, i], codef[v, i],
-                    rem[v, i], lock[v, i])
+                    ch.global_id, ch.prn, self._sample_base + start[v, i],
+                    eidx[v, i], prompt[v, i], cn0[v, i], carrf[v, i],
+                    codef[v, i], rem[v, i], lock[v, i])
             if lol[i]:
-                self._drop_channel(ch)
+                self._drop_channel(g, ch)
 
     # --------------------------------------------------------- observables
     def _run_observables(self) -> None:
@@ -315,17 +366,18 @@ class Receiver:
             self._sample_base, self._sample_base + self.chunk_len)
         for t in ticks:
             chans = []
-            for ch in self.channels:
-                if ch.state != "tracking" or ch.telemetry is None:
-                    continue
-                rec = ch.latest_record_before(t)
-                if rec is None:
-                    continue
-                chans.append(dict(prn=ch.prn, signal=self.cfg.signal,
-                                  code_len=self.spec.code_length_chips,
-                                  code_rate=self.spec.code_rate_cps,
-                                  if_freq=self.cfg.if_freq_hz,
-                                  record=rec, telemetry=ch.telemetry))
+            for g in self.groups:
+                for ch in g.channels:
+                    if ch.state != "tracking" or ch.telemetry is None:
+                        continue
+                    rec = ch.latest_record_before(t)
+                    if rec is None:
+                        continue
+                    chans.append(dict(prn=ch.prn, signal=g.signal,
+                                      code_len=g.spec.code_length_chips,
+                                      code_rate=g.spec.code_rate_cps,
+                                      if_freq=self.cfg.if_freq_hz,
+                                      record=rec, telemetry=ch.telemetry))
             obs = self.observables.compute(t, chans)
             if obs:
                 self.obs_log.append((t, obs))
@@ -337,18 +389,20 @@ class Receiver:
 
     def _run_pvt(self, obs: list[ChannelObservable]) -> None:
         # harvest ephemerides/iono from telemetry
-        for ch in self.channels:
-            if ch.state == "tracking" and ch.telemetry is not None:
-                eph = ch.telemetry.ephemeris()
-                if eph is not None:
-                    self.ephemerides[ch.prn] = eph
-                iono = getattr(ch.telemetry.assembler, "iono", None)
-                if iono is not None and iono.valid:
-                    self.iono = iono
+        for g in self.groups:
+            for ch in g.channels:
+                if ch.state == "tracking" and ch.telemetry is not None:
+                    eph = ch.telemetry.ephemeris()
+                    if eph is not None:
+                        self.ephemerides[(g.spec.system, ch.prn)] = eph
+                    iono = getattr(ch.telemetry.assembler, "iono", None)
+                    if iono is not None and iono.valid:
+                        self.iono = iono
         inputs = [pvt_solver.ObsInput(
             prn=o.prn, pseudorange_m=o.pseudorange_m, doppler_hz=o.doppler_hz,
-            carrier_freq_hz=self.spec.carrier_freq_hz, t_tx_sv=o.t_tx_sv,
-            cn0_dbhz=o.cn0_dbhz) for o in obs]
+            carrier_freq_hz=constants.SIGNALS[o.signal].carrier_freq_hz,
+            t_tx_sv=o.t_tx_sv, cn0_dbhz=o.cn0_dbhz,
+            system=constants.SIGNALS[o.signal].system) for o in obs]
         sol = pvt_solver.solve_pvt(
             inputs, self.ephemerides,
             iono=self.iono if self.cfg.pvt_apply_iono else None,
@@ -378,8 +432,9 @@ class Receiver:
             chunk = self._buf[: self.chunk_len + self.n_max]
             self._dispatch_commands()
             if not self.standby:
-                self._run_acquisition(chunk)
-                self._run_tracking(chunk)
+                for g in self.groups:
+                    self._run_acquisition(g, chunk)
+                    self._run_tracking(g, chunk)
                 self._run_observables()
             self._buf = self._buf[self.chunk_len:]
             self._sample_base += self.chunk_len
@@ -391,26 +446,30 @@ class Receiver:
             log.info("telecommand: %s %s", ev.command, ev.args)
             if ev.command == "standby":
                 self.standby = True
-                for ch in self.channels:
-                    if ch.state == "tracking":
-                        self._drop_channel(ch)
+                for g in self.groups:
+                    for ch in g.channels:
+                        if ch.state == "tracking":
+                            self._drop_channel(g, ch)
             elif ev.command in ("coldstart", "warmstart", "hotstart"):
                 self.standby = False
                 if ev.command == "coldstart":
                     self.ephemerides.clear()
                     self.iono = None
-                for ch in self.channels:
-                    if ch.state == "tracking":
-                        self._drop_channel(ch)
-                self._acq_backoff.clear()
+                for g in self.groups:
+                    for ch in g.channels:
+                        if ch.state == "tracking":
+                            self._drop_channel(g, ch)
+                    g.acq_backoff.clear()
             elif ev.command == "reset":
                 self.restart_requested = True
             elif ev.command == "set_ch_satellite":
                 ch_id, prn = ev.args
-                if 0 <= ch_id < len(self.channels):
-                    self._pinned[ch_id] = prn
-                    if prn not in self._acq_pool:
-                        self._acq_pool.append(prn)
+                for g in self.groups:
+                    for ch in g.channels:
+                        if ch.global_id == ch_id:
+                            g.pinned[ch.ch_id] = prn
+                            if prn not in g.acq_pool:
+                                g.acq_pool.append(prn)
 
     def status_text(self) -> str:
         f = self.latest_fix()
@@ -471,7 +530,8 @@ class Receiver:
 
     # ------------------------------------------------------------- queries
     def tracked_prns(self) -> list[int]:
-        return [ch.prn for ch in self.channels if ch.state == "tracking"]
+        return [ch.prn for g in self.groups for ch in g.channels
+                if ch.state == "tracking"]
 
     def latest_fix(self):
         return self.fixes[-1] if self.fixes else None

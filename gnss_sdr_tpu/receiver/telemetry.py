@@ -530,6 +530,113 @@ class BeidouB1ITelemetry:
         return self.assembler.ephemeris()
 
 
+class GalileoE5aTelemetry:
+    """Galileo E5a-I F/NAV telemetry decoder for one channel.
+
+    Reference analog: the E5a branch of galileo_telemetry_decoder_gs.cc.
+    Each 1 ms primary-code epoch carries symbol * CS20[epoch phase]; the CS20
+    secondary code (constants.GALILEO_E5A_I.secondary_code) gives 20 ms
+    symbol sync, then pages (500 symbols / 10 s) are sync-word aligned,
+    deinterleaved, Viterbi-decoded and CRC-checked in models/nav/galileo_fnav.
+    """
+
+    PAGE_SYMBOLS = 500
+
+    def __init__(self, prn: int):
+        from gnss_sdr_tpu import constants
+        from gnss_sdr_tpu.models.nav import galileo_fnav
+        self._gf = galileo_fnav
+        self.prn = prn
+        cs = constants.GALILEO_E5A_I.secondary_code
+        self.CS20 = np.array([int(b) for b in cs], np.uint8)
+        self._epochs = np.zeros(0, np.int64)
+        self._prompts = np.zeros(0, np.float64)
+        self.assembler = galileo_fnav.FnavAssembler(prn)
+        self.bit_phase: int | None = None       # epoch phase of symbol start
+        self.page_phase: int | None = None      # symbol index of page start
+        self._decoded_upto = 0
+        self.page_count = 0
+        self.tow_ref: TowReference | None = None
+
+    def push(self, epoch_indices, prompts_i) -> None:
+        if len(epoch_indices) == 0:
+            return
+        self._epochs = np.concatenate(
+            [self._epochs, np.asarray(epoch_indices, np.int64)])
+        self._prompts = np.concatenate(
+            [self._prompts, np.asarray(prompts_i, np.float64)])
+        self._decode()
+
+    def _symbols(self):
+        """CS20-wipe and integrate 1 ms prompts to 50 sps soft symbols
+        (+amp == bit 1)."""
+        cs_pm = 1.0 - 2.0 * self.CS20.astype(np.float64)
+        p = self._prompts
+        e0 = int(self._epochs[0])
+        if self.bit_phase is None:
+            if len(p) < 240:
+                return None, None
+            best_phase, best_mag = None, 0.0
+            for phase in range(20):
+                off = (phase - e0) % 20
+                n_b = (len(p) - off) // 20
+                if n_b < 8:
+                    continue
+                seg = p[off: off + n_b * 20].reshape(n_b, 20)
+                corr = np.abs(seg @ cs_pm).sum()
+                if corr > best_mag:
+                    best_mag, best_phase = corr, phase
+            self.bit_phase = best_phase
+        off = (self.bit_phase - e0) % 20
+        n_b = (len(p) - off) // 20
+        if n_b <= 0:
+            return None, None
+        seg = p[off: off + n_b * 20].reshape(n_b, 20)
+        # chip bit b -> amplitude (1-2b): soft(+ == bit1) = -(I @ cs_pm)
+        soft = -(seg @ cs_pm)
+        starts = e0 + off + np.arange(n_b, dtype=np.int64) * 20
+        return soft, starts
+
+    def _decode(self) -> None:
+        soft, starts = self._symbols()
+        if soft is None:
+            return
+        n = len(soft)
+        if self.page_phase is None:
+            for i in range(0, n - self.PAGE_SYMBOLS):
+                if self._gf.decode_page(soft[i: i + self.PAGE_SYMBOLS]):
+                    self.page_phase = i % self.PAGE_SYMBOLS
+                    self._decoded_upto = i
+                    break
+            if self.page_phase is None:
+                return
+        while self._decoded_upto + self.PAGE_SYMBOLS <= n:
+            i = self._decoded_upto
+            res = self._gf.decode_page(soft[i: i + self.PAGE_SYMBOLS])
+            if res is not None:
+                ptype, fields = res
+                self.assembler.push(ptype, fields)
+                self.page_count += 1
+                if "tow" in fields:
+                    self.tow_ref = TowReference(
+                        tow_s=fields["tow"], epoch=int(starts[i]), polarity=1)
+            self._decoded_upto = i + self.PAGE_SYMBOLS
+
+    @property
+    def have_tow(self) -> bool:
+        return self.tow_ref is not None
+
+    def transmit_time(self, epoch: int, chips: float, code_len: int = 10230,
+                      code_rate: float = 10.23e6) -> float | None:
+        if self.tow_ref is None:
+            return None
+        de = epoch - self.tow_ref.epoch
+        return self.tow_ref.tow_s + (de * code_len + chips) / code_rate
+
+    def ephemeris(self) -> KeplerEphemeris | None:
+        return self.assembler.ephemeris()
+
+
 def make_telemetry(signal: str, prn: int):
     """Telemetry decoder factory by signal code (reference:
     GNSSBlockFactory::GetTlmBlock)."""
@@ -543,4 +650,6 @@ def make_telemetry(signal: str, prn: int):
         return GlonassL1CaTelemetry(prn)
     if signal in ("B1", "B3"):
         return BeidouB1ITelemetry(prn)
+    if signal == "5X":
+        return GalileoE5aTelemetry(prn)
     raise NotImplementedError(f"telemetry for signal {signal!r} not implemented yet")

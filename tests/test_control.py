@@ -52,9 +52,9 @@ def test_assistance_roundtrip(tmp_path):
     p = tmp_path / "assist.json"
     control.save_assistance(p, {7: eph}, iono)
     ephs, iono2, _ = control.load_assistance(p)
-    assert 7 in ephs
-    assert ephs[7].sqrt_a == eph.sqrt_a
-    assert ephs[7].m0 == eph.m0
+    assert ("G", 7) in ephs
+    assert ephs[("G", 7)].sqrt_a == eph.sqrt_a
+    assert ephs[("G", 7)].m0 == eph.m0
     assert iono2.valid and iono2.alpha == iono.alpha
     # missing file -> empty
     ephs3, i3, u3 = control.load_assistance(tmp_path / "nope.json")
@@ -83,13 +83,13 @@ def test_receiver_command_dispatch():
 def test_receiver_checkpoint_restore(tmp_path):
     cfg = ReceiverConfig(signal="1C", fs=1.023e6, n_channels=1)
     rx = Receiver(cfg)
-    rx.ephemerides[7] = sample_ephemeris()
+    rx.ephemerides[("G", 7)] = sample_ephemeris()
     p = tmp_path / "ck.json"
     rx.checkpoint(p)
     rx2 = Receiver(cfg)
     rx2.restore(p)
-    assert 7 in rx2.ephemerides
-    assert rx2.ephemerides[7].toe == rx.ephemerides[7].toe
+    assert ("G", 7) in rx2.ephemerides
+    assert rx2.ephemerides[("G", 7)].toe == rx.ephemerides[("G", 7)].toe
 
 
 def test_predicted_doppler():

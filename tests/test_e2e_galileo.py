@@ -37,7 +37,7 @@ def test_satellites_tracked(e2e_run):
 def test_inav_ephemeris_decoded(e2e_run):
     sc, rx = e2e_run
     assert len(rx.ephemerides) >= 4
-    for prn, eph in rx.ephemerides.items():
+    for (system, prn), eph in rx.ephemerides.items():
         true = sc.ephemerides[prn]
         assert abs(eph.sqrt_a - true.sqrt_a) <= 2.0 ** -19
         assert eph.toe == true.toe

@@ -169,3 +169,71 @@ def test_d1_bch_rejects_corruption():
     bad = tx.copy()
     bad[45] ^= 1
     assert beidou_d1.decode_subframe(bad) is None
+
+
+# ---------------------------------------------------------------------------
+# Galileo E5a F/NAV
+# ---------------------------------------------------------------------------
+
+
+def test_fnav_page_roundtrip():
+    from gnss_sdr_tpu.models.nav import galileo_fnav
+    eph = sample_ephemeris()
+    eph.toe = 352800.0
+    eph.toc = 352740.0
+    got = {}
+    for ptype in (1, 2, 3, 4):
+        nav = galileo_fnav.encode_page_bits(ptype, eph, wn=eph.week,
+                                            tow=352800.0 + 10.0 * ptype)
+        sym01 = galileo_fnav.encode_page(nav)
+        assert len(sym01) == 500
+        soft = -(1.0 - 2.0 * sym01.astype(np.float64))   # +amp == bit1
+        res = galileo_fnav.decode_page(soft)
+        assert res is not None, f"page type {ptype} failed"
+        pt, fields = res
+        assert pt == ptype
+        got[pt] = fields
+    assert got[1]["toc"] == eph.toc
+    assert abs(got[1]["af0"] - eph.af0) <= 2.0 ** -34
+    assert abs(got[2]["sqrt_a"] - eph.sqrt_a) <= 2.0 ** -19
+    assert got[3]["toe"] == eph.toe
+    assert abs(got[4]["cic"] - eph.cic) <= 2.0 ** -29
+    assert got[2]["tow"] == 352820.0
+
+
+def test_fnav_crc_rejects_corruption():
+    from gnss_sdr_tpu.models.nav import galileo_fnav
+    eph = sample_ephemeris()
+    sym01 = galileo_fnav.encode_page(
+        galileo_fnav.encode_page_bits(2, eph, tow=100.0))
+    soft = -(1.0 - 2.0 * sym01.astype(np.float64))
+    soft[100] = -soft[100]   # flip one symbol -> viterbi may correct it
+    soft[101] = -soft[101]
+    soft[140] = -soft[140]
+    soft[260] = -soft[260]
+    soft[261] = -soft[261]
+    soft[262] = -soft[262]
+    soft[300] = -soft[300]
+    soft[301] = -soft[301]
+    # enough paired flips to exceed the free distance -> CRC must catch it
+    res = galileo_fnav.decode_page(soft)
+    assert res is None or res[0] == 2   # never a wrong accepted page type
+
+
+def test_fnav_assembler_builds_ephemeris():
+    from gnss_sdr_tpu.models.nav import galileo_fnav
+    from gnss_sdr_tpu import constants
+    eph = sample_ephemeris()
+    eph.toe = 352800.0
+    asm = galileo_fnav.FnavAssembler(prn=eph.prn)
+    assert asm.ephemeris() is None
+    for ptype in (1, 2, 3, 4):
+        nav = galileo_fnav.encode_page_bits(ptype, eph, wn=eph.week, tow=0.0)
+        pt, fields = galileo_fnav.decode_page_bits(nav)
+        asm.push(pt, fields)
+    dec = asm.ephemeris()
+    assert dec is not None
+    assert dec.gm == constants.GM_EARTH_GAL
+    assert abs(dec.m0 - eph.m0) < 3.2e-9
+    assert abs(dec.cic - eph.cic) <= 2.0 ** -29
+    assert dec.week == eph.week

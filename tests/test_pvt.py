@@ -122,3 +122,39 @@ def test_saastamoinen_range():
     d_low = atmosphere.saastamoinen_delay(np.deg2rad(10.0), 0.0)
     assert 2.0 < d_zenith < 3.0
     assert d_low > 3 * d_zenith
+
+
+def test_pvt_multi_constellation_isb(world):
+    """Mixed-system solve estimates one receiver clock per system
+    (reference: rtklib pntpos NX=3+NSYS); an injected inter-system bias must
+    land in the second system's clock state, not in the position."""
+    ephs, rcv, vis = world
+    bias_g = 1.0e-4
+    isb = 120e-9          # 120 ns GGTO-like offset on the "E" half
+    prns = [prn for prn, _, _ in vis[:8]]
+    mixed_ephs = {}
+    obs = []
+    for k, prn in enumerate(prns):
+        o = constellation.simulate_observation(ephs[prn], rcv, T_RX,
+                                               rcv_clock_bias_s=bias_g)
+        if k % 2 == 1:
+            o.system = "E"
+            o.pseudorange_m += isb * C.SPEED_OF_LIGHT_M_S
+        mixed_ephs[(o.system, prn)] = ephs[prn]
+        obs.append(o)
+    sol = solver.solve_pvt(obs, mixed_ephs, iono=None, apply_tropo=False)
+    assert sol.valid
+    assert np.linalg.norm(sol.pos_ecef - rcv) < 0.02
+    assert set(sol.system_clock_s) == {"E", "G"}
+    assert abs(sol.system_clock_s["G"] - bias_g) < 1e-10
+    assert abs(sol.system_clock_s["E"] - bias_g - isb) < 1e-10
+
+
+def test_pvt_single_system_unchanged(world):
+    """Legacy single-system calls (bare-prn ephemeris keys) still solve."""
+    ephs, rcv, vis = world
+    obs = [constellation.simulate_observation(ephs[prn], rcv, T_RX)
+           for prn, _, _ in vis[:8]]
+    sol = solver.solve_pvt(obs, ephs, iono=None, apply_tropo=False)
+    assert sol.valid and np.linalg.norm(sol.pos_ecef - rcv) < 0.02
+    assert list(sol.system_clock_s) == ["G"]

@@ -46,5 +46,5 @@ def test_rinex2assist_end_to_end(tmp_path):
     n = rinex2assist.rinex2assist(nav, out, "G")
     assert n == 1
     ephs, _, _ = control.load_assistance(out)
-    assert 7 in ephs
-    assert abs(ephs[7].sqrt_a - eph.sqrt_a) < 1e-6
+    assert ("G", 7) in ephs
+    assert abs(ephs[("G", 7)].sqrt_a - eph.sqrt_a) < 1e-6

@@ -101,3 +101,35 @@ def test_make_telemetry_factory():
     assert make_telemetry("B1", 1).__class__.__name__ == "BeidouB1ITelemetry"
     with pytest.raises(NotImplementedError):
         make_telemetry("XX", 1)
+
+
+def test_galileo_e5a_fnav_telemetry():
+    from gnss_sdr_tpu import constants
+    from gnss_sdr_tpu.models.nav import galileo_fnav
+    from gnss_sdr_tpu.receiver.telemetry import GalileoE5aTelemetry
+
+    eph = sample_ephemeris()
+    eph.toe = 352800.0
+    tow0 = 352800.0
+    sym01 = galileo_fnav.encode_stream(eph, tow0, n_pages=6, wn=eph.week)
+    # 1 ms prompts: symbol amplitude (bit conv) * CS20 chip, 20 epochs/symbol
+    cs = np.array([int(b) for b in constants.GALILEO_E5A_I.secondary_code])
+    amp = 70.0
+    sym_amp = amp * (1.0 - 2.0 * sym01.astype(np.float64))
+    prompts = (np.repeat(sym_amp, 20).reshape(-1, 20)
+               * (1.0 - 2.0 * cs)[None, :]).reshape(-1)
+    rng = np.random.default_rng(11)
+    prompts = prompts + rng.normal(0, 15.0, len(prompts))
+    start = 777      # arbitrary mid-stream start (not symbol aligned)
+    tlm = GalileoE5aTelemetry(prn=eph.prn)
+    _feed(tlm, prompts[start:], epoch0=123)
+    assert tlm.page_count >= 4, tlm.page_count
+    assert tlm.have_tow
+    dec = tlm.ephemeris()
+    assert dec is not None
+    assert abs(dec.sqrt_a - eph.sqrt_a) <= 2.0 ** -19
+    assert dec.toe == eph.toe
+    # transmit-time anchor: the page that set tow_ref started at a known
+    # multiple of 10 s; spot-check epoch->TOW mapping consistency
+    t = tlm.transmit_time(tlm.tow_ref.epoch, 0.0)
+    assert t % 10.0 == 0.0
