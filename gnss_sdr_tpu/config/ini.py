@@ -117,6 +117,9 @@ def receiver_config_from_ini(conf: Configuration):
         dll_bw_hz=conf.property(f"{trk}.dll_bw_hz", 4.0),
         pll_bw_narrow_hz=conf.property(f"{trk}.pll_bw_narrow_hz", 15.0),
         dll_bw_narrow_hz=conf.property(f"{trk}.dll_bw_narrow_hz", 2.0),
+        extend_symbols=int(conf.property(
+            f"{trk}.extend_correlation_symbols", 1)),
+        track_pilot=bool(conf.property(f"{trk}.track_pilot", False)),
         pvt_output_rate_ms=float(conf.property("PVT.output_rate_ms", 100)),
     )
 

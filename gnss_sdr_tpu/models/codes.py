@@ -304,6 +304,33 @@ def code_chips(signal: str, prn: int) -> np.ndarray:
     return gen(prn)
 
 
+# pilot components tracked by the reference's track_pilot option
+# (dll_pll_veml_tracking: E1->E1C, E5a->E5a-Q, L5->L5Q)
+_PILOT_GENERATORS = {
+    "1B": lambda prn: galileo_e1c_code(prn),
+    "5X": lambda prn: galileo_e5aq_code(prn),
+    "L5": lambda prn: gps_l5q_code(prn),
+}
+
+
+def has_pilot(signal: str) -> bool:
+    return signal in _PILOT_GENERATORS
+
+
+def pilot_code_chips(signal: str, prn: int) -> np.ndarray:
+    """Pilot-component chip sequence (+/-1 float32) for a signal/PRN."""
+    return _PILOT_GENERATORS[signal](prn)
+
+
+def pilot_secondary_chips(signal: str, prn: int) -> np.ndarray | None:
+    """Pilot secondary code (0/1 uint8 per primary period), None if absent."""
+    if signal == "1B":
+        return galileo_e1c_secondary_code()
+    if signal == "5X":
+        return galileo_e5aq_secondary_code(prn)
+    return None
+
+
 def sample_code(chips: np.ndarray, fs: float, code_rate: float,
                 n_samples: int, chip_phase: float = 0.0,
                 boc_rate: float = 0.0) -> np.ndarray:

@@ -32,7 +32,8 @@ def epoch_correlate(chunk: jax.Array,
                     carr_phase_frac: jax.Array,
                     carr_phase_step: jax.Array,
                     tap_offsets: jax.Array,
-                    *, n_max: int, table_rate: int = 1) -> jax.Array:
+                    *, n_max: int, table_rate: int = 1,
+                    tap_components: tuple | None = None) -> jax.Array:
     """Correlate one epoch window against K code taps (single channel).
 
     Args:
@@ -41,7 +42,10 @@ def epoch_correlate(chunk: jax.Array,
         boundary format is split-IQ).
       offset: int32 start of the epoch window within ``chunk``.
       n_samples: int32 number of valid samples in this epoch.
-      code_table: [Lc] float32 +/-1 chip (or sub-chip) table for this channel.
+      code_table: [Lc] float32 +/-1 chip (or sub-chip) table for this
+        channel; [G, Lc] when ``tap_components`` routes taps to G code
+        components (data+pilot tracking, reference ``track_pilot`` in
+        dll_pll_veml_tracking: E/P/L on the pilot plus one data prompt).
       rem_code_phase: float32 code phase (chips) at the window start.
       code_phase_step: float32 chips per sample (code_freq / fs).
       carr_phase_frac: float32 carrier phase (cycles, fractional) at start.
@@ -49,6 +53,8 @@ def epoch_correlate(chunk: jax.Array,
       tap_offsets: [K] float32 tap spacings in chips (e.g. [-0.5, 0, +0.5]).
       n_max: static window size (>= any n_samples).
       table_rate: static entries per chip in code_table (2 for BOC(1,1)).
+      tap_components: static per-tap component index into code_table's
+        leading axis (len K); None = single-component [Lc] table.
 
     Returns:
       [K, 2] float32 correlator outputs (I, Q per tap).
@@ -77,27 +83,35 @@ def epoch_correlate(chunk: jax.Array,
     # K-tap code resampling via gather from the chip table
     chips = rem_code_phase + code_phase_step * n                      # [N]
     idx_f = (chips[None, :] + tap_offsets[:, None]) * jnp.float32(table_rate)
-    lc = code_table.shape[0]
+    lc = code_table.shape[-1]
     idx = jnp.floor(idx_f).astype(jnp.int32) % lc                     # [K, N]
-    codes_kn = code_table[idx]                                        # [K, N]
+    if tap_components is None:
+        codes_kn = code_table[idx]                                    # [K, N]
+    else:
+        comp = np.asarray(tap_components, np.int32)[:, None]          # [K, 1]
+        codes_kn = code_table[comp, idx]                              # [K, N]
 
     # [K, N] @ [N, 2] -> [K, 2] (MXU-friendly contraction)
     x2 = jnp.stack([xr, xi], axis=-1)
     return jnp.dot(codes_kn, x2, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("n_max", "table_rate"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_max", "table_rate", "tap_components"))
 def batch_epoch_correlate(chunk, offsets, n_samples, code_tables,
                           rem_code_phases, code_phase_steps,
                           carr_phase_fracs, carr_phase_steps, tap_offsets,
-                          *, n_max: int, table_rate: int = 1) -> jax.Array:
+                          *, n_max: int, table_rate: int = 1,
+                          tap_components: tuple | None = None) -> jax.Array:
     """vmap of :func:`epoch_correlate` over the channel axis.
 
-    Shapes: offsets/n_samples/rem/... are [C]; code_tables is [C, Lc];
-    tap_offsets is [K] (shared). Returns [C, K, 2] float32 (split-IQ).
+    Shapes: offsets/n_samples/rem/... are [C]; code_tables is [C, Lc]
+    (or [C, G, Lc] with tap_components); tap_offsets is [K] (shared).
+    Returns [C, K, 2] float32 (split-IQ).
     """
     fn = jax.vmap(
-        functools.partial(epoch_correlate, n_max=n_max, table_rate=table_rate),
+        functools.partial(epoch_correlate, n_max=n_max, table_rate=table_rate,
+                          tap_components=tap_components),
         in_axes=(None, 0, 0, 0, 0, 0, 0, 0, None))
     return fn(chunk, offsets, n_samples, code_tables, rem_code_phases,
               code_phase_steps, carr_phase_fracs, carr_phase_steps, tap_offsets)

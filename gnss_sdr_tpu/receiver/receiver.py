@@ -64,6 +64,12 @@ class ReceiverConfig:
     fll_bw_hz: float = 10.0
     pll_bw_narrow_hz: float = 15.0
     dll_bw_narrow_hz: float = 2.0
+    # coherent integration extension after bit sync, in nav symbols
+    # (reference Tracking_XX.extend_correlation_symbols); 1 = off
+    extend_symbols: int = 1
+    # track the pilot component where the signal has one (reference
+    # Tracking_XX.track_pilot): E1 -> E1C, E5a -> E5a-Q, L5 -> L5Q
+    track_pilot: bool = False
     # observables / pvt
     obs_interval_ms: float = 20.0
     pvt_output_rate_ms: float = 100.0
@@ -101,17 +107,24 @@ class SignalGroup:
                  prns: tuple, global_id0: int):
         self.signal = signal
         self.spec = constants.SIGNALS[signal]
+        track_pilot = cfg.track_pilot and codes.has_pilot(signal)
         self.trk_cfg = trk.default_config(
             self.spec, cfg.fs, cfg.chunk_ms,
             if_freq_hz=cfg.if_freq_hz,
             pll_bw_hz=cfg.pll_bw_hz, dll_bw_hz=cfg.dll_bw_hz,
             fll_bw_hz=cfg.fll_bw_hz,
             pll_bw_narrow_hz=cfg.pll_bw_narrow_hz,
-            dll_bw_narrow_hz=cfg.dll_bw_narrow_hz)
+            dll_bw_narrow_hz=cfg.dll_bw_narrow_hz,
+            track_pilot=track_pilot)
         self.channels = [Channel(i, global_id0 + i) for i in range(n_channels)]
-        self.trk_state = trk.init_state(n_channels)
+        self.trk_state = trk.init_state(n_channels, self.trk_cfg.n_taps)
         table_len = self.spec.code_length_chips * self.trk_cfg.table_rate
-        self.code_tables = np.zeros((n_channels, table_len), np.float32)
+        shape = ((n_channels, 2, table_len) if track_pilot
+                 else (n_channels, table_len))
+        self.code_tables = np.zeros(shape, np.float32)
+        self.sec_tables = np.ones(
+            (n_channels, self.trk_cfg.sec_table_len), np.float32)
+        self.extend_symbols = max(1, int(cfg.extend_symbols))
         self.spc = int(round(cfg.fs * self.spec.code_period_s))
         self.acq_reps: dict[int, np.ndarray] = {}
         self.acq_pool = list(prns)
@@ -288,12 +301,19 @@ class Receiver:
         code_freq = g.spec.code_rate_cps * (1.0 + doppler / fc)
         # acquisition ran on the head of the *current* chunk, so the code
         # boundary at `delay` is directly usable — tracking starts this chunk
-        table = codes.code_chips(g.signal, prn)
-        if g.trk_cfg.table_rate == 2:
-            # BOC(1,1): table at 2 entries/chip with the subcarrier applied
-            table = np.repeat(table, 2) * np.tile(
-                [1.0, -1.0], g.spec.code_length_chips).astype(np.float32)
-        g.code_tables[ch.ch_id] = table
+        def _table(chips):
+            if g.trk_cfg.table_rate == 2:
+                # BOC(1,1): table at 2 entries/chip, subcarrier applied
+                return np.repeat(chips, 2) * np.tile(
+                    [1.0, -1.0], g.spec.code_length_chips).astype(np.float32)
+            return chips
+        data_table = _table(codes.code_chips(g.signal, prn))
+        if g.trk_cfg.track_pilot:
+            g.code_tables[ch.ch_id, 0] = _table(
+                codes.pilot_code_chips(g.signal, prn))
+            g.code_tables[ch.ch_id, 1] = data_table
+        else:
+            g.code_tables[ch.ch_id] = data_table
         g.trk_state = trk.start_channel(
             g.trk_state, ch.ch_id, code_freq=code_freq, doppler_hz=doppler,
             sample_offset=int(delay), if_freq_hz=self.cfg.if_freq_hz)
@@ -301,6 +321,7 @@ class Receiver:
         ch.state = "tracking"
         ch.telemetry = make_telemetry(g.signal, prn)
         ch.records = []
+        ch.ext_configured = False
         log.info("ch %d [%s]: PRN %d acquired (delay=%d, doppler=%.0f)",
                  ch.global_id, g.signal, prn, delay, doppler)
 
@@ -320,7 +341,7 @@ class Receiver:
             return
         g.trk_state, out = trk.track_chunk(
             g.trk_cfg, iq.split(chunk_with_halo[: self.chunk_len + g.n_max]),
-            g.trk_state, g.code_tables)
+            g.trk_state, g.code_tables, g.sec_tables)
         valid = np.asarray(out.valid)
         prompt = iq.combine(np.asarray(out.prompt))   # [S, C] complex (host)
         eidx = np.asarray(out.epoch_index)
@@ -351,6 +372,23 @@ class Receiver:
                     for s, e, r, cf, crf, cc, ff, c0 in zip(
                         start[v, i], eidx[v, i], rem[v, i], codef[v, i],
                         carrf[v, i], cyc[v, i], frac[v, i], cn0[v, i])]
+            # after bit sync: enable extended coherent integration (+
+            # secondary-code wipe for NH/CS-overlaid signals), anchored at
+            # the telemetry's bit boundary (reference: extended-integration
+            # handoff, dll_pll_veml_tracking.cc state 3)
+            if (g.extend_symbols > 1
+                    and not getattr(ch, "ext_configured", True)
+                    and getattr(ch.telemetry, "bit_phase", None) is not None):
+                anchor = int(ch.telemetry.bit_phase)
+                if g.spec.secondary_code:
+                    chips = np.array([int(b) for b in g.spec.secondary_code])
+                    g.trk_state = trk.set_secondary(
+                        g.trk_state, g.sec_tables, i, chips, anchor)
+                g.trk_state = trk.set_extension(
+                    g.trk_state, i, g.extend_symbols, anchor)
+                ch.ext_configured = True
+                log.info("ch %d [%s]: extended integration %d epochs",
+                         ch.global_id, g.signal, g.extend_symbols)
             if v.any() and self._dumps is not None:
                 lock = np.asarray(out.carrier_lock)
                 self._dumps["tracking"].push_epochs(

@@ -64,10 +64,33 @@ class TrackingConfig:
     carrier_lock_min: float = 0.5
     max_lock_fail: int = 100
     cn0_alpha: float = 0.05
+    # dual-component tracking (reference track_pilot, dll_pll_conf.h): the
+    # main taps run on component 0 of a [C, 2, Lt] code table (the pilot),
+    # plus one extra prompt tap on component 1 (the data, for telemetry)
+    track_pilot: bool = False
+    # secondary-code wipe table width (NH20/CS20/CS25 fit in 32)
+    sec_table_len: int = 32
+
+    @property
+    def n_taps(self) -> int:
+        """Total correlator taps (main + data prompt when track_pilot)."""
+        return len(self.tap_offsets) + (1 if self.track_pilot else 0)
+
+    @property
+    def tap_components(self) -> tuple | None:
+        if not self.track_pilot:
+            return None
+        return (0,) * len(self.tap_offsets) + (1,)
 
     @property
     def prompt_index(self) -> int:
+        """Index of the tracked-component prompt tap."""
         return len(self.tap_offsets) // 2
+
+    @property
+    def data_prompt_index(self) -> int:
+        """Index of the tap carrying the nav-data symbols."""
+        return len(self.tap_offsets) if self.track_pilot else self.prompt_index
 
     @property
     def samples_per_code(self) -> float:
@@ -114,6 +137,16 @@ class TrackingState(NamedTuple):
     epoch_count: jax.Array      # int32 — total valid epochs since start_tracking
     lock_fail: jax.Array        # int32
     loss_of_lock: jax.Array     # bool — latched; host reacts
+    # extended coherent integration (reference extend_correlation_symbols,
+    # dll_pll state 3): accumulate ext_n epochs coherently, update the loops
+    # once per accumulation. ext_n=1 disables. Host sets ext after bit sync.
+    ext_n: jax.Array            # int32 — epochs per coherent accumulation
+    ext_anchor: jax.Array       # int32 — epoch_count of an accumulation start
+    sec_len: jax.Array          # int32 — secondary-code length, 0 = none
+    sec_anchor: jax.Array       # int32 — epoch_count of a secondary-seq start
+    acc_corr: jax.Array         # float32 [C, K, 2] coherent accumulator
+    acc_dt: jax.Array           # float32 [C] accumulated integration time
+    acc_cnt: jax.Array          # int32 [C] epochs in the accumulator
 
 
 class TrackingOutput(NamedTuple):
@@ -135,7 +168,7 @@ class TrackingOutput(NamedTuple):
     epoch_index: jax.Array      # int32 running epoch number (at epoch START)
 
 
-def init_state(n_channels: int) -> TrackingState:
+def init_state(n_channels: int, n_taps: int = 3) -> TrackingState:
     """Host-side (numpy) state construction — the carry lives on host between
     chunks so the control plane can edit it without eager device ops (some
     backends only support jit execution, not eager primitive dispatch)."""
@@ -155,6 +188,13 @@ def init_state(n_channels: int) -> TrackingState:
         epochs_in_state=z32.copy(), epoch_count=z32.copy(),
         lock_fail=z32.copy(),
         loss_of_lock=np.zeros((c,), bool),
+        ext_n=np.ones((c,), np.int32),
+        ext_anchor=z32.copy(),
+        sec_len=z32.copy(),
+        sec_anchor=z32.copy(),
+        acc_corr=np.zeros((c, n_taps, 2), np.float32),
+        acc_dt=zf.copy(),
+        acc_cnt=z32.copy(),
     )
 
 
@@ -191,6 +231,52 @@ def start_channel(state: TrackingState, ch: int, *, code_freq: float,
     st.epoch_count[ch] = 0
     st.lock_fail[ch] = 0
     st.loss_of_lock[ch] = False
+    st.ext_n[ch] = 1
+    st.ext_anchor[ch] = 0
+    st.sec_len[ch] = 0
+    st.sec_anchor[ch] = 0
+    st.acc_corr[ch] = 0.0
+    st.acc_dt[ch] = 0.0
+    st.acc_cnt[ch] = 0
+    return st
+
+
+def set_extension(state: TrackingState, ch: int, ext_n: int,
+                  anchor_epoch: int) -> TrackingState:
+    """Enable ext_n-epoch coherent integration for one channel; accumulation
+    windows cover epochs [anchor + k*ext_n, anchor + (k+1)*ext_n)
+    (reference: extended-integration handoff after bit sync,
+    dll_pll_veml_tracking.cc state 3). Host-side numpy mutation."""
+    st = jax.tree.map(np.array, _to_host(state))
+    st.ext_n[ch] = max(1, int(ext_n))
+    st.ext_anchor[ch] = int(anchor_epoch)
+    st.acc_corr[ch] = 0.0
+    st.acc_dt[ch] = 0.0
+    st.acc_cnt[ch] = 0
+    # re-initialize the loop filters at the mode switch (reference:
+    # d_carrier_loop_filter.initialize() on the extended handoff): the rate
+    # integrator accumulated with the wide per-epoch gains is stale noise at
+    # the new update interval, and the Costas discriminator cannot recover
+    # from the frequency ramp it would cause (saturates at +-90 deg)
+    st.pll.acc1[ch] = st.carrier_freq[ch]
+    st.pll.acc2[ch] = 0.0
+    st.dll.acc1[ch] = 0.0
+    return st
+
+
+def set_secondary(state: TrackingState, sec_tables: np.ndarray, ch: int,
+                  chips, anchor_epoch: int) -> TrackingState:
+    """Configure secondary-code wipeoff for one channel: ``chips`` (0/1 or
+    +-1) repeats with period len(chips), aligned so chip 0 multiplies epochs
+    where (epoch - anchor) % len == 0. Mutates sec_tables[ch] in place."""
+    st = jax.tree.map(np.array, _to_host(state))
+    chips = np.asarray(chips, np.float32)
+    if chips.min() >= 0.0:
+        chips = 1.0 - 2.0 * chips          # 0/1 -> +1/-1 chip convention
+    sec_tables[ch, :] = 1.0
+    sec_tables[ch, : len(chips)] = chips
+    st.sec_len[ch] = len(chips)
+    st.sec_anchor[ch] = int(anchor_epoch)
     return st
 
 
@@ -203,7 +289,9 @@ def stop_channel(state: TrackingState, ch: int) -> TrackingState:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
-                code_tables: jax.Array) -> tuple[TrackingState, TrackingOutput]:
+                code_tables: jax.Array,
+                sec_tables: jax.Array | None = None
+                ) -> tuple[TrackingState, TrackingOutput]:
     """Advance all channels through one chunk of conditioned samples.
 
     Args:
@@ -211,17 +299,26 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
       chunk: [chunk_len + n_max, 2] float32 split-IQ samples (chunk + halo
         from the next chunk); complex64 also accepted in-trace.
       state: carry from previous chunk.
-      code_tables: [C, Lc*table_rate] float32 per-channel local code tables.
+      code_tables: [C, Lc*table_rate] float32 per-channel local code tables
+        ([C, 2, Lc*table_rate] when cfg.track_pilot: [pilot, data]).
+      sec_tables: [C, S] float32 +-1 secondary-code chips (see
+        :func:`set_secondary`); None = no wipeoff anywhere.
 
     Returns (new_state, outputs). ``new_state.sample_offset`` is already
-    rebased for the next chunk (offset -= chunk_len).
+    rebased for the next chunk (offset -= chunk_len). Loop filters update
+    once per ``ext_n``-epoch coherent accumulation (ext_n=1: every epoch).
     """
     chunk = iq.as_iq2(chunk)
     fs = jnp.float32(cfg.fs)
     code_len = jnp.float32(cfg.code_length_chips)
-    taps = jnp.asarray(cfg.tap_offsets, jnp.float32)
     prompt_i = cfg.prompt_index
     chunk_len = cfg.chunk_len
+    n_ch = code_tables.shape[0]
+    if cfg.track_pilot:
+        tap_off = tuple(cfg.tap_offsets) + (0.0,)
+    else:
+        tap_off = tuple(cfg.tap_offsets)
+    taps = jnp.asarray(tap_off, jnp.float32)
 
     def step(st: TrackingState, _):
         cps = st.code_freq / fs
@@ -235,20 +332,41 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
         corr = correlator.batch_epoch_correlate(
             chunk, safe_off, jnp.where(valid, n_samp, 0), code_tables,
             st.rem_code_phase, cps, st.carr_phase_frac, st.carrier_freq / fs,
-            taps, n_max=cfg.n_max, table_rate=cfg.table_rate)   # [C, K, 2]
+            taps, n_max=cfg.n_max, table_rate=cfg.table_rate,
+            tap_components=cfg.tap_components)   # [C, K, 2]
 
-        prompt2 = corr[:, prompt_i]                  # [C, 2] split-IQ
-        prompt = iq.as_complex(prompt2)              # complex, in-jit only
-        early = iq.as_complex(corr[:, prompt_i - 1])
-        late = iq.as_complex(corr[:, prompt_i + 1])
         dt = n_samp.astype(jnp.float32) / fs
+        eidx = st.epoch_count
+
+        # ---- secondary-code wipe + coherent accumulation -------------------
+        if sec_tables is None:
+            chip = jnp.ones((n_ch,), jnp.float32)
+        else:
+            sidx = jnp.mod(eidx - st.sec_anchor,
+                           jnp.maximum(st.sec_len, 1))
+            chip = jnp.where(st.sec_len > 0,
+                             sec_tables[jnp.arange(n_ch), sidx], 1.0)
+        corr_w = corr * chip[:, None, None]
+        vsel = valid[:, None, None].astype(jnp.float32)
+        acc = st.acc_corr + corr_w * vsel
+        acc_dt = st.acc_dt + jnp.where(valid, dt, 0.0)
+        acc_cnt = st.acc_cnt + valid.astype(jnp.int32)
+        # loop update fires on the last epoch of each accumulation window
+        rel = jnp.mod(eidx - st.ext_anchor, jnp.maximum(st.ext_n, 1))
+        boundary = valid & (rel == st.ext_n - 1)
+        dt_eff = acc_dt
+
+        prompt2 = acc[:, prompt_i]                   # [C, 2] accumulated
+        prompt = iq.as_complex(prompt2)              # complex, in-jit only
+        early = iq.as_complex(acc[:, prompt_i - 1])
+        late = iq.as_complex(acc[:, prompt_i + 1])
 
         # ---- discriminators ------------------------------------------------
         spacing = float(cfg.tap_offsets[prompt_i + 1] - cfg.tap_offsets[prompt_i])
         code_err = discriminators.dll_nc_emlp(early, late, spacing)   # chips
         phase_err = discriminators.pll_costas(prompt)                 # cycles
         prev_prompt = iq.as_complex(st.prev_prompt)
-        freq_err = discriminators.fll_atan2(prev_prompt, prompt, dt)  # Hz
+        freq_err = discriminators.fll_atan2(prev_prompt, prompt, dt_eff)  # Hz
         # FLL only during pull-in, and only once a previous prompt exists
         has_prev = jnp.abs(prev_prompt) > 0
         fll_on = (st.state == PULL_IN) & has_prev
@@ -258,18 +376,21 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
         # PULL_IN: pure 1st-order FLL — converges the frequency without
         # poisoning the PLL integrators; the PLL carry is kept synced so the
         # handoff to WIDE_TRACK starts from (freq, rate=0).
-        narrow = st.state == NARROW_TRACK
+        # Extended integration implies the narrow bandwidths (reference:
+        # extended mode runs the *_bw_narrow_hz loop set) — the update
+        # interval grows by ext_n, so the wide B*T would go unstable.
+        narrow = (st.state == NARROW_TRACK) | (st.ext_n > 1)
         pll_bw = jnp.where(narrow, cfg.pll_bw_narrow_hz, cfg.pll_bw_hz).astype(jnp.float32)
         dll_bw = jnp.where(narrow, cfg.dll_bw_narrow_hz, cfg.dll_bw_hz).astype(jnp.float32)
         in_pullin = st.state == PULL_IN
-        fll_freq = st.carrier_freq + dt * jnp.float32(4.0 * cfg.fll_bw_hz) * freq_err
+        fll_freq = st.carrier_freq + dt_eff * jnp.float32(4.0 * cfg.fll_bw_hz) * freq_err
         new_pll, pll_freq = lf.pll3_update(st.pll, phase_err,
-                                           jnp.zeros_like(freq_err), dt,
+                                           jnp.zeros_like(freq_err), dt_eff,
                                            pll_bw, jnp.float32(0.0))
         new_pll = lf.Loop3State(
             acc1=jnp.where(in_pullin, fll_freq, new_pll.acc1),
             acc2=jnp.where(in_pullin, 0.0, new_pll.acc2))
-        new_dll, code_cmd = lf.dll2_update(st.dll, code_err, dt, dll_bw)
+        new_dll, code_cmd = lf.dll2_update(st.dll, code_err, dt_eff, dll_bw)
 
         new_carrier_freq = jnp.where(in_pullin, fll_freq, pll_freq)  # Hz (IF+doppler)
         doppler = new_carrier_freq - jnp.float32(cfg.if_freq_hz)
@@ -277,15 +398,18 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
         new_code_freq = jnp.float32(cfg.code_rate_cps) + aid - code_cmd
 
         # ---- C/N0 and lock detectors ---------------------------------------
-        new_cn0 = cn0_ops.cn0_update(st.cn0, prompt, valid, cfg.cn0_alpha)
-        cn0_est = cn0_ops.cn0_dbhz(new_cn0, dt)
+        new_cn0 = cn0_ops.cn0_update(st.cn0, prompt, boundary, cfg.cn0_alpha)
+        # moments hold full-window prompts; report with the full coherent
+        # time even on mid-window rows (acc_dt there is a partial sum)
+        dt_cn0 = st.ext_n.astype(jnp.float32) * dt
+        cn0_est = cn0_ops.cn0_dbhz(new_cn0, dt_cn0)
         lock_metric = cn0_ops.carrier_lock_metric(new_cn0)
         warmed = st.epoch_count > 50
         fail_now = warmed & (st.state >= WIDE_TRACK) & (
             (cn0_est < cfg.cn0_min_dbhz) | (lock_metric < cfg.carrier_lock_min))
         new_lock_fail = jnp.where(
-            valid, jnp.where(fail_now, st.lock_fail + 1,
-                             jnp.maximum(st.lock_fail - 1, 0)), st.lock_fail)
+            boundary, jnp.where(fail_now, st.lock_fail + 1,
+                                jnp.maximum(st.lock_fail - 1, 0)), st.lock_fail)
         loss = st.loss_of_lock | (new_lock_fail > cfg.max_lock_fail)
 
         # ---- state machine --------------------------------------------------
@@ -307,11 +431,13 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
         new_offset = st.sample_offset + n_samp
 
         sel = lambda new, old: jnp.where(valid, new, old)
-        selt = lambda new, old: jax.tree.map(lambda a, b: jnp.where(valid, a, b), new, old)
+        bsel = lambda new, old: jnp.where(boundary, new, old)
+        bselt = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(boundary, a, b), new, old)
 
         out = TrackingOutput(
             valid=valid,
-            prompt=prompt2,
+            prompt=corr[:, cfg.data_prompt_index],   # raw per-epoch data tap
             correlators=corr,
             start_offset=st.sample_offset,
             n_samples=n_samp,
@@ -326,23 +452,29 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
             epoch_index=st.epoch_count,
         )
 
+        zero_acc = jnp.zeros_like(acc)
         new_st = TrackingState(
             active=st.active,
             state=sel(new_state_code, st.state),
             sample_offset=sel(new_offset, st.sample_offset),
             rem_code_phase=sel(new_rem, st.rem_code_phase),
-            code_freq=sel(new_code_freq, st.code_freq),
-            carrier_freq=sel(new_carrier_freq, st.carrier_freq),
+            code_freq=bsel(new_code_freq, st.code_freq),
+            carrier_freq=bsel(new_carrier_freq, st.carrier_freq),
             carr_phase_frac=sel(new_frac, st.carr_phase_frac),
             carr_phase_cycles=sel(new_cycles, st.carr_phase_cycles),
-            dll=selt(new_dll, st.dll),
-            pll=selt(new_pll, st.pll),
-            prev_prompt=jnp.where(valid[:, None], prompt2, st.prev_prompt),
-            cn0=selt(new_cn0, st.cn0),
+            dll=bselt(new_dll, st.dll),
+            pll=bselt(new_pll, st.pll),
+            prev_prompt=jnp.where(boundary[:, None], prompt2, st.prev_prompt),
+            cn0=bselt(new_cn0, st.cn0),
             epochs_in_state=sel(eis, st.epochs_in_state),
             epoch_count=sel(st.epoch_count + 1, st.epoch_count),
-            lock_fail=sel(new_lock_fail, st.lock_fail),
-            loss_of_lock=sel(loss, st.loss_of_lock),
+            lock_fail=bsel(new_lock_fail, st.lock_fail),
+            loss_of_lock=bsel(loss, st.loss_of_lock),
+            ext_n=st.ext_n, ext_anchor=st.ext_anchor,
+            sec_len=st.sec_len, sec_anchor=st.sec_anchor,
+            acc_corr=jnp.where(boundary[:, None, None], zero_acc, acc),
+            acc_dt=jnp.where(boundary, 0.0, acc_dt),
+            acc_cnt=jnp.where(boundary, 0, acc_cnt),
         )
         return new_st, out
 

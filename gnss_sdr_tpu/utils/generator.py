@@ -33,8 +33,22 @@ class SatParams:
     carrier_phase_cycles: float = 0.0
 
 
-def _gen_block(spec, sats, fs, if_freq_hz, n0: int, n: int) -> np.ndarray:
-    """Signal (no noise) for samples [n0, n0+n), float64 time base."""
+def _pm(seq) -> np.ndarray:
+    """0/1 or +-1 sequence -> +-1 float64 chips."""
+    a = np.asarray(seq, np.float64)
+    return 1.0 - 2.0 * a if a.min() >= 0.0 else a
+
+
+def _gen_block(spec, sats, fs, if_freq_hz, n0: int, n: int,
+               with_pilot: bool = False,
+               apply_secondary: bool = True) -> np.ndarray:
+    """Signal (no noise) for samples [n0, n0+n), float64 time base.
+
+    apply_secondary: modulate the data component with spec.secondary_code
+    (NH/CS overlay, one chip per primary code period), as the real signals
+    do. with_pilot: additionally emit the pilot component (same per-component
+    C/N0) with its own code and secondary (E1-C/CS25, E5a-Q/CS100, L5Q).
+    """
     t = (n0 + np.arange(n, dtype=np.float64)) / fs
     out = np.zeros(n, dtype=np.complex128)
     fc = spec.carrier_freq_hz
@@ -51,11 +65,16 @@ def _gen_block(spec, sats, fs, if_freq_hz, n0: int, n: int) -> np.ndarray:
         chip_phase = (t - sp.code_delay_s + phase / fc
                       - sp.carrier_phase_cycles / fc) * spec.code_rate_cps
         chip_idx = np.floor(chip_phase).astype(np.int64)
+        period_idx = chip_idx // lc          # primary code period counter
         code = chips[chip_idx % lc]
         if spec.subcarrier_rate_hz > 0:
             sub_idx = np.floor(2.0 * chip_phase * spec.subcarrier_rate_hz
                                / spec.code_rate_cps).astype(np.int64) % 2
-            code = code * (1.0 - 2.0 * sub_idx)
+            sub = 1.0 - 2.0 * sub_idx
+            code = code * sub
+        if apply_secondary and spec.secondary_code:
+            sec = _pm([int(b) for b in spec.secondary_code])
+            code = code * sec[period_idx % len(sec)]
         if sp.data_bits is not None:
             bits = np.asarray(sp.data_bits, dtype=np.float64)
             bit_idx = chip_idx // (lc * periods_per_bit)
@@ -63,14 +82,27 @@ def _gen_block(spec, sats, fs, if_freq_hz, n0: int, n: int) -> np.ndarray:
         else:
             data = 1.0
         amp = np.sqrt(10.0 ** (sp.cn0_dbhz / 10.0) / fs)
-        out += amp * data * code * np.exp(2j * np.pi * (if_freq_hz * t + phase))
+        comp = data * code
+        if with_pilot and codes.has_pilot(spec.signal):
+            pchips = codes.pilot_code_chips(spec.signal, sp.prn).astype(np.float64)
+            pcode = pchips[chip_idx % len(pchips)]
+            if spec.subcarrier_rate_hz > 0:
+                pcode = pcode * sub
+            psec = codes.pilot_secondary_chips(spec.signal, sp.prn)
+            if psec is not None:
+                psec = _pm(psec)
+                pcode = pcode * psec[period_idx % len(psec)]
+            comp = comp + pcode
+        out += amp * comp * np.exp(2j * np.pi * (if_freq_hz * t + phase))
     return out
 
 
 def generate(spec: constants.SignalSpec, sats: list[SatParams], fs: float,
              duration_s: float, *, if_freq_hz: float = 0.0,
              noise: bool = True, seed: int = 0,
-             dtype=np.complex64, block_s: float = 2.0) -> np.ndarray:
+             dtype=np.complex64, block_s: float = 2.0,
+             with_pilot: bool = False,
+             apply_secondary: bool = True) -> np.ndarray:
     """Generate baseband IQ samples (block-wise to bound peak memory).
 
     Noise is complex white Gaussian with unit variance per sample, so a
@@ -82,7 +114,8 @@ def generate(spec: constants.SignalSpec, sats: list[SatParams], fs: float,
     block = int(fs * block_s)
     for n0 in range(0, n, block):
         nb = min(block, n - n0)
-        x = _gen_block(spec, sats, fs, if_freq_hz, n0, nb)
+        x = _gen_block(spec, sats, fs, if_freq_hz, n0, nb,
+                       with_pilot=with_pilot, apply_secondary=apply_secondary)
         if noise:
             x = x + (rng.standard_normal(nb) + 1j * rng.standard_normal(nb)) / np.sqrt(2.0)
         out[n0:n0 + nb] = x.astype(dtype)

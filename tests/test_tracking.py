@@ -204,3 +204,134 @@ def test_lock_loss_detected_when_signal_dies():
     st, _ = _run_tracking(x, cfg, st, ct,
                           int((len(x) - cfg.n_max) // cfg.chunk_len))
     assert bool(st.loss_of_lock[0])
+
+
+def test_extended_coherent_integration_low_cn0():
+    """Reference extend_correlation_symbols scenario: acquire/pull in at
+    healthy C/N0, then the signal drops to 28 dBHz — 20-epoch coherent
+    integration must hold a tight carrier lock through the drop (1 ms prompts
+    are below 0 dB SNR there)."""
+    fd_true, delay_s, cn0_lo = 820.0, 0.00021, 28.0
+    sat_hi = generator.SatParams(prn=9, cn0_dbhz=45.0, doppler_hz=fd_true,
+                                 code_delay_s=delay_s)
+    sat_lo = generator.SatParams(prn=9, cn0_dbhz=cn0_lo, doppler_hz=fd_true,
+                                 code_delay_s=delay_s)
+    # the generator's phase is an absolute function of sample time, so two
+    # runs differing only in amplitude splice phase-continuously
+    x_hi = generator.generate(SPEC, [sat_hi], FS, 2.0, seed=17, noise=False)
+    x_lo = generator.generate(SPEC, [sat_lo], FS, 2.0, seed=17, noise=False)
+    n_sw = int(0.6 * FS)
+    rng = np.random.default_rng(18)
+    x = np.concatenate([x_hi[:n_sw], x_lo[n_sw:]])
+    x = (x + (rng.standard_normal(len(x)) + 1j * rng.standard_normal(len(x)))
+         / np.sqrt(2.0)).astype(np.complex64)
+
+    # extended updates run at 20 ms: keep B*T small (2 Hz -> 0.04) so the
+    # discrete 3rd-order loop stays well damped
+    cfg = trk.default_config(SPEC, FS, chunk_ms=50,
+                             pll_bw_narrow_hz=2.0, dll_bw_narrow_hz=0.25)
+    st = trk.init_state(1, cfg.n_taps)
+    ct = jnp.asarray(codes.gps_l1ca_code(9)[None, :])
+    st = trk.start_channel(
+        st, 0, code_freq=1.023e6 * (1 + fd_true / SPEC.carrier_freq_hz),
+        doppler_hz=fd_true + 40.0, sample_offset=int(round(delay_s * FS)))
+    n_chunks = int((len(x) - cfg.n_max) // cfg.chunk_len)
+    base = 0
+    for k in range(n_chunks):
+        if k == 8:   # settled in wide tracking; before the power drop
+            # all-ones data stream -> any bit anchor is sign-safe
+            st = trk.set_extension(st, 0, 20, anchor_epoch=0)
+        chunk = jnp.asarray(x[base: base + cfg.chunk_len + cfg.n_max])
+        st, out = trk.track_chunk(cfg, chunk, st, ct)
+        base += cfg.chunk_len
+    assert not bool(st.loss_of_lock[0])
+    assert int(st.ext_n[0]) == 20
+    assert abs(float(st.carrier_freq[0]) - fd_true) < 3.0
+    v = np.asarray(out.valid[:, 0])
+    # phase lock on 20 ms prompts must be solid at 28 dBHz
+    assert float(np.asarray(out.carrier_lock[:, 0])[v][-1]) > 0.8
+    # C/N0 estimate: the EMA is still recovering from the 45->28 dB step
+    # (stale high-power moments decay at alpha=0.05 per 20 ms update), so
+    # only bound it loosely from both sides
+    cn0_est = float(np.asarray(out.cn0_dbhz[:, 0])[v][-1])
+    assert 19.0 < cn0_est < 33.0, cn0_est
+
+
+def test_secondary_code_wipe_tracking():
+    """NH-style overlay on the data component: without wipeoff the 20-epoch
+    accumulation cancels; with set_secondary the channel tracks cleanly."""
+    spec = constants.SIGNALS["B1"]     # BeiDou B1I with NH20
+    fs = 4.092e6
+    fd_true, delay_s = -420.0, 0.00013
+    x = generator.generate(
+        spec, [generator.SatParams(prn=6, cn0_dbhz=43.0, doppler_hz=fd_true,
+                                   code_delay_s=delay_s)], fs, 1.2, seed=19)
+    cfg = trk.default_config(spec, fs, chunk_ms=50)
+    st = trk.init_state(1, cfg.n_taps)
+    ct = jnp.asarray(codes.code_chips("B1", 6)[None, :])
+    sec = np.ones((1, cfg.sec_table_len), np.float32)
+    st = trk.start_channel(
+        st, 0, code_freq=spec.code_rate_cps * (1 + fd_true / spec.carrier_freq_hz),
+        doppler_hz=fd_true + 30.0, sample_offset=int(round(delay_s * fs)))
+    n_chunks = int((len(x) - cfg.n_max) // cfg.chunk_len)
+    base = 0
+    for k in range(n_chunks):
+        if k == 8:
+            # generator aligns the NH sequence with period_idx 0 at
+            # code_delay; tracking epoch 0 started at that boundary
+            chips = np.array([int(b) for b in spec.secondary_code])
+            st = trk.set_secondary(st, sec, 0, chips, anchor_epoch=0)
+            st = trk.set_extension(st, 0, 20, anchor_epoch=0)
+        chunk = jnp.asarray(x[base: base + cfg.chunk_len + cfg.n_max])
+        st, out = trk.track_chunk(cfg, chunk, st, ct, sec)
+        base += cfg.chunk_len
+    assert not bool(st.loss_of_lock[0])
+    assert abs(float(st.carrier_freq[0]) - fd_true) < 3.0
+
+
+def test_pilot_tracking_e1c():
+    """track_pilot: E/P/L on the E1-C pilot (CS25 overlay, Costas-immune),
+    data prompt tap on E1-B for telemetry."""
+    spec = constants.SIGNALS["1B"]
+    fs = 4.092e6
+    fd_true, delay_s = 650.0, 0.00017
+    rng = np.random.default_rng(23)
+    bits = generator.lnav_bits_to_symbols(rng.integers(0, 2, 300))
+    x = generator.generate(
+        spec, [generator.SatParams(prn=11, cn0_dbhz=45.0, doppler_hz=fd_true,
+                                   code_delay_s=delay_s, data_bits=bits)],
+        fs, 1.6, seed=29, with_pilot=True)
+    cfg = trk.default_config(spec, fs, chunk_ms=48, track_pilot=True,
+                             pll_bw_hz=20.0, dll_bw_hz=2.0)
+    assert cfg.n_taps == len(cfg.tap_offsets) + 1
+    lc = spec.code_length_chips
+    sub = np.tile([1.0, -1.0], lc).astype(np.float32)
+    ct = np.zeros((1, 2, 2 * lc), np.float32)
+    ct[0, 0] = np.repeat(codes.pilot_code_chips("1B", 11), 2) * sub
+    ct[0, 1] = np.repeat(codes.code_chips("1B", 11), 2) * sub
+    st = trk.init_state(1, cfg.n_taps)
+    st = trk.start_channel(
+        st, 0, code_freq=spec.code_rate_cps * (1 + fd_true / spec.carrier_freq_hz),
+        doppler_hz=fd_true + 40.0, sample_offset=int(round(delay_s * fs)))
+    n_chunks = int((len(x) - cfg.n_max) // cfg.chunk_len)
+    base = 0
+    prompts, eidxs = [], []
+    for _ in range(n_chunks):
+        chunk = jnp.asarray(x[base: base + cfg.chunk_len + cfg.n_max])
+        st, out = trk.track_chunk(cfg, chunk, st, jnp.asarray(ct))
+        v = np.asarray(out.valid[:, 0])
+        prompts.append(np.asarray(out.prompt[:, 0, 0])[v])   # data tap I
+        eidxs.append(np.asarray(out.epoch_index[:, 0])[v])
+        base += cfg.chunk_len
+    assert not bool(st.loss_of_lock[0])
+    assert abs(float(st.carrier_freq[0]) - fd_true) < 5.0
+    # the data prompt must carry the E1-B symbol stream: its sign at settled
+    # epochs must match the injected 250 sps symbols (up to global polarity)
+    P = np.concatenate(prompts)
+    E = np.concatenate(eidxs)
+    sel = E >= 200
+    P, E = P[sel], E[sel]
+    # generator aligns symbol k with transmit code period k (4 ms each)
+    want = bits[(E + int(round(delay_s * fs / (fs * 4e-3)))) % len(bits)]
+    agree = np.mean(np.sign(P) == np.sign(want))
+    assert agree > 0.98 or agree < 0.02, agree
