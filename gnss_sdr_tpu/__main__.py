@@ -61,7 +61,13 @@ def main(argv=None) -> int:
         logging.getLogger("gnss_sdr_tpu").info(
             "conditioning %.0f sps -> %.0f sps", source.fs, rcfg.fs)
     rx = Receiver(rcfg)
-    rx.run_file_source(source, max_chunks=args.max_chunks)
+    from gnss_sdr_tpu.receiver.outputs import attach_outputs
+    outputs = attach_outputs(rx, conf)
+    try:
+        rx.run_file_source(source, max_chunks=args.max_chunks)
+    finally:
+        outputs.close()
+        rx.close_dumps()
 
     n = len(rx.fixes)
     print(f"processed: {rx._sample_base} samples, {n} PVT fixes")

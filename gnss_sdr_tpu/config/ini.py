@@ -45,6 +45,8 @@ class Configuration:
         if name not in self._values:
             return default
         raw = self._values[name]
+        if not isinstance(raw, str):
+            return raw          # set_property with a typed value
         if isinstance(default, bool):
             return raw.strip().lower() in ("true", "1", "yes", "on")
         if isinstance(default, int):
