@@ -122,21 +122,38 @@ def receiver_config_from_ini(conf: Configuration):
         extend_symbols=int(conf.property(
             f"{trk}.extend_correlation_symbols", 1)),
         track_pilot=bool(conf.property(f"{trk}.track_pilot", False)),
+        # reference: Tracking_1C.implementation=GPS_L1_CA_KF_Tracking
+        carrier_kf="KF" in str(conf.property(f"{trk}.implementation", "")),
         pvt_output_rate_ms=float(conf.property("PVT.output_rate_ms", 100)),
     )
 
 
 def source_from_ini(conf: Configuration):
     """Build the signal source + conversion/resampling plan from config."""
-    from gnss_sdr_tpu.io.sources import FileSignalSource
+    from gnss_sdr_tpu.io import sources
 
     impl = conf.property("SignalSource.implementation", "File_Signal_Source")
-    if impl != "File_Signal_Source":
-        raise NotImplementedError(f"signal source {impl} not supported yet")
-    return FileSignalSource(
-        conf.property("SignalSource.filename", ""),
-        item_type=conf.property("SignalSource.item_type", "gr_complex"),
-        sampling_frequency=float(conf.property("SignalSource.sampling_frequency", 4_000_000)),
-        samples=conf.property("SignalSource.samples", 0),
-        repeat=conf.property("SignalSource.repeat", False),
-    )
+    fs = float(conf.property("SignalSource.sampling_frequency", 4_000_000))
+    if impl == "File_Signal_Source":
+        return sources.FileSignalSource(
+            conf.property("SignalSource.filename", ""),
+            item_type=conf.property("SignalSource.item_type", "gr_complex"),
+            sampling_frequency=fs,
+            samples=conf.property("SignalSource.samples", 0),
+            repeat=conf.property("SignalSource.repeat", False),
+        )
+    if impl == "Custom_UDP_Signal_Source":
+        return sources.UdpSignalSource(
+            host=conf.property("SignalSource.origin_address", "0.0.0.0"),
+            port=int(conf.property("SignalSource.port", 1234)),
+            item_type=conf.property("SignalSource.item_type", "ishort"),
+            sampling_frequency=fs)
+    if impl == "RtlTcp_Signal_Source":
+        return sources.RtlTcpSignalSource(
+            host=conf.property("SignalSource.address", "127.0.0.1"),
+            port=int(conf.property("SignalSource.port", 1234)),
+            frequency_hz=float(conf.property("SignalSource.freq",
+                                             1_575_420_000)),
+            sampling_frequency=fs,
+            agc=conf.property("SignalSource.AGC_enabled", True))
+    raise NotImplementedError(f"signal source {impl} not supported yet")

@@ -95,3 +95,97 @@ class ArraySignalSource:
         take = self.samples[self._pos: self._pos + n]
         self._pos += len(take)
         return take
+
+
+class UdpSignalSource:
+    """Raw IQ over UDP datagrams (reference: Custom_UDP_Signal_Source,
+    custom_udp_signal_source.cc — libpcap there, a plain UDP socket here).
+
+    Each datagram carries consecutive samples of ``item_type``; datagrams are
+    assumed in-order (LAN use). ``read`` blocks until n samples or timeout.
+    """
+
+    def __init__(self, host: str = "0.0.0.0", port: int = 1234,
+                 item_type: str = "ishort", sampling_frequency: float = 4e6,
+                 timeout_s: float = 2.0):
+        import socket
+        if item_type not in ITEM_TYPES:
+            raise ValueError(f"unknown item_type {item_type!r}")
+        self.item_type = item_type
+        self.fs = sampling_frequency
+        self._dtype, self._comps = ITEM_TYPES[item_type]
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind((host, port))
+        self._sock.settimeout(timeout_s)
+        self.port = self._sock.getsockname()[1]
+        self._buf = b""
+
+    def read(self, n: int) -> np.ndarray:
+        import socket
+        item = np.dtype(self._dtype).itemsize
+        need = n * self._comps * item
+        while len(self._buf) < need:
+            try:
+                pkt = self._sock.recv(65536)
+            except socket.timeout:
+                break
+            if not pkt:
+                break
+            self._buf += pkt
+        take = (len(self._buf) // (self._comps * item)) * self._comps * item
+        take = min(take, need)
+        raw = np.frombuffer(self._buf[:take], dtype=self._dtype)
+        self._buf = self._buf[take:]
+        return decode_samples(raw, self.item_type)
+
+    def close(self) -> None:
+        self._sock.close()
+
+
+class RtlTcpSignalSource:
+    """rtl_tcp client (reference: RtlTcp_Signal_Source, rtl_tcp_*.cc).
+
+    Connects to an rtl_tcp server, configures frequency/rate/gain with the
+    standard 5-byte command packets, and streams unsigned-8-bit interleaved
+    IQ (converted to complex64 centered on zero).
+    """
+
+    CMD_FREQ = 0x01
+    CMD_RATE = 0x02
+    CMD_GAIN_MODE = 0x03
+    CMD_AGC = 0x08
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 1234,
+                 frequency_hz: float = 1_575_420_000.0,
+                 sampling_frequency: float = 2_000_000.0,
+                 agc: bool = True, timeout_s: float = 5.0):
+        import socket
+        import struct
+        self.fs = sampling_frequency
+        self._sock = socket.create_connection((host, port), timeout=timeout_s)
+        header = self._recv_exact(12)       # "RTL0" + tuner type/gain count
+        if header[:4] not in (b"RTL0", b""):
+            pass                            # tolerate nonstandard servers
+        for cmd, val in ((self.CMD_RATE, int(sampling_frequency)),
+                         (self.CMD_FREQ, int(frequency_hz)),
+                         (self.CMD_AGC, 1 if agc else 0)):
+            self._sock.sendall(struct.pack(">BI", cmd, val))
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                break
+            buf += chunk
+        return buf
+
+    def read(self, n: int) -> np.ndarray:
+        raw = self._recv_exact(2 * n)
+        u = np.frombuffer(raw, np.uint8).astype(np.float32)
+        u = (u - 127.4) / 128.0
+        m = (len(u) // 2) * 2
+        return (u[0:m:2] + 1j * u[1:m:2]).astype(np.complex64)
+
+    def close(self) -> None:
+        self._sock.close()

@@ -70,6 +70,8 @@ class ReceiverConfig:
     # track the pilot component where the signal has one (reference
     # Tracking_XX.track_pilot): E1 -> E1C, E5a -> E5a-Q, L5 -> L5Q
     track_pilot: bool = False
+    # Kalman carrier tracking (reference GPS_L1_CA_KF_Tracking implementation)
+    carrier_kf: bool = False
     # observables / pvt
     obs_interval_ms: float = 20.0
     pvt_output_rate_ms: float = 100.0
@@ -115,7 +117,8 @@ class SignalGroup:
             fll_bw_hz=cfg.fll_bw_hz,
             pll_bw_narrow_hz=cfg.pll_bw_narrow_hz,
             dll_bw_narrow_hz=cfg.dll_bw_narrow_hz,
-            track_pilot=track_pilot)
+            track_pilot=track_pilot,
+            carrier_kf=cfg.carrier_kf)
         self.channels = [Channel(i, global_id0 + i) for i in range(n_channels)]
         self.trk_state = trk.init_state(n_channels, self.trk_cfg.n_taps)
         table_len = self.spec.code_length_chips * self.trk_cfg.table_rate

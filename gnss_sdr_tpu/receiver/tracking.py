@@ -30,6 +30,7 @@ import numpy as np
 
 from gnss_sdr_tpu.ops import cn0 as cn0_ops
 from gnss_sdr_tpu.ops import correlator, discriminators, iq
+from gnss_sdr_tpu.ops import kalman
 from gnss_sdr_tpu.ops import loop_filters as lf
 
 # channel tracking-state codes (reference: dll_pll_veml_tracking state machine)
@@ -70,6 +71,13 @@ class TrackingConfig:
     track_pilot: bool = False
     # secondary-code wipe table width (NH20/CS20/CS25 fit in 32)
     sec_table_len: int = 32
+    # Kalman-filter carrier tracking (reference gps_l1_ca_kf_tracking_cc):
+    # replaces the PLL in WIDE/NARROW states with a batched 3-state
+    # phase/Doppler/rate filter whose R adapts to the C/N0 estimate
+    carrier_kf: bool = False
+    kf_q_phase: float = 1e-6     # phase random walk, cycles^2/s
+    kf_q_freq: float = 1.0       # frequency random walk, Hz^2/s
+    kf_q_rate: float = 100.0     # Doppler-rate random walk, (Hz/s)^2/s
 
     @property
     def n_taps(self) -> int:
@@ -147,6 +155,9 @@ class TrackingState(NamedTuple):
     acc_corr: jax.Array         # float32 [C, K, 2] coherent accumulator
     acc_dt: jax.Array           # float32 [C] accumulated integration time
     acc_cnt: jax.Array          # int32 [C] epochs in the accumulator
+    # Kalman carrier-tracking states (used when cfg.carrier_kf)
+    kf_p: jax.Array             # float32 [C, 3, 3] covariance
+    kf_acc: jax.Array           # float32 [C] Doppler rate estimate (Hz/s)
 
 
 class TrackingOutput(NamedTuple):
@@ -195,6 +206,8 @@ def init_state(n_channels: int, n_taps: int = 3) -> TrackingState:
         acc_corr=np.zeros((c, n_taps, 2), np.float32),
         acc_dt=zf.copy(),
         acc_cnt=z32.copy(),
+        kf_p=kalman.kf_init_cov(c),
+        kf_acc=zf.copy(),
     )
 
 
@@ -238,6 +251,8 @@ def start_channel(state: TrackingState, ch: int, *, code_freq: float,
     st.acc_corr[ch] = 0.0
     st.acc_dt[ch] = 0.0
     st.acc_cnt[ch] = 0
+    st.kf_p[ch] = kalman.kf_init_cov(1)[0]
+    st.kf_acc[ch] = 0.0
     return st
 
 
@@ -393,9 +408,6 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
         new_dll, code_cmd = lf.dll2_update(st.dll, code_err, dt_eff, dll_bw)
 
         new_carrier_freq = jnp.where(in_pullin, fll_freq, pll_freq)  # Hz (IF+doppler)
-        doppler = new_carrier_freq - jnp.float32(cfg.if_freq_hz)
-        aid = doppler * jnp.float32(cfg.code_to_carrier)
-        new_code_freq = jnp.float32(cfg.code_rate_cps) + aid - code_cmd
 
         # ---- C/N0 and lock detectors ---------------------------------------
         new_cn0 = cn0_ops.cn0_update(st.cn0, prompt, boundary, cfg.cn0_alpha)
@@ -403,6 +415,31 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
         # time even on mid-window rows (acc_dt there is a partial sum)
         dt_cn0 = st.ext_n.astype(jnp.float32) * dt
         cn0_est = cn0_ops.cn0_dbhz(new_cn0, dt_cn0)
+
+        # ---- Kalman carrier tracking (optional) ------------------------------
+        kf_on = jnp.zeros_like(boundary)
+        new_kf_p, new_kf_acc = st.kf_p, st.kf_acc
+        kf_dphi = jnp.zeros_like(phase_err)
+        if cfg.carrier_kf:
+            r = kalman.phase_meas_var_cyc2(cn0_est, jnp.maximum(dt_eff, 1e-4))
+            p_n, f_kf, a_kf, dphi = kalman.kf_update(
+                st.kf_p, st.kf_acc, st.carrier_freq, phase_err, dt_eff, r,
+                q_phase=cfg.kf_q_phase, q_freq=cfg.kf_q_freq,
+                q_rate=cfg.kf_q_rate)
+            kf_on = boundary & (st.state >= WIDE_TRACK)
+            new_carrier_freq = jnp.where(kf_on & ~in_pullin, f_kf,
+                                         new_carrier_freq)
+            kf_dphi = jnp.where(kf_on, dphi, 0.0)
+            new_kf_p = jnp.where(kf_on[:, None, None], p_n, st.kf_p)
+            new_kf_acc = jnp.where(kf_on, a_kf, st.kf_acc)
+            # keep the PLL carry synced so a fallback starts cleanly
+            new_pll = lf.Loop3State(
+                acc1=jnp.where(kf_on, new_carrier_freq, new_pll.acc1),
+                acc2=jnp.where(kf_on, 0.0, new_pll.acc2))
+
+        doppler = new_carrier_freq - jnp.float32(cfg.if_freq_hz)
+        aid = doppler * jnp.float32(cfg.code_to_carrier)
+        new_code_freq = jnp.float32(cfg.code_rate_cps) + aid - code_cmd
         lock_metric = cn0_ops.carrier_lock_metric(new_cn0)
         warmed = st.epoch_count > 50
         fail_now = warmed & (st.state >= WIDE_TRACK) & (
@@ -422,7 +459,8 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
 
         # ---- NCO phase/offset advance ---------------------------------------
         delta_cycles = (st.carrier_freq / fs) * n_samp.astype(jnp.float32)
-        tot = st.carr_phase_frac + delta_cycles
+        # KF phase-error transfer: jump the NCO phase by the estimated error
+        tot = st.carr_phase_frac + delta_cycles + kf_dphi
         whole = jnp.floor(tot)
         new_frac = tot - whole
         new_cycles = st.carr_phase_cycles + whole.astype(jnp.int32)
@@ -475,6 +513,8 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
             acc_corr=jnp.where(boundary[:, None, None], zero_acc, acc),
             acc_dt=jnp.where(boundary, 0.0, acc_dt),
             acc_cnt=jnp.where(boundary, 0, acc_cnt),
+            kf_p=new_kf_p,
+            kf_acc=new_kf_acc,
         )
         return new_st, out
 

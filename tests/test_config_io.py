@@ -138,3 +138,60 @@ def test_udp_monitor_sink():
     assert msg["type"] == "gnss_synchro"
     assert msg["channels"][0]["prn"] == 7
     rx.close()
+
+
+def test_udp_signal_source_roundtrip():
+    import socket
+    from gnss_sdr_tpu.io.sources import UdpSignalSource
+    src = UdpSignalSource(host="127.0.0.1", port=0, item_type="ishort",
+                          sampling_frequency=2e6, timeout_s=1.0)
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    data = np.arange(64, dtype=np.int16)          # 32 complex samples
+    tx.sendto(data.tobytes(), ("127.0.0.1", src.port))
+    got = src.read(32)
+    assert len(got) == 32
+    assert got[0] == 0 + 1j and got[1] == 2 + 3j
+    src.close()
+    tx.close()
+
+
+def test_rtltcp_signal_source_client():
+    import socket
+    import struct
+    import threading
+    from gnss_sdr_tpu.io.sources import RtlTcpSignalSource
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    seen = {}
+
+    def server():
+        conn, _ = srv.accept()
+        conn.sendall(b"RTL0" + bytes(8))            # dongle header
+        cmds = b""
+        while len(cmds) < 15:                       # 3 x 5-byte commands
+            part = conn.recv(15 - len(cmds))
+            if not part:
+                break
+            cmds += part
+        seen["cmds"] = [struct.unpack(">BI", cmds[i:i + 5])
+                        for i in range(0, 15, 5)]
+        # stream u8 IQ: sample k = (2k, 2k+1) offset around 127.4
+        iq = np.arange(32, dtype=np.uint8) + 120
+        conn.sendall(iq.tobytes())
+        conn.close()
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    src = RtlTcpSignalSource(host="127.0.0.1", port=port,
+                             frequency_hz=1_575_420_000, sampling_frequency=2e6)
+    got = src.read(16)
+    assert len(got) == 16
+    expect0 = (120 - 127.4) / 128.0 + 1j * (121 - 127.4) / 128.0
+    assert abs(got[0] - expect0) < 1e-6
+    t.join(timeout=2)
+    assert {c for c, _ in seen["cmds"]} == {1, 2, 8}
+    src.close()
+    srv.close()

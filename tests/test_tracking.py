@@ -335,3 +335,30 @@ def test_pilot_tracking_e1c():
     want = bits[(E + int(round(delay_s * fs / (fs * 4e-3)))) % len(bits)]
     agree = np.mean(np.sign(P) == np.sign(want))
     assert agree > 0.98 or agree < 0.02, agree
+
+
+def test_kalman_carrier_tracking_doppler_ramp():
+    """KF carrier tracking (reference gps_l1_ca_kf_tracking_cc analog):
+    track a 60 Hz/s Doppler ramp and estimate the rate state."""
+    fd0, rate, delay_s = -300.0, 60.0, 0.00025
+    dur = 1.5
+    x = generator.generate(
+        SPEC, [generator.SatParams(prn=5, cn0_dbhz=44.0, doppler_hz=fd0,
+                                   doppler_rate_hz_s=rate,
+                                   code_delay_s=delay_s)], FS, dur, seed=41)
+    cfg = trk.default_config(SPEC, FS, chunk_ms=50, carrier_kf=True)
+    st = trk.init_state(1, cfg.n_taps)
+    ct = jnp.asarray(codes.gps_l1ca_code(5)[None, :])
+    st = trk.start_channel(
+        st, 0, code_freq=1.023e6 * (1 + fd0 / SPEC.carrier_freq_hz),
+        doppler_hz=fd0 + 30.0, sample_offset=int(round(delay_s * FS)))
+    st, outs = _run_tracking(x, cfg, st, ct,
+                             int((len(x) - cfg.n_max) // cfg.chunk_len))
+    assert not bool(st.loss_of_lock[0])
+    n_epochs = int(st.epoch_count[0])
+    fd_final = fd0 + rate * (n_epochs * 1e-3)
+    assert abs(float(st.carrier_freq[0]) - fd_final) < 5.0
+    # the rate state must have learned the ramp
+    assert abs(float(st.kf_acc[0]) - rate) < 20.0
+    v = np.asarray(outs[-1].valid[:, 0])
+    assert float(np.asarray(outs[-1].carrier_lock[:, 0])[v][-1]) > 0.85
