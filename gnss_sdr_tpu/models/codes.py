@@ -71,13 +71,26 @@ _GPS_CA_G2_DELAY = (
 )
 
 
+# DO-229 (SBAS MOPS) Table A-1: G2 delay for SBAS PRN 120..138 — SBAS L1
+# uses the same Gold-code family and is tracked on "1C" channels (reference:
+# sbas_l1_telemetry_decoder_gs.cc with Gnss_Signal("1C") SBAS satellites)
+_SBAS_CA_G2_DELAY = {
+    120: 145, 121: 175, 122: 52, 123: 21, 124: 237, 125: 235, 126: 886,
+    127: 657, 128: 634, 129: 762, 130: 355, 131: 1012, 132: 176, 133: 603,
+    134: 130, 135: 359, 136: 595, 137: 68, 138: 386,
+}
+
+
 @functools.lru_cache(maxsize=64)
 def _gps_ca_bits(prn: int) -> np.ndarray:
-    if not 1 <= prn <= len(_GPS_CA_G2_DELAY):
-        raise ValueError(f"GPS C/A PRN out of range: {prn}")
+    if prn in _SBAS_CA_G2_DELAY:
+        delay = _SBAS_CA_G2_DELAY[prn]
+    elif 1 <= prn <= len(_GPS_CA_G2_DELAY):
+        delay = _GPS_CA_G2_DELAY[prn - 1]
+    else:
+        raise ValueError(f"GPS/SBAS C/A PRN out of range: {prn}")
     g1 = _lfsr(10, (3, 10), 10, 1023)
     g2 = _lfsr(10, (2, 3, 6, 8, 9, 10), 10, 1023)
-    delay = _GPS_CA_G2_DELAY[prn - 1]
     return g1 ^ np.roll(g2, delay)
 
 

@@ -180,3 +180,139 @@ class TongDetector:
         if self.count <= 0 or self.dwells >= self.max_dwells:
             return "dismissed"
         return "pending"
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fs", "samples_per_code", "folding_factor",
+                              "samples_per_chip"))
+def quicksync_search(x: jax.Array, code_fft_conj_folded: jax.Array,
+                     dopplers: jax.Array, *, fs: float, samples_per_code: int,
+                     folding_factor: int, samples_per_chip: int
+                     ) -> AcqGridResult:
+    """QuickSync folded acquisition (reference pcps_quicksync_acquisition_cc).
+
+    The dwell is folded by summing ``folding_factor`` consecutive segments
+    before the FFT, shrinking the correlation to N/F points: F times less
+    FFT work at ~10 log10(F) dB sensitivity cost. The returned code phase is
+    the FOLDED phase — the true phase is one of
+    ``folded_phase + k * N/F`` (resolve with resolve_folded_phase).
+
+    Args:
+      x: [samples_per_code, 2] split-IQ dwell (one code period).
+      code_fft_conj_folded: [S, N/F, 2] split conj(FFT(folded local code)).
+    """
+    xc = iq.as_complex(x)
+    cfc = iq.as_complex(code_fft_conj_folded)
+    nf = samples_per_code // folding_factor
+    n_full = nf * folding_factor
+    # Doppler wipeoff BEFORE folding — the fold sums segments nf/fs apart,
+    # which only stay coherent once the carrier is removed
+    n = jnp.arange(n_full, dtype=jnp.float32) * jnp.float32(1.0 / fs)
+    carriers = jnp.exp(jnp.complex64(-2j * np.pi)
+                       * (dopplers[:, None] * n[None, :]))
+    xw_full = xc[None, :n_full] * carriers                 # [D, N]
+    xw = xw_full.reshape(-1, folding_factor, nf).sum(axis=1)   # [D, Nf]
+    Xf = mxu_fft.fft(xw)
+
+    def scan_body(_, cfc_s):
+        corr = mxu_fft.ifft(Xf * cfc_s[None, :])
+        mag = jnp.abs(corr) ** 2 * jnp.float32(nf * nf)
+        flat = jnp.argmax(mag)
+        d_idx, t_idx = jnp.unravel_index(flat, mag.shape)
+        peak = mag[d_idx, t_idx]
+        row = mag[d_idx]
+        pos = jnp.arange(nf, dtype=jnp.int32)
+        dist = jnp.abs(pos - t_idx)
+        dist = jnp.minimum(dist, nf - dist)
+        second = jnp.max(jnp.where(dist >= samples_per_chip, row, 0.0))
+        return None, (peak, d_idx, t_idx, second)
+
+    _, (peaks, d_idxs, t_idxs, seconds) = jax.lax.scan(
+        scan_body, None, cfc)
+    power = jnp.mean(jnp.abs(xw[0]) ** 2)
+    nrm = jnp.float32(nf) ** 4
+    return AcqGridResult(
+        test_max_power=(peaks / nrm / power).astype(jnp.float32),
+        test_cfar=(peaks / jnp.maximum(seconds, 1e-30)).astype(jnp.float32),
+        code_phase=t_idxs.astype(jnp.int32),
+        doppler_hz=dopplers[d_idxs].astype(jnp.float32),
+        magnitude=peaks.astype(jnp.float32),
+    )
+
+
+def resolve_folded_phase(x: np.ndarray, code_replica: np.ndarray,
+                         folded_phase: int, doppler_hz: float, *,
+                         fs: float, folding_factor: int) -> int:
+    """Disambiguate a QuickSync folded code phase (host-side): test the F
+    candidate unfolded phases by direct correlation, return the best."""
+    x = np.asarray(x)
+    if x.ndim == 2:
+        x = x[:, 0] + 1j * x[:, 1]
+    n = len(code_replica)
+    nf = n // folding_factor
+    t = np.arange(n) / fs
+    wiped = x[:n] * np.exp(-2j * np.pi * doppler_hz * t)
+    best_k, best_m = 0, -1.0
+    for k in range(folding_factor):
+        ph = folded_phase + k * nf
+        m = abs(np.sum(wiped * np.roll(code_replica, ph)))
+        if m > best_m:
+            best_m, best_k = m, k
+    return folded_phase + best_k * nf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "samples_per_code", "samples_per_chip", "noncoherent"))
+def cccwsr_search(x: jax.Array, code_fft_conj_data: jax.Array,
+                  code_fft_conj_pilot: jax.Array, dopplers: jax.Array, *,
+                  fs: float, samples_per_code: int, samples_per_chip: int,
+                  noncoherent: int = 1) -> AcqGridResult:
+    """Coherent Combining With Sign Recovery (pcps_cccwsr_acquisition_cc):
+    acquire Galileo E1 by combining the E1B (data) and E1C (pilot)
+    correlations coherently under both relative-sign hypotheses and keeping
+    the stronger — ~3 dB over acquiring either component alone.
+
+    Shapes as pcps_search, with one code-FFT per component.
+    """
+    xc = iq.as_complex(x)
+    cd = iq.as_complex(code_fft_conj_data)
+    cp = iq.as_complex(code_fft_conj_pilot)
+    n_fft = cd.shape[-1]
+    xb = xc[: noncoherent * n_fft].reshape(noncoherent, n_fft)
+    n = jnp.arange(n_fft, dtype=jnp.float32) * jnp.float32(1.0 / fs)
+    carriers = jnp.exp(jnp.complex64(-2j * np.pi)
+                       * (dopplers[:, None] * n[None, :]))
+    xw = xb[:, None, :] * carriers[None, :, :]
+    Xf = mxu_fft.fft(xw)
+
+    def scan_body(_, cfcs):
+        cfd, cfp = cfcs
+        corr_d = mxu_fft.ifft(Xf * cfd[None, None, :])
+        corr_p = mxu_fft.ifft(Xf * cfp[None, None, :])
+        # sign recovery: max(|d+p|, |d-p|) per cell, noncoherent over dwells
+        mag = jnp.sum(jnp.maximum(jnp.abs(corr_d + corr_p) ** 2,
+                                  jnp.abs(corr_d - corr_p) ** 2), axis=0)
+        mag = mag * jnp.float32(n_fft * n_fft)
+        mag_cp = mag[:, :samples_per_code]
+        flat = jnp.argmax(mag_cp)
+        d_idx, t_idx = jnp.unravel_index(flat, mag_cp.shape)
+        peak = mag_cp[d_idx, t_idx]
+        row = mag_cp[d_idx]
+        pos = jnp.arange(samples_per_code, dtype=jnp.int32)
+        dist = jnp.abs(pos - t_idx)
+        dist = jnp.minimum(dist, samples_per_code - dist)
+        second = jnp.max(jnp.where(dist >= samples_per_chip, row, 0.0))
+        return None, (peak, d_idx, t_idx, second)
+
+    _, (peaks, d_idxs, t_idxs, seconds) = jax.lax.scan(
+        scan_body, None, (cd, cp))
+    power = jnp.mean(jnp.abs(xb) ** 2) * jnp.float32(noncoherent)
+    nrm = jnp.float32(n_fft) ** 4
+    return AcqGridResult(
+        test_max_power=(peaks / nrm / power / 2.0).astype(jnp.float32),
+        test_cfar=(peaks / jnp.maximum(seconds, 1e-30)).astype(jnp.float32),
+        code_phase=t_idxs.astype(jnp.int32),
+        doppler_hz=dopplers[d_idxs].astype(jnp.float32),
+        magnitude=peaks.astype(jnp.float32),
+    )

@@ -116,3 +116,63 @@ def test_detection_vs_cn0(cn0, expect_detect):
                         samples_per_code=spc, samples_per_chip=2, noncoherent=2)
     detected = float(r.test_cfar[0]) > 2.0 and abs(int(r.code_phase[0]) - 750) <= 2
     assert detected == expect_detect
+
+
+def test_quicksync_folded_acquisition():
+    """QuickSync folding (reference pcps_quicksync_acquisition_cc): fold by
+    F, detect in the short FFT, disambiguate the true phase."""
+    from gnss_sdr_tpu.models import codes as codes_mod
+    prn, fd_true, delay = 5, 750.0, 1100
+    spc = int(FS * 1e-3)
+    x = generator.generate(
+        SPEC, [generator.SatParams(prn=prn, cn0_dbhz=50.0, doppler_hz=fd_true,
+                                   code_delay_s=delay / FS)], FS, 0.004, seed=6)
+    F = 2
+    rep = codes_mod.sample_code(codes_mod.gps_l1ca_code(prn), FS, 1.023e6, spc)
+    folded = rep[: (spc // F) * F].reshape(F, spc // F).sum(axis=0)
+    cf = np.conj(np.fft.fft(folded))[None, :].astype(np.complex64)
+    dop = jnp.asarray(acq.make_doppler_grid(5000, 250))
+    r = acq.quicksync_search(jnp.asarray(x[:spc]), jnp.asarray(cf), dop,
+                             fs=FS, samples_per_code=spc, folding_factor=F,
+                             samples_per_chip=2)
+    assert float(r.test_cfar[0]) > 1.8
+    folded_phase = int(r.code_phase[0])
+    assert folded_phase == delay % (spc // F)
+    true_phase = acq.resolve_folded_phase(
+        x[:spc], rep, folded_phase, float(r.doppler_hz[0]),
+        fs=FS, folding_factor=F)
+    assert true_phase == delay
+    assert abs(float(r.doppler_hz[0]) - fd_true) <= 250.0
+
+
+def test_cccwsr_data_pilot_combining():
+    """CCCWSR (reference pcps_cccwsr_acquisition_cc): coherent E1B+E1C
+    combining must beat single-component acquisition."""
+    from gnss_sdr_tpu.models import codes as codes_mod
+    spec = constants.SIGNALS["1B"]
+    fs = 4.092e6
+    prn, fd_true, delay_s = 3, -900.0, 0.0007
+    x = generator.generate(
+        spec, [generator.SatParams(prn=prn, cn0_dbhz=41.0, doppler_hz=fd_true,
+                                   code_delay_s=delay_s)],
+        fs, 0.01, seed=8, with_pilot=True)
+    spc = int(round(fs * spec.code_period_s))
+    boc = spec.subcarrier_rate_hz
+    rep_d = codes_mod.sample_code(codes_mod.code_chips("1B", prn), fs,
+                                  spec.code_rate_cps, spc, boc_rate=boc)
+    rep_p = codes_mod.sample_code(codes_mod.pilot_code_chips("1B", prn), fs,
+                                  spec.code_rate_cps, spc, boc_rate=boc)
+    cfd = np.conj(np.fft.fft(rep_d))[None, :].astype(np.complex64)
+    cfp = np.conj(np.fft.fft(rep_p))[None, :].astype(np.complex64)
+    dop = jnp.asarray(acq.make_doppler_grid(3000, 125))
+    spchip = max(1, int(fs / spec.code_rate_cps))
+    r_comb = acq.cccwsr_search(jnp.asarray(x[:2 * spc]), jnp.asarray(cfd),
+                               jnp.asarray(cfp), dop, fs=fs,
+                               samples_per_code=spc, samples_per_chip=spchip,
+                               noncoherent=2)
+    r_single = acq.pcps_search(jnp.asarray(x[:2 * spc]), jnp.asarray(cfd),
+                               dop, fs=fs, samples_per_code=spc,
+                               samples_per_chip=spchip, noncoherent=2)
+    delay = int(round(delay_s * fs))
+    assert abs(int(r_comb.code_phase[0]) - delay) <= 2
+    assert float(r_comb.test_cfar[0]) > float(r_single.test_cfar[0])

@@ -133,3 +133,60 @@ def test_galileo_e5a_fnav_telemetry():
     # multiple of 10 s; spot-check epoch->TOW mapping consistency
     t = tlm.transmit_time(tlm.tow_ref.epoch, 0.0)
     assert t % 10.0 == 0.0
+
+
+def test_sbas_codes_and_message_roundtrip():
+    from gnss_sdr_tpu.models import codes as codes_mod
+    from gnss_sdr_tpu.models.nav import sbas
+
+    # SBAS PRNs generate valid, distinct Gold codes (DO-229 family)
+    c120 = codes_mod.gps_l1ca_code(120)
+    c138 = codes_mod.gps_l1ca_code(138)
+    assert len(c120) == 1023 and set(np.unique(c120)) == {-1.0, 1.0}
+    assert not np.array_equal(c120, c138)
+    # balanced like any Gold code (sum = +-1 or small)
+    assert abs(c120.sum()) <= 65
+
+    rng = np.random.default_rng(7)
+    msgs = [(2, rng.integers(0, 2, 212).astype(np.uint8)) for _ in range(4)]
+    sym01 = sbas.encode_stream(msgs)
+    soft = -(1.0 - 2.0 * sym01.astype(np.float64))   # +amp == bit1
+    found = sbas.decode_stream(soft)
+    assert len(found) >= 3
+    offs = [o for o, _, _ in found]
+    assert all(o2 - o1 == 250 for o1, o2 in zip(offs, offs[1:]))
+    for k, (_, mtype, data) in enumerate(found):
+        assert mtype == 2
+        np.testing.assert_array_equal(data, msgs[k][1])
+
+
+def test_sbas_telemetry_channel():
+    from gnss_sdr_tpu.models.nav import sbas
+    from gnss_sdr_tpu.receiver.telemetry import SbasL1Telemetry, make_telemetry
+
+    assert isinstance(make_telemetry("1C", 122), SbasL1Telemetry)
+    assert make_telemetry("1C", 22).__class__.__name__ == "GpsL1CaTelemetry"
+
+    # craft type-2 fast corrections with known PRCs
+    data = np.zeros(212, np.uint8)
+    data[0:2] = [0, 1]                         # IODF
+    prc_q = int(round(12.5 / 0.125))           # slot 0: +12.5 m
+    for i in range(12):
+        data[4 + i] = (prc_q >> (11 - i)) & 1
+    # all UDREI = 5 (monitored)
+    for k in range(13):
+        v = 5
+        for i in range(4):
+            data[160 + 4 * k + i] = (v >> (3 - i)) & 1
+    msgs = [(2, data)] * 5
+    sym01 = sbas.encode_stream(msgs)
+    amp = 60.0
+    sym_amp = amp * (1.0 - 2.0 * sym01.astype(np.float64))
+    prompts = np.repeat(sym_amp, 2)            # 2 epochs per symbol
+    rng = np.random.default_rng(9)
+    prompts = prompts + rng.normal(0, 12.0, len(prompts))
+    tlm = SbasL1Telemetry(prn=120)
+    _feed(tlm, prompts[3:], epoch0=41)         # mid-symbol start
+    assert tlm.message_count >= 2, tlm.message_count
+    assert abs(tlm.fast_corrections[0] - 12.5) < 1e-9
+    assert not tlm.have_tow
