@@ -72,6 +72,11 @@ class ReceiverConfig:
     track_pilot: bool = False
     # Kalman carrier tracking (reference GPS_L1_CA_KF_Tracking implementation)
     carrier_kf: bool = False
+    # GLONASS FDMA: orbital slot (PRN) -> frequency channel k; the published
+    # almanac assignment (reference gets k from GNAV almanac / config)
+    glonass_freq_slots: tuple = (
+        1, -4, 5, 6, 1, -4, 5, 6, -2, -7, 0, -1,
+        -2, -7, 0, -1, 4, -3, 3, 2, 4, -3, 3, 2)
     # observables / pvt
     obs_interval_ms: float = 20.0
     pvt_output_rate_ms: float = 100.0
@@ -108,6 +113,7 @@ class SignalGroup:
     def __init__(self, cfg: ReceiverConfig, signal: str, n_channels: int,
                  prns: tuple, global_id0: int):
         self.signal = signal
+        self.rx_cfg = cfg
         self.spec = constants.SIGNALS[signal]
         track_pilot = cfg.track_pilot and codes.has_pilot(signal)
         self.trk_cfg = trk.default_config(
@@ -137,6 +143,23 @@ class SignalGroup:
     @property
     def n_max(self) -> int:
         return self.trk_cfg.n_max
+
+    def if_freq_for(self, prn: int) -> float:
+        """Per-satellite IF: GLONASS FDMA slots sit at k * step from the
+        band center (reference: per-channel freq_xlating conditioning)."""
+        if self.spec.fdma_step_hz > 0.0:
+            slots = self.rx_cfg.glonass_freq_slots
+            k = slots[(prn - 1) % len(slots)]
+            return self.rx_cfg.if_freq_hz + k * self.spec.fdma_step_hz
+        return self.rx_cfg.if_freq_hz
+
+    def carrier_freq_for(self, prn: int) -> float:
+        """Per-satellite RF carrier (FDMA slot frequency for GLONASS)."""
+        if self.spec.fdma_step_hz > 0.0:
+            slots = self.rx_cfg.glonass_freq_slots
+            k = slots[(prn - 1) % len(slots)]
+            return self.spec.carrier_freq_hz + k * self.spec.fdma_step_hz
+        return self.spec.carrier_freq_hz
 
 
 class Receiver:
@@ -271,12 +294,35 @@ class Receiver:
         cf = np.stack([self._code_fft(g, p) for p in candidates])
         dopplers = acq_ops.make_doppler_grid(
             self.cfg.acq_doppler_max_hz, self.cfg.acq_doppler_step_hz)
-        res = acq_ops.pcps_search(
-            iq.split(chunk[: nc * slab]), cf, dopplers,
-            fs=self.cfg.fs, samples_per_code=g.spc,
-            samples_per_chip=max(1, int(self.cfg.fs / g.spec.code_rate_cps)),
-            noncoherent=nc)
-        cfar = np.asarray(res.test_cfar)
+        spchip = max(1, int(self.cfg.fs / g.spec.code_rate_cps))
+        if g.spec.fdma_step_hz > 0.0:
+            # FDMA: each candidate sits at its own slot IF — translate the
+            # dwell per candidate before the common PCPS grid (reference:
+            # per-channel Freq_Xlating conditioning for GLONASS)
+            head = chunk[: nc * slab]
+            t = np.arange(len(head)) / self.cfg.fs
+            cfars, phases, dops = [], [], []
+            for i, p in enumerate(candidates):
+                f_if = g.if_freq_for(p)
+                xlat = (head * np.exp(-2j * np.pi * f_if * t)
+                        ).astype(np.complex64)
+                r1 = acq_ops.pcps_search(
+                    iq.split(xlat), cf[i: i + 1], dopplers,
+                    fs=self.cfg.fs, samples_per_code=g.spc,
+                    samples_per_chip=spchip, noncoherent=nc)
+                cfars.append(float(r1.test_cfar[0]))
+                phases.append(int(r1.code_phase[0]))
+                dops.append(float(r1.doppler_hz[0]))
+            cfar = np.asarray(cfars)
+            code_phases, doppler_hz = phases, dops
+        else:
+            res = acq_ops.pcps_search(
+                iq.split(chunk[: nc * slab]), cf, dopplers,
+                fs=self.cfg.fs, samples_per_code=g.spc,
+                samples_per_chip=spchip, noncoherent=nc)
+            cfar = np.asarray(res.test_cfar)
+            code_phases = [int(v) for v in np.asarray(res.code_phase)]
+            doppler_hz = [float(v) for v in np.asarray(res.doppler_hz)]
         order = np.argsort(-cfar)
         for idx in order:
             if not idle:
@@ -285,9 +331,9 @@ class Receiver:
             if cfar[idx] < self.cfg.acq_threshold_cfar:
                 g.acq_backoff[prn] = self._chunk_index + 5
                 continue
-            delay = int(res.code_phase[idx])
-            doppler = float(res.doppler_hz[idx])
-            if self.cfg.acq_two_step:
+            delay = code_phases[int(idx)]
+            doppler = doppler_hz[int(idx)]
+            if self.cfg.acq_two_step and g.spec.fdma_step_hz == 0.0:
                 doppler = self._refine_doppler(g, chunk, prn, delay, doppler)
             # honor channel pinning from set_ch_satellite telecommands
             pinned_chs = [c for c in idle if g.pinned.get(c.ch_id) == prn]
@@ -300,7 +346,7 @@ class Receiver:
 
     def _assign_channel(self, g: SignalGroup, ch: Channel, prn: int,
                         delay: int, doppler: float) -> None:
-        fc = g.spec.carrier_freq_hz
+        fc = g.carrier_freq_for(prn)
         code_freq = g.spec.code_rate_cps * (1.0 + doppler / fc)
         # acquisition ran on the head of the *current* chunk, so the code
         # boundary at `delay` is directly usable — tracking starts this chunk
@@ -319,7 +365,7 @@ class Receiver:
             g.code_tables[ch.ch_id] = data_table
         g.trk_state = trk.start_channel(
             g.trk_state, ch.ch_id, code_freq=code_freq, doppler_hz=doppler,
-            sample_offset=int(delay), if_freq_hz=self.cfg.if_freq_hz)
+            sample_offset=int(delay), if_freq_hz=g.if_freq_for(prn))
         ch.prn = prn
         ch.state = "tracking"
         ch.telemetry = make_telemetry(g.signal, prn)
@@ -417,7 +463,7 @@ class Receiver:
                     chans.append(dict(prn=ch.prn, signal=g.signal,
                                       code_len=g.spec.code_length_chips,
                                       code_rate=g.spec.code_rate_cps,
-                                      if_freq=self.cfg.if_freq_hz,
+                                      if_freq=g.if_freq_for(ch.prn),
                                       record=rec, telemetry=ch.telemetry))
             obs = self.observables.compute(t, chans)
             if obs:
@@ -439,9 +485,12 @@ class Receiver:
                     iono = getattr(ch.telemetry.assembler, "iono", None)
                     if iono is not None and iono.valid:
                         self.iono = iono
+        group_by_sig = {g.signal: g for g in self.groups}
         inputs = [pvt_solver.ObsInput(
             prn=o.prn, pseudorange_m=o.pseudorange_m, doppler_hz=o.doppler_hz,
-            carrier_freq_hz=constants.SIGNALS[o.signal].carrier_freq_hz,
+            carrier_freq_hz=(group_by_sig[o.signal].carrier_freq_for(o.prn)
+                             if o.signal in group_by_sig else
+                             constants.SIGNALS[o.signal].carrier_freq_hz),
             t_tx_sv=o.t_tx_sv, cn0_dbhz=o.cn0_dbhz,
             system=constants.SIGNALS[o.signal].system) for o in obs]
         sol = pvt_solver.solve_pvt(

@@ -158,6 +158,9 @@ class TrackingState(NamedTuple):
     # Kalman carrier-tracking states (used when cfg.carrier_kf)
     kf_p: jax.Array             # float32 [C, 3, 3] covariance
     kf_acc: jax.Array           # float32 [C] Doppler rate estimate (Hz/s)
+    # per-channel intermediate frequency (GLONASS FDMA slots differ per SV;
+    # doppler = carrier_freq - if_freq must use the channel's own IF)
+    if_freq: jax.Array          # float32 [C] Hz
 
 
 class TrackingOutput(NamedTuple):
@@ -208,6 +211,7 @@ def init_state(n_channels: int, n_taps: int = 3) -> TrackingState:
         acc_cnt=z32.copy(),
         kf_p=kalman.kf_init_cov(c),
         kf_acc=zf.copy(),
+        if_freq=zf.copy(),
     )
 
 
@@ -230,6 +234,7 @@ def start_channel(state: TrackingState, ch: int, *, code_freq: float,
     st.rem_code_phase[ch] = rem_code_phase
     st.code_freq[ch] = code_freq
     st.carrier_freq[ch] = if_freq_hz + doppler_hz
+    st.if_freq[ch] = if_freq_hz
     st.carr_phase_frac[ch] = 0.0
     st.carr_phase_cycles[ch] = 0
     st.dll.acc1[ch] = 0.0
@@ -437,7 +442,7 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
                 acc1=jnp.where(kf_on, new_carrier_freq, new_pll.acc1),
                 acc2=jnp.where(kf_on, 0.0, new_pll.acc2))
 
-        doppler = new_carrier_freq - jnp.float32(cfg.if_freq_hz)
+        doppler = new_carrier_freq - st.if_freq
         aid = doppler * jnp.float32(cfg.code_to_carrier)
         new_code_freq = jnp.float32(cfg.code_rate_cps) + aid - code_cmd
         lock_metric = cn0_ops.carrier_lock_metric(new_cn0)
@@ -515,6 +520,7 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
             acc_cnt=jnp.where(boundary, 0, acc_cnt),
             kf_p=new_kf_p,
             kf_acc=new_kf_acc,
+            if_freq=st.if_freq,
         )
         return new_st, out
 

@@ -362,3 +362,31 @@ def test_kalman_carrier_tracking_doppler_ramp():
     assert abs(float(st.kf_acc[0]) - rate) < 20.0
     v = np.asarray(outs[-1].valid[:, 0])
     assert float(np.asarray(outs[-1].carrier_lock[:, 0])[v][-1]) > 0.85
+
+
+def test_glonass_fdma_slot_receiver():
+    """GLONASS FDMA: the receiver must acquire and track a satellite at its
+    slot frequency k*562.5 kHz away from band center (reference: per-channel
+    Freq_Xlating conditioning for 1G channels)."""
+    from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+    from gnss_sdr_tpu.io.sources import ArraySignalSource
+
+    spec = constants.SIGNALS["1G"]
+    fs = 8.0e6
+    prn = 3                                    # slot 3 -> k=5 (default map)
+    k = 5
+    f_if = k * spec.fdma_step_hz               # 2.8125 MHz
+    fd_true = -650.0
+    x = generator.generate(
+        spec, [generator.SatParams(prn=prn, cn0_dbhz=47.0,
+                                   doppler_hz=fd_true, code_delay_s=2e-4)],
+        fs, 0.9, seed=51, if_freq_hz=f_if)
+    cfg = ReceiverConfig(signal="1G", fs=fs, n_channels=1, prns=(prn,),
+                         chunk_ms=100, acq_doppler_step_hz=250.0,
+                         pvt_apply_tropo=False, pvt_apply_iono=False)
+    rx = Receiver(cfg)
+    assert rx.groups[0].if_freq_for(prn) == f_if
+    rx.run_source(ArraySignalSource(x, fs))
+    assert rx.tracked_prns() == [prn]
+    cf = float(rx.trk_state.carrier_freq[0])
+    assert abs(cf - (f_if + fd_true)) < 10.0
