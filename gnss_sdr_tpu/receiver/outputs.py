@@ -138,6 +138,20 @@ def attach_outputs(rx, conf) -> OutputSet:
         log.info("RTCM server on tcp/%d", srv.port)
         out.rtcm_server = srv
 
+    base_host = prop("PVT.rtk_base_address", "")
+    if base_host:
+        from gnss_sdr_tpu.receiver.pvt.rtk_engine import (RtcmBaseStation,
+                                                          RtkEngine)
+        station = RtcmBaseStation()
+        station.connect_tcp(base_host, int(prop("PVT.rtk_base_port", 2101)))
+        engine = RtkEngine(station,
+                           sigma_pr_m=float(prop("PVT.rtk_sigma_pr_m", 0.5)))
+        rx.obs_sinks.append(engine.push_rover_epoch)
+        out.closers.append(station.close)
+        out.rtk_engine = engine
+        log.info("RTK rover mode: base %s:%s", base_host,
+                 prop("PVT.rtk_base_port", 2101))
+
     def _addr_list(addr_key, port_key, default_port):
         addrs = str(prop(addr_key, "")).strip()
         if not addrs:

@@ -123,6 +123,33 @@ def deframe(data: bytes) -> list[np.ndarray]:
     return out
 
 
+def deframe_stream(data: bytes) -> tuple[list[np.ndarray], bytes]:
+    """Incremental deframer: returns (payload bits, unconsumed tail).
+
+    The tail holds a possibly-incomplete trailing frame so a TCP stream can
+    be fed in arbitrary pieces without duplicating messages.
+    """
+    out = []
+    i = 0
+    while True:
+        j = data.find(b"\xd3", i)
+        if j < 0:
+            return out, b""
+        if j + 3 > len(data):
+            return out, data[j:]
+        n = ((data[j + 1] & 0x03) << 8) | data[j + 2]
+        end = j + 3 + n + 3
+        if end > len(data):
+            return out, data[j:]
+        bits = _bytes_to_bits(data[j: j + 3 + n])
+        crc_rx = int.from_bytes(data[j + 3 + n: end], "big")
+        if fec.crc24q_bits(bits) == crc_rx:
+            out.append(bits[24:])
+            i = end
+        else:
+            i = j + 1
+
+
 def message_number(payload_bits: np.ndarray) -> int:
     return BitReader(payload_bits).u(12)
 

@@ -1,0 +1,173 @@
+"""RTK engine: consume a base-station RTCM stream, difference against the
+rover's own observables, and produce fixed/float baselines.
+
+Reference analog: the rover side of RTKLIB inside the reference PVT
+(``rtklib_rtkpos.cc`` fed by ``rtklib_rtcm3.cc`` stream input): 1005 gives
+the base position, 1019/1045 broadcast ephemerides, MSM7 the base
+observables; ``relpos()`` (our ``rtk.solve_rtk``) runs per matched epoch.
+"""
+
+from __future__ import annotations
+
+import logging
+import socket
+import threading
+
+import numpy as np
+
+from gnss_sdr_tpu import constants
+from gnss_sdr_tpu.receiver.pvt import rtcm, rtk
+
+log = logging.getLogger("gnss_sdr_tpu")
+
+# invert the MSM signal-slot mapping used by outputs.py per system
+_SIG_FROM_SLOT = {("G", 2): "1C", ("G", 15): "2S", ("G", 22): "L5",
+                  ("E", 2): "1B", ("E", 22): "5X"}
+
+
+class RtcmBaseStation:
+    """Decodes a base-station RTCM byte stream into epochs/ephemerides.
+
+    Feed bytes with :meth:`push_bytes` (or let :meth:`connect_tcp` spawn a
+    reader thread). Keeps the latest base position, ephemerides keyed
+    (system, prn), and a short history of MSM epochs for epoch matching.
+    """
+
+    def __init__(self, max_epochs: int = 20):
+        self.base_ecef: np.ndarray | None = None
+        self.ephemerides: dict = {}
+        self.epochs: list[tuple[float, str, list[rtcm.MsmObservation]]] = []
+        self._max_epochs = max_epochs
+        self._buf = b""
+        self._lock = threading.Lock()
+        self._sock = None
+        self._thread = None
+        self._stop = threading.Event()
+
+    # ------------------------------------------------------------- ingest
+    def push_bytes(self, data: bytes) -> None:
+        with self._lock:
+            payloads, self._buf = rtcm.deframe_stream(self._buf + data)
+            for p in payloads:
+                self._handle(p)
+
+    def _handle(self, payload_bits: np.ndarray) -> None:
+        msg = rtcm.message_number(payload_bits)
+        if msg == 1005:
+            d = rtcm.decode_1005(payload_bits)
+            self.base_ecef = d["ecef"]
+        elif msg == 1019:
+            e = rtcm.decode_1019(payload_bits)
+            self.ephemerides[("G", e.prn)] = e
+        elif msg == 1045:
+            e = rtcm.decode_1045(payload_bits)
+            self.ephemerides[("E", e.prn)] = e
+        elif msg in (rtcm.MSM7_GPS, rtcm.MSM7_GAL):
+            hdr, obs = rtcm.decode_msm7(payload_bits)
+            system = "G" if msg == rtcm.MSM7_GPS else "E"
+            tow = hdr["epoch_ms"] * 1e-3
+            self.epochs.append((tow, system, obs))
+            if len(self.epochs) > self._max_epochs:
+                self.epochs.pop(0)
+
+    def epoch_near(self, tow: float, tol_s: float = 0.05
+                   ) -> list[rtcm.MsmObservation] | None:
+        """All MSM observations (any system) within tol of the rover epoch."""
+        best: list[rtcm.MsmObservation] = []
+        for t, system, obs in self.epochs:
+            if abs(t - tow) <= tol_s:
+                best.extend(
+                    _tag(o, system) for o in obs)
+        return best or None
+
+    # ---------------------------------------------------------------- tcp
+    def connect_tcp(self, host: str, port: int, timeout_s: float = 5.0) -> None:
+        self._sock = socket.create_connection((host, port), timeout=timeout_s)
+        self._sock.settimeout(0.5)
+        self._thread = threading.Thread(target=self._reader, daemon=True)
+        self._thread.start()
+
+    def _reader(self) -> None:
+        while not self._stop.is_set():
+            try:
+                data = self._sock.recv(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            if not data:
+                break
+            self.push_bytes(data)
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+
+
+def _tag(o: rtcm.MsmObservation, system: str) -> rtcm.MsmObservation:
+    o.system = system          # annotate (MsmObservation is a dataclass)
+    return o
+
+
+class RtkEngine:
+    """Differences rover observables against the base stream per epoch.
+
+    Attach with ``rx.obs_sinks.append(engine.push_rover_epoch)``; fixed and
+    float solutions accumulate in ``solutions``.
+    """
+
+    def __init__(self, base: RtcmBaseStation, sigma_pr_m: float = 0.5,
+                 ratio_threshold: float = 3.0):
+        self.base = base
+        self.sigma_pr_m = sigma_pr_m
+        self.ratio_threshold = ratio_threshold
+        self.solutions: list[rtk.RtkSolution] = []
+
+    def push_rover_epoch(self, tick_sample: int, observables: list) -> None:
+        if self.base.base_ecef is None or not self.base.epochs:
+            return
+        o0 = observables[0]
+        tow = o0.t_tx_sv + o0.pseudorange_m / constants.SPEED_OF_LIGHT_M_S
+        base_obs = self.base.epoch_near(tow)
+        if base_obs is None:
+            return
+        rover = []
+        base_list = []
+        base_by_key = {}
+        for b in base_obs:
+            sig = _SIG_FROM_SLOT.get((getattr(b, "system", "G"), b.signal_id))
+            if sig is None:
+                continue
+            spec = constants.SIGNALS[sig]
+            lam = constants.SPEED_OF_LIGHT_M_S / spec.carrier_freq_hz
+            base_by_key[(spec.system, b.prn)] = rtk.RtkObs(
+                prn=b.prn, pseudorange_m=b.pseudorange_m,
+                carrier_phase_cycles=b.phase_range_m / lam,
+                carrier_freq_hz=spec.carrier_freq_hz,
+                cn0_dbhz=b.cn0_dbhz, system=spec.system)
+        for o in observables:
+            spec = constants.SIGNALS[o.signal]
+            key = (spec.system, o.prn)
+            if key not in base_by_key:
+                continue
+            rover.append(rtk.RtkObs(
+                prn=o.prn, pseudorange_m=o.pseudorange_m,
+                carrier_phase_cycles=o.carrier_phase_cycles,
+                carrier_freq_hz=spec.carrier_freq_hz,
+                cn0_dbhz=o.cn0_dbhz, system=spec.system,
+                t_tx_sv=o.t_tx_sv))
+            base_list.append(base_by_key[key])
+        if len(rover) < 5:
+            return
+        sol = rtk.solve_rtk(rover, base_list, self.base.base_ecef,
+                            self.base.ephemerides,
+                            sigma_pr_m=self.sigma_pr_m,
+                            ratio_threshold=self.ratio_threshold)
+        if sol.valid:
+            self.solutions.append(sol)

@@ -133,3 +133,61 @@ def test_rtk_ratio_declines_at_high_code_noise(world):
     # the float solution is still a valid DGNSS-quality baseline
     assert np.linalg.norm(sol.float_baseline_m
                           - (rover_ecef - base_ecef)) < 3.0
+
+
+def test_rtk_engine_from_rtcm_stream(world):
+    """End-to-end rover side: base RTCM bytes (1005 + 1019 + MSM7) ->
+    RtcmBaseStation -> RtkEngine fed with rover observables -> fixed
+    baseline (reference: rtklib rtcm3 stream input + relpos)."""
+    from gnss_sdr_tpu.receiver.observables import ChannelObservable
+    from gnss_sdr_tpu.receiver.pvt import rtcm
+    from gnss_sdr_tpu.receiver.pvt.rtk_engine import RtcmBaseStation, RtkEngine
+
+    ephs, base_ecef, prns = world
+    lat, lon, _ = TRUE_LLH
+    rover_ecef = base_ecef + geodesy.enu_to_ecef_offset(
+        np.array([21.0, 8.0, -1.5]), lat, lon)
+    rng = np.random.default_rng(17)
+    n_rov = {p: int(rng.integers(-5000, 5000)) for p in prns}
+    n_bas = {p: int(rng.integers(-5000, 5000)) for p in prns}
+    pr_sigma = 0.05
+
+    # --- base side: simulate observations, pack into RTCM ------------------
+    base_obs = _make_obs(ephs, prns, base_ecef, n_bas, clock_bias_s=-2e-4,
+                         rng=rng, pr_sigma=pr_sigma)
+    tow_base = base_obs[0].t_tx_sv + base_obs[0].pseudorange_m / C.SPEED_OF_LIGHT_M_S
+    msm = [rtcm.MsmObservation(prn=o.prn, signal_id=2,
+                               pseudorange_m=o.pseudorange_m,
+                               phase_range_m=o.carrier_phase_cycles * LAM,
+                               cn0_dbhz=44.0) for o in base_obs]
+    stream = b"".join([
+        rtcm.frame(rtcm.encode_1005(55, base_ecef)),
+        *[rtcm.frame(rtcm.encode_1019(ephs[p])) for p in prns],
+        rtcm.frame(rtcm.encode_msm7(rtcm.MSM7_GPS, 55,
+                                    int(round(tow_base * 1e3)), msm)),
+    ])
+
+    station = RtcmBaseStation()
+    for i in range(0, len(stream), 37):        # arbitrary fragmentation
+        station.push_bytes(stream[i: i + 37])
+    assert station.base_ecef is not None
+    np.testing.assert_allclose(station.base_ecef, base_ecef, atol=1e-3)
+    assert len(station.ephemerides) == len(prns)
+    assert len(station.epochs) == 1
+
+    # --- rover side: same epoch observables through the engine -------------
+    rov_obs = _make_obs(ephs, prns, rover_ecef, n_rov, clock_bias_s=3e-4,
+                        rng=rng, pr_sigma=pr_sigma)
+    rover_chan = [ChannelObservable(
+        prn=o.prn, signal="1C", t_tx_sv=o.t_tx_sv,
+        pseudorange_m=o.pseudorange_m,
+        carrier_phase_cycles=o.carrier_phase_cycles,
+        doppler_hz=0.0, cn0_dbhz=45.0) for o in rov_obs]
+    engine = RtkEngine(station, sigma_pr_m=pr_sigma)
+    engine.push_rover_epoch(0, rover_chan)
+    assert engine.solutions, "no RTK solution produced"
+    sol = engine.solutions[-1]
+    assert sol.fixed, f"ratio {sol.ratio:.2f}"
+    err = np.linalg.norm(sol.baseline_m - (rover_ecef - base_ecef))
+    # RTCM 1019 quantizes the ephemeris; cm-level agreement expected
+    assert err < 0.05, f"baseline error {err*100:.1f} cm"
