@@ -67,7 +67,8 @@ def attach_outputs(rx, conf) -> OutputSet:
     if obs_path:
         from gnss_sdr_tpu.receiver.pvt.rinex import RinexObsWriter
         sigs = sorted({g.signal for g in rx.groups})
-        w = RinexObsWriter(obs_path, sigs)
+        w = RinexObsWriter(obs_path, sigs,
+                           version=str(prop("PVT.rinex_version", "3.02")))
 
         def push_obs(tick, observables, _w=w):
             week = rx.fixes[-1].week if rx.fixes else 0

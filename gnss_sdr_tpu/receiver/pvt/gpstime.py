@@ -28,3 +28,13 @@ def datetime_to_gps(t: datetime.datetime,
     dt = (t - GPS_EPOCH).total_seconds() + leap_seconds
     week = int(dt // 604800)
     return week, dt - week * 604800.0
+
+
+def gpsdatetime_to_gps(t: datetime.datetime) -> tuple[int, float]:
+    """Datetime on the GPS timescale -> (week, tow); inverse of
+    gps_to_gpsdatetime."""
+    if t.tzinfo is None:
+        t = t.replace(tzinfo=datetime.timezone.utc)
+    dt = (t - GPS_EPOCH).total_seconds()
+    week = int(dt // 604800)
+    return week, dt - week * 604800.0

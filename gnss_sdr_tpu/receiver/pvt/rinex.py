@@ -31,12 +31,14 @@ def _f1912(x: float) -> str:
 
 
 class RinexObsWriter:
-    """Streaming RINEX 3.02 observation writer."""
+    """Streaming RINEX observation writer (3.02 default, 2.11 option —
+    the reference emits both, PVT.rinex_version)."""
 
     def __init__(self, path, signals: list[str], approx_pos=(0.0, 0.0, 0.0),
-                 marker: str = "GNSS_SDR_TPU"):
+                 marker: str = "GNSS_SDR_TPU", version: str = "3.02"):
         self.path = pathlib.Path(path)
         self.signals = signals
+        self.version = str(version)
         self._systems = sorted({_SYS_OF_SIGNAL[s] for s in signals})
         self._f = open(self.path, "w")
         self._wrote_header = False
@@ -44,6 +46,9 @@ class RinexObsWriter:
         self._marker = marker
 
     def _header(self, week: int, tow: float) -> None:
+        if self.version.startswith("2"):
+            self._header_v2(week, tow)
+            return
         f = self._f
         f.write(_hline("     3.02           OBSERVATION DATA    M: Mixed",
                        "RINEX VERSION / TYPE"))
@@ -73,6 +78,26 @@ class RinexObsWriter:
         f.write(_hline("", "END OF HEADER"))
         self._wrote_header = True
 
+    def _header_v2(self, week: int, tow: float) -> None:
+        f = self._f
+        f.write(_hline("     2.11           OBSERVATION DATA    M (MIXED)",
+                       "RINEX VERSION / TYPE"))
+        now = datetime.datetime.now(datetime.timezone.utc)
+        f.write(_hline(f"gnss_sdr_tpu        CTTC-TPU            {now:%Y%m%d %H%M%S} UTC",
+                       "PGM / RUN BY / DATE"))
+        f.write(_hline(self._marker, "MARKER NAME"))
+        x, y, z = self._approx
+        f.write(_hline(f"{x:14.4f}{y:14.4f}{z:14.4f}", "APPROX POSITION XYZ"))
+        f.write(_hline(f"{4:6d}    C1    L1    D1    S1",
+                       "# / TYPES OF OBSERV"))
+        t = gps_to_gpsdatetime(week, tow)
+        f.write(_hline(
+            f"  {t.year:4d}    {t.month:2d}    {t.day:2d}    {t.hour:2d}"
+            f"    {t.minute:2d}   {t.second + t.microsecond / 1e6:10.7f}"
+            f"     GPS", "TIME OF FIRST OBS"))
+        f.write(_hline("", "END OF HEADER"))
+        self._wrote_header = True
+
     def write_epoch(self, week: int, tow: float, observables: list) -> None:
         """observables: list of ChannelObservable."""
         if not observables:
@@ -81,9 +106,22 @@ class RinexObsWriter:
             self._header(week, tow)
         t = gps_to_gpsdatetime(week, tow)
         sec = t.second + t.microsecond / 1e6
+        if self.version.startswith("2"):
+            sats = "".join(f"{_SYS_OF_SIGNAL[o.signal]}{o.prn:02d}"
+                           for o in observables[:12])
+            self._f.write(
+                f" {t.year % 100:02d} {t.month:2d} {t.day:2d} {t.hour:2d} "
+                f"{t.minute:2d}{sec:11.7f}  0{len(observables):3d}{sats}\n")
+            for o in observables:
+                self._f.write(
+                    f"{o.pseudorange_m:14.3f}  "
+                    f"{o.carrier_phase_cycles:14.3f}  "
+                    f"{o.doppler_hz:14.3f}  "
+                    f"{o.cn0_dbhz:14.3f}\n")
+            self._f.flush()
+            return
         self._f.write(f"> {t.year:4d} {t.month:02d} {t.day:02d} {t.hour:02d} "
                       f"{t.minute:02d}{sec:11.7f}  0{len(observables):3d}\n")
-        lam = {}
         for o in observables:
             sys = _SYS_OF_SIGNAL[o.signal]
             self._f.write(
@@ -96,6 +134,53 @@ class RinexObsWriter:
 
     def close(self) -> None:
         self._f.close()
+
+
+class RinexObsReader:
+    """RINEX 3.x observation reader for the subset this framework writes
+    (C/L/D/S per signal). Reference analog: the obs-input side of RTKLIB
+    (rtklib_rinex); enough to replay logged epochs into the RTK engine.
+
+    Returns epochs as (week_tow_tuple, [dict(system, prn, pseudorange_m,
+    carrier_phase_cycles, doppler_hz, cn0_dbhz)]).
+    """
+
+    def __init__(self, path):
+        self.path = pathlib.Path(path)
+
+    def read_epochs(self) -> list:
+        from gnss_sdr_tpu.receiver.pvt.gpstime import gpsdatetime_to_gps
+        out = []
+        lines = self.path.read_text().splitlines()
+        i = 0
+        while i < len(lines) and "END OF HEADER" not in lines[i]:
+            i += 1
+        i += 1
+        while i < len(lines):
+            ln = lines[i]
+            if not ln.startswith(">"):
+                i += 1
+                continue
+            parts = ln[1:].split()
+            y, mo, d, h, mi = map(int, parts[:5])
+            sec = float(parts[5])
+            n = int(parts[7])
+            week, tow = gpsdatetime_to_gps(
+                datetime.datetime(y, mo, d, h, mi, int(sec),
+                                  int((sec % 1) * 1e6)))
+            epoch = []
+            for k in range(n):
+                i += 1
+                row = lines[i]
+                epoch.append(dict(
+                    system=row[0], prn=int(row[1:3]),
+                    pseudorange_m=float(row[3:17]),
+                    carrier_phase_cycles=float(row[19:33]),
+                    doppler_hz=float(row[35:49]),
+                    cn0_dbhz=float(row[51:65])))
+            out.append(((week, tow), epoch))
+            i += 1
+        return out
 
 
 class RinexNavWriter:

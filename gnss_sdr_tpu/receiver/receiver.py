@@ -82,6 +82,8 @@ class ReceiverConfig:
     pvt_output_rate_ms: float = 100.0
     pvt_apply_tropo: bool = True
     pvt_apply_iono: bool = True
+    # apply SBAS fast corrections (PR + PRC) from tracked SBAS channels
+    pvt_apply_sbas: bool = True
     # tracing dumps (reference: per-block dump=true -> .dat/.mat)
     dump_dir: str | None = None
 
@@ -485,9 +487,25 @@ class Receiver:
                     iono = getattr(ch.telemetry.assembler, "iono", None)
                     if iono is not None and iono.valid:
                         self.iono = iono
+        # SBAS fast corrections: slot -> PRN via the type-1 mask (DO-229;
+        # PR_corrected = PR + PRC), applied to matching GPS observables
+        sbas_prc: dict[tuple, float] = {}
+        if self.cfg.pvt_apply_sbas:
+            for g in self.groups:
+                for ch in g.channels:
+                    tlm = ch.telemetry
+                    if (ch.state == "tracking" and tlm is not None
+                            and hasattr(tlm, "fast_corrections")):
+                        mask = getattr(tlm, "prn_mask", [])
+                        for slot, prc in tlm.fast_corrections.items():
+                            if slot < len(mask):
+                                sbas_prc[("G", mask[slot])] = prc
         group_by_sig = {g.signal: g for g in self.groups}
         inputs = [pvt_solver.ObsInput(
-            prn=o.prn, pseudorange_m=o.pseudorange_m, doppler_hz=o.doppler_hz,
+            prn=o.prn,
+            pseudorange_m=o.pseudorange_m + sbas_prc.get(
+                (constants.SIGNALS[o.signal].system, o.prn), 0.0),
+            doppler_hz=o.doppler_hz,
             carrier_freq_hz=(group_by_sig[o.signal].carrier_freq_for(o.prn)
                              if o.signal in group_by_sig else
                              constants.SIGNALS[o.signal].carrier_freq_hz),

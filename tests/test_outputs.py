@@ -99,3 +99,34 @@ def test_attach_outputs_files_and_rtcm(tmp_path):
     assert "END OF HEADER" in (tmp_path / "out.obs").read_text()
     nav_text = (tmp_path / "out.nav").read_text()
     assert "END OF HEADER" in nav_text and len(nav_text.splitlines()) > 10
+
+
+def test_sbas_fast_corrections_applied_in_pvt(monkeypatch):
+    """A tracked SBAS channel's fast corrections must be added to the
+    matching GPS pseudoranges before the solver (PR + PRC, DO-229)."""
+    from gnss_sdr_tpu.receiver import receiver as rxmod
+
+    rx = Receiver(ReceiverConfig(fs=2.0e6, n_channels=2))
+    ch = rx.groups[0].channels[0]
+    ch.state = "tracking"
+    ch.prn = 120
+
+    class FakeSbas:
+        prn_mask = [7, 13, 21]
+        fast_corrections = {0: +3.25, 2: -1.5}
+        def ephemeris(self):
+            return None
+        assembler = type("A", (), {"iono": None})()
+    ch.telemetry = FakeSbas()
+
+    seen = {}
+    def fake_solve(inputs, ephs, **kw):
+        seen["pr"] = {i.prn: i.pseudorange_m for i in inputs}
+        from gnss_sdr_tpu.receiver.pvt.solver import PvtSolution
+        return PvtSolution(valid=False)
+    monkeypatch.setattr(rxmod.pvt_solver, "solve_pvt", fake_solve)
+
+    obs = _observables()                  # PRNs 7 and 13 on 1C
+    rx._run_pvt(obs)
+    assert abs(seen["pr"][7] - (obs[0].pseudorange_m + 3.25)) < 1e-9
+    assert abs(seen["pr"][13] - obs[1].pseudorange_m) < 1e-9   # slot 1 absent

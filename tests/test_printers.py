@@ -110,3 +110,47 @@ def test_rinex_nav(tmp_path):
     vals = [float(v.replace("D", "E")) for v in re.findall(r"[ -]\d\.\d{12}D[+-]\d{2}", body)]
     assert any(abs(v - eph.sqrt_a) < 1e-6 for v in vals)
     assert any(abs(v - eph.m0) < 1e-9 for v in vals)
+
+
+def test_rinex_obs_roundtrip_via_reader(tmp_path):
+    from gnss_sdr_tpu.receiver.observables import ChannelObservable
+    from gnss_sdr_tpu.receiver.pvt.rinex import RinexObsReader, RinexObsWriter
+    obs = [ChannelObservable(prn=7, signal="1C", t_tx_sv=352799.93,
+                             pseudorange_m=21_936_123.456,
+                             carrier_phase_cycles=1234.5,
+                             doppler_hz=820.0, cn0_dbhz=44.0),
+           ChannelObservable(prn=11, signal="1B", t_tx_sv=352799.92,
+                             pseudorange_m=23_101_987.125,
+                             carrier_phase_cycles=-321.25,
+                             doppler_hz=-1200.5, cn0_dbhz=41.5)]
+    p = tmp_path / "o.obs"
+    w = RinexObsWriter(p, ["1C", "1B"])
+    w.write_epoch(2245, 352800.0, obs)
+    w.write_epoch(2245, 352800.02, obs)
+    w.close()
+    epochs = RinexObsReader(p).read_epochs()
+    assert len(epochs) == 2
+    (week, tow), rows = epochs[0]
+    assert week == 2245 and abs(tow - 352800.0) < 1e-6
+    assert rows[0]["system"] == "G" and rows[0]["prn"] == 7
+    assert abs(rows[0]["pseudorange_m"] - 21_936_123.456) < 1e-3
+    assert rows[1]["system"] == "E" and rows[1]["prn"] == 11
+    assert abs(rows[1]["doppler_hz"] + 1200.5) < 1e-3
+
+
+def test_rinex_211_writer(tmp_path):
+    from gnss_sdr_tpu.receiver.observables import ChannelObservable
+    from gnss_sdr_tpu.receiver.pvt.rinex import RinexObsWriter
+    obs = [ChannelObservable(prn=7, signal="1C", t_tx_sv=352799.93,
+                             pseudorange_m=21_936_123.456,
+                             carrier_phase_cycles=1234.5,
+                             doppler_hz=820.0, cn0_dbhz=44.0)]
+    p = tmp_path / "o211.obs"
+    w = RinexObsWriter(p, ["1C"], version="2.11")
+    w.write_epoch(2245, 352800.0, obs)
+    w.close()
+    text = p.read_text()
+    assert "2.11" in text.splitlines()[0]
+    assert "# / TYPES OF OBSERV" in text
+    assert "G07" in text
+    assert "21936123.456" in text
