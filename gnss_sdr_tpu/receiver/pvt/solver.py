@@ -31,6 +31,28 @@ class ObsInput:
     t_tx_sv: float             # transmit time in SV clock (s of week)
     cn0_dbhz: float = 45.0
     system: str = "G"          # constellation: G(PS) E(Galileo) R(GLONASS) C(BeiDou)
+    iono_free: bool = False    # True: skip the ionosphere model (dual-freq)
+
+
+def combine_iono_free(obs: list["ObsInput"]) -> list["ObsInput"]:
+    """Merge dual-frequency observations of the same satellite into the
+    first-order iono-free pseudorange combination
+    PR_IF = (f1^2 PR1 - f2^2 PR2) / (f1^2 - f2^2)  (RTKLIB ionocorr/IFLC
+    role, rtklib_pntpos.cc). Single-frequency satellites pass through."""
+    by_sat: dict[tuple, list[ObsInput]] = {}
+    for o in obs:
+        by_sat.setdefault((o.system, o.prn), []).append(o)
+    out = []
+    for sat, group in by_sat.items():
+        if len(group) < 2:
+            out.extend(group)
+            continue
+        group = sorted(group, key=lambda o: -o.carrier_freq_hz)
+        o1, o2 = group[0], group[1]
+        f1sq, f2sq = o1.carrier_freq_hz ** 2, o2.carrier_freq_hz ** 2
+        pr = (f1sq * o1.pseudorange_m - f2sq * o2.pseudorange_m) / (f1sq - f2sq)
+        out.append(dataclasses.replace(o1, pseudorange_m=pr, iono_free=True))
+    return out
 
 
 @dataclasses.dataclass
@@ -183,7 +205,8 @@ def solve_pvt(obs: list[ObsInput], ephemerides: dict,
                 az, el = geodesy.az_el(x[:3], sp)
                 used[i] = el > el_mask_rad
                 w[i] = np.sin(el) ** 2 if el > 0 else 1e-4
-                if iono is not None and iono.valid:
+                if (iono is not None and iono.valid
+                        and not usable[i].iono_free):
                     d_l1 = atmosphere.klobuchar_delay(
                         iono.alpha, iono.beta, lat, lon, az, el,
                         usable[i].t_tx_sv)

@@ -511,6 +511,8 @@ class Receiver:
                              constants.SIGNALS[o.signal].carrier_freq_hz),
             t_tx_sv=o.t_tx_sv, cn0_dbhz=o.cn0_dbhz,
             system=constants.SIGNALS[o.signal].system) for o in obs]
+        # dual-frequency satellites: first-order iono-free combination
+        inputs = pvt_solver.combine_iono_free(inputs)
         sol = pvt_solver.solve_pvt(
             inputs, self.ephemerides,
             iono=self.iono if self.cfg.pvt_apply_iono else None,

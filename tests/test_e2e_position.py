@@ -76,3 +76,15 @@ def test_dops_reported(e2e_run):
     f = rx.fixes[-1]
     assert 0.5 < f.pdop < 10.0
     assert f.n_sats >= 4
+
+
+def test_time_to_first_fix(e2e_run):
+    """TTFF (reference system test ttff.cc): cold start -> first valid fix
+    within the reference's 90 s budget; on this clean 47 dBHz scenario it
+    must arrive as soon as 4+ ephemerides complete (< 32 s)."""
+    sc, rx = e2e_run
+    assert rx.fixes, "no fix at all"
+    first = rx.fixes[0]
+    ttff_s = first.tow_s - sc.t0_gps
+    assert 0.0 < ttff_s < 90.0, ttff_s          # reference TTFF budget
+    assert ttff_s < 32.0, f"cold-start TTFF {ttff_s:.1f} s"

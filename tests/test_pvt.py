@@ -158,3 +158,35 @@ def test_pvt_single_system_unchanged(world):
     sol = solver.solve_pvt(obs, ephs, iono=None, apply_tropo=False)
     assert sol.valid and np.linalg.norm(sol.pos_ecef - rcv) < 0.02
     assert list(sol.system_clock_s) == ["G"]
+
+
+def test_dual_frequency_iono_free(world):
+    """L1+L5 observations with a 1/f^2 iono delay: the iono-free
+    combination must remove the bias without any broadcast iono model."""
+    ephs, rcv, vis = world
+    f1, f5 = 1_575_420_000.0, 1_176_450_000.0
+    vtec_m_l1 = 4.0                      # vertical iono delay on L1 (m)
+    obs = []
+    for prn, az, el in vis[:8]:
+        slant = vtec_m_l1 / max(np.sin(el), 0.2)   # obliquity: el-dependent
+        o1 = constellation.simulate_observation(ephs[prn], rcv, T_RX,
+                                                carrier_freq_hz=f1)
+        o5 = constellation.simulate_observation(ephs[prn], rcv, T_RX,
+                                                carrier_freq_hz=f5)
+        o1.pseudorange_m += slant
+        o5.pseudorange_m += slant * (f1 / f5) ** 2
+        obs.extend([o1, o5])
+    combined = solver.combine_iono_free(obs)
+    n_sats = len({prn for prn, _, _ in vis[:8]})
+    assert len(combined) == n_sats and all(o.iono_free for o in combined)
+    sol = solver.solve_pvt(combined, ephs, iono=None, apply_tropo=False)
+    assert sol.valid
+    err = np.linalg.norm(sol.pos_ecef - rcv)
+    assert err < 0.02, f"iono-free error {err:.3f} m"
+
+    # single-frequency without a model keeps the bias (mostly in clock, but
+    # geometry leaks several decimeters into position)
+    sol1 = solver.solve_pvt([o for o in obs if o.carrier_freq_hz == f1],
+                            ephs, iono=None, apply_tropo=False)
+    err1 = np.linalg.norm(sol1.pos_ecef - rcv)
+    assert err1 > err
