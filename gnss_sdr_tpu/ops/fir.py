@@ -93,3 +93,85 @@ def freq_translate(x: jax.Array, f_shift_hz: float, fs: float,
     n = n0 + jnp.arange(z.shape[0])
     ph = -2.0 * np.pi * f_shift_hz / fs * n
     return iq.as_iq2(z * jnp.exp(1j * ph.astype(jnp.float32)))
+
+
+# ---------------------------------------------------------------------------
+# Fractional (MMSE) resampler — reference Mmse_Resampler
+# ---------------------------------------------------------------------------
+
+
+def _sinc_bank(n_phases: int = 128, n_taps: int = 8) -> np.ndarray:
+    """Polyphase windowed-sinc interpolation bank [n_phases, n_taps]."""
+    h = np.zeros((n_phases, n_taps), np.float32)
+    center = n_taps // 2 - 1
+    for ph in range(n_phases):
+        mu = ph / n_phases
+        t = np.arange(n_taps) - center - mu
+        w = np.hamming(2 * n_taps)[n_taps // 2: n_taps // 2 + n_taps]
+        h[ph] = (np.sinc(t) * w).astype(np.float32)
+        h[ph] /= h[ph].sum()
+    return h
+
+
+@functools.partial(jax.jit, static_argnames=("n_out_max",))
+def fractional_resample_chunk(x2: jax.Array, pos0: jax.Array,
+                              ratio: jax.Array, bank: jax.Array,
+                              *, n_out_max: int) -> tuple[jax.Array, jax.Array]:
+    """Polyphase sinc interpolation (reference Mmse_Resampler analog).
+
+    Args:
+      x2: [N, 2] float32 split-IQ input (complex accepted in-trace).
+      pos0: float32 fractional input position of output sample 0.
+      ratio: float32 input samples per output sample (fs_in / fs_out).
+      bank: [P, T] float32 polyphase filter bank (_sinc_bank()).
+      n_out_max: static output buffer length.
+
+    Returns (y2 [n_out_max, 2], n_valid): entries past n_valid are zero.
+    The caller advances pos0 by n_valid * ratio - consumed for streaming.
+    """
+    x2 = iq.as_iq2(x2)
+    n_in = x2.shape[0]
+    n_ph, n_taps = bank.shape
+    center = n_taps // 2 - 1
+    k = jnp.arange(n_out_max, dtype=jnp.float32)
+    pos = pos0 + k * ratio                              # [M]
+    base = jnp.floor(pos).astype(jnp.int32)
+    mu = pos - base.astype(jnp.float32)
+    ph = jnp.clip((mu * n_ph).astype(jnp.int32), 0, n_ph - 1)
+    valid = (base - center >= 0) & (base - center + n_taps <= n_in)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    safe = jnp.clip(base - center, 0, max(n_in - n_taps, 0))
+    idx = safe[:, None] + jnp.arange(n_taps, dtype=jnp.int32)[None, :]
+    taps = bank[ph]                                     # [M, T]
+    win = x2[idx]                                       # [M, T, 2]
+    y2 = jnp.einsum("mt,mtc->mc", taps, win)
+    y2 = y2 * valid[:, None].astype(jnp.float32)
+    return y2.astype(jnp.float32), n_valid
+
+
+class StreamingFractionalResampler:
+    """Host wrapper: arbitrary fs_in -> fs_out over chunked input
+    (reference Mmse_Resampler adapter)."""
+
+    def __init__(self, fs_in: float, fs_out: float, n_taps: int = 8):
+        self.ratio = fs_in / fs_out
+        self.bank = _sinc_bank(n_taps=n_taps)
+        self._tail = np.zeros((0, 2), np.float32)
+        self._pos = float(n_taps)        # start clear of the left edge
+        self.n_taps = n_taps
+
+    def __call__(self, x) -> np.ndarray:
+        x2 = np.concatenate([self._tail, iq.split(x)], axis=0)
+        n_in = len(x2)
+        n_out_max = int(np.ceil(n_in / self.ratio)) + 2
+        y2, n_valid = fractional_resample_chunk(
+            x2, np.float32(self._pos), np.float32(self.ratio), self.bank,
+            n_out_max=n_out_max)
+        n_valid = int(n_valid)
+        y = np.asarray(y2)[:n_valid]
+        # keep enough tail for the interpolation window, rebase position
+        next_pos = self._pos + n_valid * self.ratio
+        keep_from = max(0, int(np.floor(next_pos)) - self.n_taps)
+        self._tail = x2[keep_from:]
+        self._pos = next_pos - keep_from
+        return y

@@ -616,26 +616,33 @@ class Receiver:
 
     def run_file_source(self, source, max_chunks: int | None = None) -> None:
         """Run from a source whose rate may exceed the internal rate; a
-        decimating FIR conditioner bridges the rates (reference:
+        decimating FIR (integer ratios) or polyphase fractional resampler
+        (reference Mmse_Resampler) bridges the rates (reference:
         SignalConditioner = DataTypeAdapter -> InputFilter -> Resampler)."""
-        from gnss_sdr_tpu.ops.fir import StreamingFir, design_lowpass
+        from gnss_sdr_tpu.ops.fir import (StreamingFir,
+                                          StreamingFractionalResampler,
+                                          design_lowpass)
 
         ratio = source.fs / self.cfg.fs
         if abs(ratio - 1.0) < 1e-9:
             return self.run_source(source, max_chunks)
         decim = int(round(ratio))
-        if abs(ratio - decim) > 1e-9:
-            raise NotImplementedError(
-                f"non-integer resampling {source.fs}->{self.cfg.fs} "
-                "not supported yet")
-        taps = design_lowpass(decim * 16 + 1, 0.8 / decim)
-        fir = StreamingFir(taps, decim=decim)
+        if abs(ratio - decim) < 1e-9:
+            taps = design_lowpass(decim * 16 + 1, 0.8 / decim)
+            cond = StreamingFir(taps, decim=decim)
+            block_len = self.chunk_len * decim
+        else:
+            # anti-alias at the output Nyquist, then fractional interpolation
+            lp = StreamingFir(design_lowpass(33, 0.8 / ratio))
+            frac = StreamingFractionalResampler(source.fs, self.cfg.fs)
+            cond = lambda x: frac(lp(x))
+            block_len = int(round(self.chunk_len * ratio))
         n = 0
         while max_chunks is None or n < max_chunks:
-            block = source.read(self.chunk_len * decim)
-            if len(block) < decim:
+            block = source.read(block_len)
+            if len(block) < 2:
                 break
-            self.process(np.asarray(fir(block)))
+            self.process(np.asarray(cond(block)))
             n += 1
 
     # ------------------------------------------------------------- queries
