@@ -390,3 +390,36 @@ def test_glonass_fdma_slot_receiver():
     assert rx.tracked_prns() == [prn]
     cf = float(rx.trk_state.carrier_freq[0])
     assert abs(cf - (f_if + fd_true)) < 10.0
+
+
+def test_galileo_e5a_signal_level_chain():
+    """E5a-I at full 10.23 Mcps through the receiver: acquisition, tracking
+    (CS20 overlay present in the generated signal), and the F/NAV telemetry
+    channel reaching secondary-code symbol sync."""
+    from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+    from gnss_sdr_tpu.io.sources import ArraySignalSource
+    from gnss_sdr_tpu.models.nav import galileo_fnav
+    from test_lnav import sample_ephemeris
+
+    spec = constants.SIGNALS["5X"]
+    fs = 12.0e6
+    prn, fd_true, delay_s = 2, 420.0, 3.1e-4
+    eph = sample_ephemeris()
+    sym01 = galileo_fnav.encode_stream(eph, 352800.0, n_pages=1)
+    bits = generator.lnav_bits_to_symbols(sym01)
+    x = generator.generate(
+        spec, [generator.SatParams(prn=prn, cn0_dbhz=50.0,
+                                   doppler_hz=fd_true,
+                                   code_delay_s=delay_s, data_bits=bits)],
+        fs, 2.2, seed=71)
+    cfg = ReceiverConfig(signal="5X", fs=fs, n_channels=1, prns=(prn,),
+                         chunk_ms=100, acq_doppler_step_hz=125.0,
+                         pll_bw_hz=25.0, dll_bw_hz=2.0,
+                         pvt_apply_tropo=False, pvt_apply_iono=False)
+    rx = Receiver(cfg)
+    rx.run_source(ArraySignalSource(x, fs))
+    assert rx.tracked_prns() == [prn]
+    assert abs(float(rx.trk_state.carrier_freq[0]) - fd_true) < 10.0
+    tlm = rx.groups[0].channels[0].telemetry
+    assert tlm.__class__.__name__ == "GalileoE5aTelemetry"
+    assert tlm.bit_phase is not None           # CS20 symbol sync achieved
