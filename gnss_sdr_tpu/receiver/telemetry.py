@@ -738,6 +738,109 @@ class SbasL1Telemetry:
         return None
 
 
+class BeidouB1IGeoTelemetry:
+    """BeiDou B1I D2 telemetry (GEO PRN 1-5): 500 bps, no NH overlay.
+
+    Reference analog: the D2 branch of beidou_b1i_telemetry_decoder_gs.cc.
+    One bit = 2 code epochs; subframe-1 pages (300 bits / 0.6 s) carry the
+    ephemeris split over ten pages (models/nav/beidou_d2.py).
+    """
+
+    def __init__(self, prn: int):
+        from gnss_sdr_tpu.models.nav import beidou_d2
+        self._d2 = beidou_d2
+        self.prn = prn
+        self.assembler = beidou_d2.D2Assembler(prn)
+        self._epochs = np.zeros(0, np.int64)
+        self._prompts = np.zeros(0, np.float64)
+        self.bit_phase: int | None = None      # epoch phase of bit start
+        self._polarity = 1.0
+        self._anchor: int | None = None        # bit index of a page start
+        self._decoded_upto = 0
+        self.page_count = 0
+        self.tow_ref: TowReference | None = None
+
+    def push(self, epoch_indices, prompts_i) -> None:
+        if len(epoch_indices) == 0:
+            return
+        self._epochs = np.concatenate(
+            [self._epochs, np.asarray(epoch_indices, np.int64)])
+        self._prompts = np.concatenate(
+            [self._prompts, np.asarray(prompts_i, np.float64)])
+        self._decode()
+
+    def _bits(self):
+        p = self._prompts
+        e0 = int(self._epochs[0])
+        if self.bit_phase is None:
+            if len(p) < 600:
+                return None, None
+            best, best_e = None, -1.0
+            for ph in range(2):
+                off = (ph - e0) % 2
+                n_b = (len(p) - off) // 2
+                seg = p[off: off + 2 * n_b].reshape(n_b, 2).sum(axis=1)
+                e = float(np.mean(np.abs(seg)))
+                if e > best_e:
+                    best_e, best = e, ph
+            self.bit_phase = best
+        off = (self.bit_phase - e0) % 2
+        n_b = (len(p) - off) // 2
+        soft = p[off: off + 2 * n_b].reshape(n_b, 2).sum(axis=1)
+        starts = e0 + off + np.arange(n_b, dtype=np.int64) * 2
+        return soft, starts
+
+    def _decode(self) -> None:
+        soft, starts = self._bits()
+        if soft is None:
+            return
+        n = len(soft)
+        pre_pm = 1.0 - 2.0 * self._d2.d1.PREAMBLE.astype(np.float64)
+        if self._anchor is None:
+            for i in range(0, n - 300):
+                c = float(np.dot(np.sign(soft[i: i + 11]), pre_pm))
+                if abs(c) != 11:
+                    continue
+                pol = 1.0 if c > 0 else -1.0
+                bits = ((1 - pol * np.sign(soft[i: i + 300])) // 2
+                        ).astype(np.uint8)
+                if self._d2.decode_page(bits) is None:
+                    continue
+                self._anchor = i
+                self._polarity = pol
+                self._decoded_upto = i
+                break
+            if self._anchor is None:
+                return
+        while self._decoded_upto + 300 <= n:
+            i = self._decoded_upto
+            bits = ((1 - self._polarity * np.sign(soft[i: i + 300])) // 2
+                    ).astype(np.uint8)
+            res = self._d2.decode_page(bits)
+            if res is not None:
+                pnum, sow, fields = res
+                self.assembler.push(pnum, fields)
+                self.page_count += 1
+                self.tow_ref = TowReference(tow_s=sow, epoch=int(starts[i]),
+                                            polarity=int(self._polarity))
+            self._decoded_upto = i + 300
+
+    @property
+    def have_tow(self) -> bool:
+        return self.tow_ref is not None
+
+    def transmit_time(self, epoch: int, chips: float, code_len: int = 2046,
+                      code_rate: float = 2.046e6) -> float | None:
+        """BDT seconds of week."""
+        if self.tow_ref is None:
+            return None
+        de = epoch - self.tow_ref.epoch
+        return self.tow_ref.tow_s + (de * code_len + chips) / code_rate
+
+    def ephemeris(self):
+        return self.assembler.ephemeris()
+
+
 def make_telemetry(signal: str, prn: int):
     """Telemetry decoder factory by signal code (reference:
     GNSSBlockFactory::GetTlmBlock)."""
@@ -752,6 +855,8 @@ def make_telemetry(signal: str, prn: int):
     if signal in ("1G", "2G"):
         return GlonassL1CaTelemetry(prn)
     if signal in ("B1", "B3"):
+        if prn <= 5:                   # GEO satellites transmit D2 at 500 bps
+            return BeidouB1IGeoTelemetry(prn)
         return BeidouB1ITelemetry(prn)
     if signal == "5X":
         return GalileoE5aTelemetry(prn)

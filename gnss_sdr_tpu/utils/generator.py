@@ -72,7 +72,9 @@ def _gen_block(spec, sats, fs, if_freq_hz, n0: int, n: int,
                                / spec.code_rate_cps).astype(np.int64) % 2
             sub = 1.0 - 2.0 * sub_idx
             code = code * sub
-        if apply_secondary and spec.secondary_code:
+        # BeiDou GEO satellites (PRN 1-5) transmit D2 with no NH overlay
+        nh_free_geo = spec.system == "C" and sp.prn <= 5
+        if apply_secondary and spec.secondary_code and not nh_free_geo:
             sec = _pm([int(b) for b in spec.secondary_code])
             code = code * sec[period_idx % len(sec)]
         if sp.data_bits is not None:

@@ -237,3 +237,39 @@ def test_fnav_assembler_builds_ephemeris():
     assert abs(dec.m0 - eph.m0) < 3.2e-9
     assert abs(dec.cic - eph.cic) <= 2.0 ** -29
     assert dec.week == eph.week
+
+
+# ---------------------------------------------------------------------------
+# BeiDou D2 (GEO)
+# ---------------------------------------------------------------------------
+
+
+def test_d2_page_roundtrip():
+    from gnss_sdr_tpu.models.nav import beidou_d2
+    from gnss_sdr_tpu.models.ephemeris import IonoParams
+    eph = sample_ephemeris()
+    eph.toe = eph.toc = 352800.0
+    iono = IonoParams(alpha=(1.2e-8, 1.5e-8, -6.0e-8, -6.0e-8),
+                      beta=(88064.0, 0.0, -196608.0, -65536.0), valid=True)
+    asm = beidou_d2.D2Assembler(prn=3)
+    for pnum in range(1, 11):
+        tx = beidou_d2.encode_page(pnum, 352800.0 + 0.6 * pnum, eph, iono)
+        res = beidou_d2.decode_page(tx)
+        assert res is not None, pnum
+        pn, sow, fields = res
+        assert pn == pnum
+        assert sow == float(int(352800.0 + 0.6 * pnum))  # SOW quantized to 1 s
+        asm.push(pn, fields)
+    dec = asm.ephemeris()
+    assert dec is not None
+    assert abs(dec.sqrt_a - eph.sqrt_a) <= 2.0 ** -19
+    assert dec.toe == eph.toe
+    assert abs(dec.m0 - eph.m0) <= 2.0 ** -31 * np.pi
+    assert abs(dec.af0 - eph.af0) <= 2.0 ** -33
+    assert abs(asm.iono.alpha[0] - 1.2e-8) <= 2.0 ** -30
+    # BCH must reject corruption
+    tx = beidou_d2.encode_page(4, 352800.0, eph)
+    bad = tx.copy()
+    bad[40] ^= 1
+    bad[41] ^= 1
+    assert beidou_d2.decode_page(bad) is None

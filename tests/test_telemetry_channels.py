@@ -98,7 +98,8 @@ def test_beidou_d1_telemetry():
 def test_make_telemetry_factory():
     assert make_telemetry("2S", 1).__class__.__name__ == "GpsL2CMTelemetry"
     assert make_telemetry("1G", 1).__class__.__name__ == "GlonassL1CaTelemetry"
-    assert make_telemetry("B1", 1).__class__.__name__ == "BeidouB1ITelemetry"
+    assert make_telemetry("B1", 13).__class__.__name__ == "BeidouB1ITelemetry"
+    assert make_telemetry("B1", 3).__class__.__name__ == "BeidouB1IGeoTelemetry"
     with pytest.raises(NotImplementedError):
         make_telemetry("XX", 1)
 
@@ -190,3 +191,24 @@ def test_sbas_telemetry_channel():
     assert tlm.message_count >= 2, tlm.message_count
     assert abs(tlm.fast_corrections[0] - 12.5) < 1e-9
     assert not tlm.have_tow
+
+
+def test_beidou_d2_geo_telemetry():
+    from gnss_sdr_tpu.models.nav import beidou_d2
+    from gnss_sdr_tpu.receiver.telemetry import BeidouB1IGeoTelemetry
+    eph = sample_ephemeris()
+    eph.toe = eph.toc = 352800.0
+    bits = beidou_d2.encode_stream(eph, 352800.0, n_pages=14)
+    amp = 70.0
+    data_amp = amp * (1.0 - 2.0 * bits.astype(np.float64))
+    prompts = np.repeat(data_amp, 2)            # 2 epochs per 500 bps bit
+    rng = np.random.default_rng(3)
+    prompts = -(prompts + rng.normal(0, 14.0, len(prompts)))  # flipped pol
+    tlm = BeidouB1IGeoTelemetry(prn=3)
+    _feed(tlm, prompts[101:], epoch0=77)        # mid-bit start
+    assert tlm.page_count >= 10, tlm.page_count
+    assert tlm.have_tow
+    dec = tlm.ephemeris()
+    assert dec is not None
+    assert abs(dec.sqrt_a - eph.sqrt_a) <= 2.0 ** -19
+    assert dec.toe == eph.toe
