@@ -67,3 +67,29 @@ def test_filters_are_benign_on_clean_signal():
     c2, _ = _acq_cfar(np.asarray(pulse_blanking(jnp.asarray(x))))
     assert c1 > 0.8 * c0
     assert c2 > 0.8 * c0
+
+
+def test_beamformer_steering_gain():
+    """ULA beamformer (reference Beamformer_Filter role): steering toward
+    the source adds ~10*log10(N) dB of array gain over one element."""
+    import numpy as np
+    from gnss_sdr_tpu.ops import beamformer, iq as iq_ops
+    n_el, n_t = 4, 8192
+    theta = np.deg2rad(25.0)
+    rng = np.random.default_rng(2)
+    s = (rng.standard_normal(n_t) + 1j * rng.standard_normal(n_t)).astype(np.complex64)
+    # plane wave across the array + independent element noise
+    k = np.arange(n_el)
+    phase = 2.0 * np.pi * 0.5 * k * np.sin(theta)
+    x = (np.exp(1j * phase)[:, None] * s[None, :]
+         + 2.0 * (rng.standard_normal((n_el, n_t))
+                  + 1j * rng.standard_normal((n_el, n_t)))).astype(np.complex64)
+    x2 = np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+    w = beamformer.ula_steering_weights(n_el, theta)
+    y = iq_ops.combine(np.asarray(beamformer.beamform(x2, iq_ops.split(w))))
+    # SNR of combined output vs single element (correlate against s)
+    def snr(v):
+        a = np.vdot(s, v) / np.vdot(s, s)
+        return np.abs(a) ** 2 * np.vdot(s, s).real / np.sum(np.abs(v - a * s) ** 2)
+    gain_db = 10 * np.log10(snr(y) / snr(x[0]))
+    assert gain_db > 4.5, gain_db       # ideal 6 dB for N=4

@@ -190,3 +190,35 @@ def test_dual_frequency_iono_free(world):
                             ephs, iono=None, apply_tropo=False)
     err1 = np.linalg.norm(sol1.pos_ecef - rcv)
     assert err1 > err
+
+
+def test_raim_excludes_faulty_satellite(world):
+    """FDE (rtklib valsol role): a 60 m fault on one satellite must be
+    detected by the chi-square test and excluded."""
+    ephs, rcv, vis = world
+    rng = np.random.default_rng(9)
+    obs = []
+    for prn, _, _ in vis[:8]:
+        o = constellation.simulate_observation(ephs[prn], rcv, T_RX)
+        o.pseudorange_m += rng.normal(0, 1.0)
+        obs.append(o)
+    bad_prn = obs[2].prn
+    obs[2].pseudorange_m += 60.0                   # fault
+    sol_plain = solver.solve_pvt(obs, ephs, iono=None, apply_tropo=False)
+    sol_fde = solver.solve_pvt_fde(obs, ephs, sigma_pr_m=1.5,
+                                   iono=None, apply_tropo=False)
+    assert sol_fde.valid
+    assert sol_fde.excluded_prn == ("G", bad_prn)
+    err_plain = np.linalg.norm(sol_plain.pos_ecef - rcv)
+    err_fde = np.linalg.norm(sol_fde.pos_ecef - rcv)
+    assert err_fde < err_plain
+    assert err_fde < 5.0, err_fde
+
+
+def test_raim_passes_clean_set(world):
+    ephs, rcv, vis = world
+    obs = [constellation.simulate_observation(ephs[prn], rcv, T_RX)
+           for prn, _, _ in vis[:8]]
+    sol = solver.solve_pvt_fde(obs, ephs, iono=None, apply_tropo=False)
+    assert sol.valid and sol.excluded_prn is None
+    assert np.linalg.norm(sol.pos_ecef - rcv) < 0.05
