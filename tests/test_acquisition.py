@@ -120,3 +120,46 @@ def test_fine_doppler_search():
     p = acq.fine_doppler_search(x, jnp.asarray(code), fine, fs=FS)
     best = float(fine[int(np.argmax(np.asarray(p)))])
     assert abs(best - true_dopp) <= 12.5 + 1e-6
+
+
+def test_acquisition_roc_pd_pfa():
+    """Pd/Pfa characterization (reference acq_performance_test.cc): Pd must
+    rise with C/N0 and reach ~1 at 43 dBHz; noise-only trials must rarely
+    cross the CFAR threshold."""
+    from gnss_sdr_tpu import constants
+    from gnss_sdr_tpu.models import codes as codes_mod
+    from gnss_sdr_tpu.utils import generator
+    SPEC = constants.GPS_L1_CA
+    rng = np.random.default_rng(33)
+    prn = 11
+    spc = int(FS * 1e-3)
+    rep = codes_mod.sample_code(codes_mod.gps_l1ca_code(prn), FS, 1.023e6, spc)
+    cf = jnp.asarray(np.conj(np.fft.fft(rep))[None, :], jnp.complex64)
+    dop = jnp.asarray(acq.make_doppler_grid(5000, 250))
+    thr = 2.0
+    n_trials = 30
+
+    def trial(cn0):
+        if cn0 is None:
+            x = ((rng.standard_normal(2 * spc)
+                  + 1j * rng.standard_normal(2 * spc)) / np.sqrt(2)
+                 ).astype(np.complex64)
+        else:
+            x = generator.generate(
+                SPEC, [generator.SatParams(
+                    prn=prn, cn0_dbhz=cn0,
+                    doppler_hz=float(rng.uniform(-4000, 4000)),
+                    code_delay_s=float(rng.uniform(0, 9e-4)))],
+                FS, 2.2e-3, seed=int(rng.integers(1 << 30)))
+        r = acq.pcps_search(jnp.asarray(x[: 2 * spc]), cf, dop, fs=FS,
+                            samples_per_code=spc,
+                            samples_per_chip=int(np.ceil(FS / 1.023e6)),
+                            noncoherent=2)
+        return float(r.test_cfar[0]) > thr
+
+    pd = {cn0: np.mean([trial(cn0) for _ in range(n_trials)])
+          for cn0 in (33.0, 38.0, 43.0)}
+    pfa = np.mean([trial(None) for _ in range(n_trials)])
+    assert pd[43.0] >= 0.95, pd
+    assert pd[43.0] >= pd[38.0] >= pd[33.0] - 0.15, pd
+    assert pfa <= 0.1, pfa
