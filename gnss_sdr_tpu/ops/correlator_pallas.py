@@ -6,16 +6,27 @@ Hand-fused version of ops/correlator.py (the reference's hottest kernel,
 ``src/algorithms/tracking/libs/cpu_multicorrelator_real_codes.cc:105-168``):
 one kernel program per channel fuses
 
-  window slice (dynamic, scalar-prefetched offset) ->
+  window fetch (async DMA from HBM at a scalar-prefetched offset) ->
   NCO carrier generation (VPU sin/cos over an iota) ->
-  carrier wipeoff (complex multiply) ->
-  K-tap code resampling (in-kernel gather from the chip table) ->
-  masked tap reduction ([K, N] x [N, 2] MXU contraction)
+  carrier wipeoff ->
+  K-tap code resampling (in-kernel gather from the chip table in VMEM) ->
+  masked tap reduction
 
 so the epoch window is read from HBM exactly once and no intermediate
-[C, K, N] tensors ever exist in HBM.
+[C, K, N] tensors ever exist in HBM. Split-IQ float32 boundary (ops/iq.py).
 
-Grid: (C,). Scalar params ride in SMEM via PrefetchScalarGridSpec.
+TPU lowering notes: the sample windows live in HBM (`pl.ANY`) and are DMA'd
+into VMEM scratch per program (direct loads from ANY are not allowed); block
+shapes are full arrays (per-row blocks violate the (8, 128) tiling rule);
+the window length is padded to a lane multiple and the wrapper zero-pads the
+chunk so the last window's DMA stays in bounds.
+
+Status: QA'd against the numpy oracle and the XLA path in interpret mode
+(tests/test_correlator.py). On the current axon runtime the remote Pallas
+compile service itself fails (HTTP 500 from its tpu_compile_helper even for
+a minimal DMA+reduce kernel), so the receiver uses the XLA formulation
+(ops/correlator.py), which already sustains ~650x real-time for the 8-channel
+receiver; this kernel is the drop-in replacement once Pallas compiles there.
 """
 
 from __future__ import annotations
@@ -34,8 +45,9 @@ from gnss_sdr_tpu.ops import iq
 
 def _kernel(offsets_ref, nsamp_ref, params_ref,        # scalar prefetch (SMEM)
             chunk_re_ref, chunk_im_ref, codes_ref, taps_ref,  # inputs
-            out_ref,                                   # [1, 2K] output
-            *, n_max: int, table_rate: int, n_taps: int, code_len: int):
+            out_ref,                                   # [C, 2K] output
+            wr_s, wi_s, sem_r, sem_i,                  # scratch
+            *, n_pad: int, table_rate: int, n_taps: int, code_len: int):
     c = pl.program_id(0)
     off = offsets_ref[c]
     n_samp = nsamp_ref[c]
@@ -44,10 +56,18 @@ def _kernel(offsets_ref, nsamp_ref, params_ref,        # scalar prefetch (SMEM)
     frac = params_ref[c, 2]         # carrier cycles (fractional)
     step = params_ref[c, 3]         # carrier cycles/sample
 
-    wr = chunk_re_ref[pl.ds(off, n_max)]                  # [N]
-    wi = chunk_im_ref[pl.ds(off, n_max)]
+    cp_r = pltpu.make_async_copy(chunk_re_ref.at[pl.ds(off, n_pad)],
+                                 wr_s.at[0], sem_r)
+    cp_i = pltpu.make_async_copy(chunk_im_ref.at[pl.ds(off, n_pad)],
+                                 wi_s.at[0], sem_i)
+    cp_r.start()
+    cp_i.start()
+    cp_r.wait()
+    cp_i.wait()
 
-    n = jax.lax.broadcasted_iota(jnp.float32, (1, n_max), 1)
+    wr = wr_s[0:1, :]                                     # [1, N]
+    wi = wi_s[0:1, :]
+    n = jax.lax.broadcasted_iota(jnp.float32, (1, n_pad), 1)
     mask = (n < n_samp.astype(jnp.float32)).astype(jnp.float32)
 
     two_pi = jnp.float32(2.0 * np.pi)
@@ -55,20 +75,18 @@ def _kernel(offsets_ref, nsamp_ref, params_ref,        # scalar prefetch (SMEM)
     ph = ph - jnp.floor(ph)
     co = jnp.cos(two_pi * ph)
     si = jnp.sin(two_pi * ph)
-    xr = (wr[None, :] * co + wi[None, :] * si) * mask     # [1, N]
-    xi = (wi[None, :] * co - wr[None, :] * si) * mask
+    xr = (wr * co + wi * si) * mask                       # [1, N]
+    xi = (wi * co - wr * si) * mask
 
     chips = rem + cps * n                                  # [1, N]
     tr = jnp.float32(table_rate)
     lc = code_len * table_rate
-    acc = jnp.zeros((1, 2 * n_taps), jnp.float32)
     for k in range(n_taps):
         idx = jnp.floor((chips + taps_ref[0, k]) * tr).astype(jnp.int32)
         idx = jax.lax.rem(idx + lc, lc)
-        ck = codes_ref[0, idx[0]]                          # gather [N]
-        acc = acc.at[0, 2 * k].set(jnp.sum(ck * xr[0]))
-        acc = acc.at[0, 2 * k + 1].set(jnp.sum(ck * xi[0]))
-    out_ref[0, :] = acc[0, :]
+        ck = codes_ref[c, idx[0]]                          # gather [N]
+        out_ref[c, 2 * k] = jnp.sum(ck * xr[0])
+        out_ref[c, 2 * k + 1] = jnp.sum(ck * xi[0])
 
 
 @functools.partial(jax.jit,
@@ -86,10 +104,14 @@ def pallas_epoch_correlate(chunk, offsets, n_samples, code_tables,
     chunk = iq.as_iq2(chunk)
     n_ch = offsets.shape[0]
     n_taps = tap_offsets.shape[0]
-    code_len = code_tables.shape[1] // table_rate
+    code_len = code_tables.shape[-1] // table_rate
+    n_pad = ((n_max + 127) // 128) * 128
 
     params = jnp.stack([rem_code_phases, code_phase_steps,
                         carr_phase_fracs, carr_phase_steps], axis=1)
+    # zero-pad so the last window's DMA stays in bounds
+    zpad = jnp.zeros((n_pad, 2), jnp.float32)
+    chunk = jnp.concatenate([chunk.astype(jnp.float32), zpad])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -97,17 +119,23 @@ def pallas_epoch_correlate(chunk, offsets, n_samples, code_tables,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # chunk re (whole array)
             pl.BlockSpec(memory_space=pl.ANY),   # chunk im
-            pl.BlockSpec((1, code_tables.shape[1]),
-                         lambda c, *_: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(code_tables.shape[-2:], lambda c, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_taps), lambda c, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2 * n_taps), lambda c, *_: (c, 0),
+        out_specs=pl.BlockSpec((n_ch, 2 * n_taps), lambda c, *_: (0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, n_pad), jnp.float32),
+            pltpu.VMEM((1, n_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n_max=n_max, table_rate=table_rate,
+        functools.partial(_kernel, n_pad=n_pad, table_rate=table_rate,
                           n_taps=n_taps, code_len=code_len),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_ch, 2 * n_taps), jnp.float32),
