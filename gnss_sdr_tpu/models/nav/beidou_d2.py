@@ -121,11 +121,18 @@ def decode_page(tx: np.ndarray) -> tuple[int, float, dict] | None:
 
 def encode_stream(eph: KeplerEphemeris, sow_start: float, n_pages: int,
                   iono: IonoParams | None = None) -> np.ndarray:
-    """Subframe-1 pages cycling 1..10, 0.6 s each; returns [n*300] bits."""
+    """Subframe-1 pages cycling 1..10, 0.6 s each; returns [n*300] bits.
+
+    The integer SOW field carries the start of the current 6 s page CYCLE
+    (page 1); a page with number pnum starts at SOW + 0.6*(pnum-1). This
+    keeps the transmitted SOW integer while the decoder recovers page-start
+    times at full resolution (see BeidouB1IGeoTelemetry).
+    """
     out = []
     for k in range(n_pages):
         pnum = (k % 10) + 1
-        out.append(encode_page(pnum, sow_start + 0.6 * k, eph, iono))
+        cycle_sow = sow_start + 6.0 * (k // 10)
+        out.append(encode_page(pnum, cycle_sow, eph, iono))
     return np.concatenate(out)
 
 

@@ -70,6 +70,8 @@ def decode_stream(symbols: np.ndarray, *, max_messages: int = 64
     for pol in (1.0, -1.0):
         bits = fec.viterbi_decode(pol * sym, n_bits, invert_g2=False)
         for off in range(0, n_bits - MSG_BITS + 1):
+            if len(out) >= max_messages:
+                return out
             pre = _b2u(bits[off: off + 8])
             if pre not in PREAMBLES:
                 continue
@@ -80,8 +82,6 @@ def decode_stream(symbols: np.ndarray, *, max_messages: int = 64
             mtype = _b2u(bits[off + 8: off + 14])
             out.append((off, mtype, bits[off + 14: off + 226].copy()))
         if out:
-            break
-        if len(out) >= max_messages:
             break
     return out
 

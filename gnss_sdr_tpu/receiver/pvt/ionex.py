@@ -43,12 +43,19 @@ class IonexMaps:
             li = int(np.clip(np.searchsorted(lats, lat_deg), 1, len(lats) - 1))
             u = (lat_deg - lats[li - 1]) / (lats[li] - lats[li - 1])
             u = float(np.clip(u, 0.0, 1.0))
-            lon = (lon_deg - lons[0]) % 360.0 + lons[0] \
-                if lon_deg < lons[0] or lon_deg > lons[-1] else lon_deg
+            m = map2d
+            lon = (lon_deg - lons[0]) % 360.0 + lons[0]
+            if lon > lons[-1]:
+                # pierce point in the wrap seam: interpolate between the
+                # last column and the first column at +360 degrees
+                span = lons[0] + 360.0 - lons[-1]
+                v = float(np.clip((lon - lons[-1]) / span, 0.0, 1.0))
+                col_a = (1 - u) * m[li - 1, -1] + u * m[li, -1]
+                col_b = (1 - u) * m[li - 1, 0] + u * m[li, 0]
+                return (1 - v) * col_a + v * col_b
             gi = int(np.clip(np.searchsorted(lons, lon), 1, len(lons) - 1))
             v = (lon - lons[gi - 1]) / (lons[gi] - lons[gi - 1])
             v = float(np.clip(v, 0.0, 1.0))
-            m = map2d
             return ((1 - u) * (1 - v) * m[li - 1, gi - 1]
                     + (1 - u) * v * m[li - 1, gi]
                     + u * (1 - v) * m[li, gi - 1]

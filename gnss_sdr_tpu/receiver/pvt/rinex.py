@@ -107,11 +107,14 @@ class RinexObsWriter:
         t = gps_to_gpsdatetime(week, tow)
         sec = t.second + t.microsecond / 1e6
         if self.version.startswith("2"):
-            sats = "".join(f"{_SYS_OF_SIGNAL[o.signal]}{o.prn:02d}"
-                           for o in observables[:12])
+            ids = [f"{_SYS_OF_SIGNAL[o.signal]}{o.prn:02d}"
+                   for o in observables]
             self._f.write(
                 f" {t.year % 100:02d} {t.month:2d} {t.day:2d} {t.hour:2d} "
-                f"{t.minute:2d}{sec:11.7f}  0{len(observables):3d}{sats}\n")
+                f"{t.minute:2d}{sec:11.7f}  0{len(observables):3d}"
+                f"{''.join(ids[:12])}\n")
+            for k in range(12, len(ids), 12):   # v2 continuation lines
+                self._f.write(" " * 32 + "".join(ids[k: k + 12]) + "\n")
             for o in observables:
                 self._f.write(
                     f"{o.pseudorange_m:14.3f}  "

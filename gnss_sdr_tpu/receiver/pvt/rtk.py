@@ -104,6 +104,18 @@ def solve_rtk(rover: list[RtkObs], base: list[RtkObs],
     def sd(obs_map, k, attr):
         return getattr(obs_map[k], attr)
 
+    # DD measurement covariance: double differences sharing the reference
+    # satellite are correlated — R = 2 sigma^2 (I + 1 1^T) per type, whose
+    # inverse is (1/(2 sigma^2)) (I - 1 1^T / (n+1)) (RTKLIB propagates the
+    # full DD covariance the same way)
+    def _w_block(sigma):
+        return (np.eye(n) - np.ones((n, n)) / (n + 1)) / (2.0 * sigma ** 2)
+
+    w_full = np.zeros((2 * n, 2 * n))
+    w_full[:n, :n] = _w_block(sigma_pr_m)
+    lam0 = lam[others[0]] if others else 1.0
+    w_full[n:, n:] = _w_block(sigma_cp_cycles * lam0)
+
     # iterate the float solution (geometry relinearization)
     x = x0.copy()
     amb_float = np.zeros(n)
@@ -116,7 +128,6 @@ def solve_rtk(rover: list[RtkObs], base: list[RtkObs],
         # DD measurement residuals and geometry
         h = np.zeros((2 * n, 3 + n))
         y = np.zeros(2 * n)
-        w = np.zeros(2 * n)
         for i, k in enumerate(others):
             # predicted DD range from current x
             dd_rho = (rho_rov[k] - rho_bas[k]) - (rho_rov[ref] - rho_bas[ref])
@@ -134,14 +145,12 @@ def solve_rtk(rover: list[RtkObs], base: list[RtkObs],
             grad = -(e_rov[k] - e_rov[ref])
             h[i, :3] = grad
             y[i] = dd_pr - dd_rho
-            w[i] = 1.0 / (4.0 * sigma_pr_m ** 2)      # DD noise = 4 sigma^2
             h[n + i, :3] = grad
             h[n + i, 3 + i] = lam[k]
             y[n + i] = dd_cp - dd_rho - lam[k] * amb_float[i]
-            w[n + i] = 1.0 / (4.0 * (sigma_cp_cycles * lam[k]) ** 2)
-        hw = h * w[:, None]
+        hw = w_full @ h
         try:
-            q = np.linalg.inv(hw.T @ h)
+            q = np.linalg.inv(h.T @ hw)
         except np.linalg.LinAlgError:
             return RtkSolution(valid=False, n_dd=n)
         dx = q @ (hw.T @ y)

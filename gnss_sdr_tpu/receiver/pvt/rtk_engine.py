@@ -139,6 +139,8 @@ class RtkEngine:
             return
         rover = []
         base_list = []
+        # pair rover/base per (system, prn, SIGNAL): mixing frequencies of
+        # the same satellite would difference incompatible wavelengths
         base_by_key = {}
         for b in base_obs:
             sig = _SIG_FROM_SLOT.get((getattr(b, "system", "G"), b.signal_id))
@@ -146,16 +148,19 @@ class RtkEngine:
                 continue
             spec = constants.SIGNALS[sig]
             lam = constants.SPEED_OF_LIGHT_M_S / spec.carrier_freq_hz
-            base_by_key[(spec.system, b.prn)] = rtk.RtkObs(
+            base_by_key[(spec.system, b.prn, sig)] = rtk.RtkObs(
                 prn=b.prn, pseudorange_m=b.pseudorange_m,
                 carrier_phase_cycles=b.phase_range_m / lam,
                 carrier_freq_hz=spec.carrier_freq_hz,
                 cn0_dbhz=b.cn0_dbhz, system=spec.system)
+        seen_sat = set()
         for o in observables:
             spec = constants.SIGNALS[o.signal]
-            key = (spec.system, o.prn)
-            if key not in base_by_key:
+            key = (spec.system, o.prn, o.signal)
+            sat = (spec.system, o.prn)
+            if key not in base_by_key or sat in seen_sat:
                 continue
+            seen_sat.add(sat)      # one signal per satellite in the DD set
             rover.append(rtk.RtkObs(
                 prn=o.prn, pseudorange_m=o.pseudorange_m,
                 carrier_phase_cycles=o.carrier_phase_cycles,

@@ -69,6 +69,8 @@ class PvtSolution:
     system_clock_s: dict = dataclasses.field(default_factory=dict)
     # RAIM: (system, prn) excluded by fault detection, None if none
     excluded_prn: tuple | None = None
+    # which usable observations entered the final solution (elevation mask)
+    used_mask: np.ndarray = None
     tow_s: float = 0.0
     week: int = 0
     n_sats: int = 0
@@ -272,6 +274,7 @@ def solve_pvt(obs: list[ObsInput], ephemerides: dict,
                         for k, s in enumerate(systems)},
         tow_s=t_rx - clk0 / C.SPEED_OF_LIGHT_M_S, week=week,
         n_sats=int(used.sum()), residuals_m=resid.copy(),
+        used_mask=used.copy(),
         lat_rad=lat, lon_rad=lon, height_m=hgt, **d_subset(d))
 
 
@@ -294,18 +297,28 @@ def solve_pvt_fde(obs: list[ObsInput], ephemerides: dict,
     Sets ``excluded_prn`` when an exclusion was applied.
     """
     def chi2(sol) -> float:
+        # only satellites that entered the solution (elevation mask) count:
+        # a masked satellite's residual never influenced the estimate
         if sol.residuals_m is None:
             return np.inf
-        return float(np.sum((sol.residuals_m / sigma_pr_m) ** 2))
+        r = sol.residuals_m
+        if sol.used_mask is not None:
+            r = r[sol.used_mask]
+        return float(np.sum((r / sigma_pr_m) ** 2))
 
-    def dof(sol, n_obs) -> int:
-        return max(1, n_obs - (3 + max(len(sol.system_clock_s), 1)))
+    def dof(sol) -> int:
+        n_used = (int(sol.used_mask.sum()) if sol.used_mask is not None
+                  else sol.n_sats)
+        return max(1, n_used - (3 + max(len(sol.system_clock_s), 1)))
+
+    def threshold(sol) -> float:
+        return _CHI2_99.get(min(dof(sol), 12), 26.22)
 
     sol = solve_pvt(obs, ephemerides, **kw)
     sol.excluded_prn = None
     if not sol.valid:
         return sol
-    if chi2(sol) <= _CHI2_99.get(min(dof(sol, len(obs)), 12), 26.22):
+    if chi2(sol) <= threshold(sol):
         return sol
     best, best_c = None, np.inf
     for skip in range(len(obs)):
@@ -316,9 +329,7 @@ def solve_pvt_fde(obs: list[ObsInput], ephemerides: dict,
         c2 = chi2(s2)
         if c2 < best_c:
             best, best_c, best_skip = s2, c2, skip
-    if (best is not None
-            and best_c <= _CHI2_99.get(min(dof(best, len(obs) - 1), 12),
-                                       26.22)):
+    if best is not None and best_c <= threshold(best):
         best.excluded_prn = (obs[best_skip].system, obs[best_skip].prn)
         return best
     sol.excluded_prn = None

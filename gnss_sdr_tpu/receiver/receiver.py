@@ -631,12 +631,19 @@ class Receiver:
             taps = design_lowpass(decim * 16 + 1, 0.8 / decim)
             cond = StreamingFir(taps, decim=decim)
             block_len = self.chunk_len * decim
-        else:
-            # anti-alias at the output Nyquist, then fractional interpolation
+        elif ratio > 1.0:
+            # downsampling: anti-alias at the output Nyquist, then
+            # fractional interpolation
             lp = StreamingFir(design_lowpass(33, 0.8 / ratio))
             frac = StreamingFractionalResampler(source.fs, self.cfg.fs)
             cond = lambda x: frac(lp(x))
             block_len = int(round(self.chunk_len * ratio))
+        else:
+            # upsampling: no anti-alias filter needed (the input band is
+            # already inside the output Nyquist)
+            frac = StreamingFractionalResampler(source.fs, self.cfg.fs)
+            cond = frac
+            block_len = max(2, int(round(self.chunk_len * ratio)))
         n = 0
         while max_chunks is None or n < max_chunks:
             block = source.read(block_len)

@@ -821,8 +821,11 @@ class BeidouB1IGeoTelemetry:
                 pnum, sow, fields = res
                 self.assembler.push(pnum, fields)
                 self.page_count += 1
-                self.tow_ref = TowReference(tow_s=sow, epoch=int(starts[i]),
-                                            polarity=int(self._polarity))
+                # SOW marks page 1 of the 6 s cycle; this page started
+                # 0.6*(pnum-1) later (integer SOW, sub-second page starts)
+                self.tow_ref = TowReference(
+                    tow_s=sow + 0.6 * (pnum - 1), epoch=int(starts[i]),
+                    polarity=int(self._polarity))
             self._decoded_upto = i + 300
 
     @property

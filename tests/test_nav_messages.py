@@ -253,12 +253,13 @@ def test_d2_page_roundtrip():
                       beta=(88064.0, 0.0, -196608.0, -65536.0), valid=True)
     asm = beidou_d2.D2Assembler(prn=3)
     for pnum in range(1, 11):
-        tx = beidou_d2.encode_page(pnum, 352800.0 + 0.6 * pnum, eph, iono)
+        # SOW carries the 6 s cycle start (integer), shared by all pages
+        tx = beidou_d2.encode_page(pnum, 352800.0, eph, iono)
         res = beidou_d2.decode_page(tx)
         assert res is not None, pnum
         pn, sow, fields = res
         assert pn == pnum
-        assert sow == float(int(352800.0 + 0.6 * pnum))  # SOW quantized to 1 s
+        assert sow == 352800.0
         asm.push(pn, fields)
     dec = asm.ephemeris()
     assert dec is not None

@@ -208,6 +208,9 @@ def test_beidou_d2_geo_telemetry():
     _feed(tlm, prompts[101:], epoch0=77)        # mid-bit start
     assert tlm.page_count >= 10, tlm.page_count
     assert tlm.have_tow
+    # page-start times resolve to 0.6 s sub-second boundaries of the cycle
+    assert abs((tlm.tow_ref.tow_s - 352800.0) % 0.6) < 1e-9 or \
+           abs((tlm.tow_ref.tow_s - 352800.0) % 0.6 - 0.6) < 1e-9
     dec = tlm.ephemeris()
     assert dec is not None
     assert abs(dec.sqrt_a - eph.sqrt_a) <= 2.0 ** -19
