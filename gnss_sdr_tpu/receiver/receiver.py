@@ -58,6 +58,11 @@ class ReceiverConfig:
     acq_two_step: bool = True          # fine-Doppler refinement after a hit
     acq_doppler_step2_hz: float = 25.0
     max_in_acquisition: int = 33       # batch width (all by default)
+    # assisted acquisition (reference pcps_assisted_acquisition / warm start):
+    # with an ephemeris and a position estimate, search a narrow Doppler
+    # window around the predicted value instead of the full grid
+    acq_assisted: bool = True
+    acq_assisted_doppler_max_hz: float = 600.0
     # tracking
     pll_bw_hz: float = 40.0
     dll_bw_hz: float = 4.0
@@ -278,6 +283,27 @@ class Receiver:
         f_res = float(np.mean(np.arctan(np.imag(z) / dot))) / (2 * np.pi * t_per)
         return doppler + f_res
 
+    def _predicted_dopplers(self, g: SignalGroup,
+                            candidates: list[int]) -> list[float] | None:
+        """Per-candidate Doppler predictions for assisted (warm) acquisition;
+        None unless assistance and a position estimate cover ALL candidates
+        (reference: ControlThread::assist_GNSS + pcps_assisted_acquisition).
+        """
+        if not self.cfg.acq_assisted:
+            return None
+        fix = self.latest_fix()
+        if fix is None or not self.ephemerides:
+            return None
+        out = []
+        for p in candidates:
+            eph = self.ephemerides.get((g.spec.system, p))
+            if eph is None:
+                return None
+            fd = self._control_mod.predicted_doppler(
+                eph, fix.pos_ecef, fix.tow_s, g.carrier_freq_for(p))
+            out.append(fd + g.if_freq_for(p) - self.cfg.if_freq_hz)
+        return out
+
     def _run_acquisition(self, g: SignalGroup, chunk: np.ndarray) -> None:
         idle = [ch for ch in g.channels if ch.state == "idle"]
         if not idle:
@@ -297,7 +323,27 @@ class Receiver:
         dopplers = acq_ops.make_doppler_grid(
             self.cfg.acq_doppler_max_hz, self.cfg.acq_doppler_step_hz)
         spchip = max(1, int(self.cfg.fs / g.spec.code_rate_cps))
-        if g.spec.fdma_step_hz > 0.0:
+        predicted = self._predicted_dopplers(g, candidates)
+        if predicted is not None and g.spec.fdma_step_hz == 0.0:
+            # assisted warm start: per-candidate narrow grids around the
+            # predicted Doppler (reference pcps_assisted_acquisition)
+            nc_head = chunk[: nc * slab]
+            cfars, phases, dops = [], [], []
+            for i, p in enumerate(candidates):
+                grid = acq_ops.make_doppler_grid(
+                    self.cfg.acq_assisted_doppler_max_hz,
+                    self.cfg.acq_doppler_step_hz,
+                    doppler_center=predicted[i])
+                r1 = acq_ops.pcps_search(
+                    iq.split(nc_head), cf[i: i + 1], grid,
+                    fs=self.cfg.fs, samples_per_code=g.spc,
+                    samples_per_chip=spchip, noncoherent=nc)
+                cfars.append(float(r1.test_cfar[0]))
+                phases.append(int(r1.code_phase[0]))
+                dops.append(float(r1.doppler_hz[0]))
+            cfar = np.asarray(cfars)
+            code_phases, doppler_hz = phases, dops
+        elif g.spec.fdma_step_hz > 0.0:
             # FDMA: each candidate sits at its own slot IF — translate the
             # dwell per candidate before the common PCPS grid (reference:
             # per-channel Freq_Xlating conditioning for GLONASS)

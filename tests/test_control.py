@@ -104,3 +104,38 @@ def test_predicted_doppler():
     o = constellation.simulate_observation(ephs[prn], rcv, 354000.0)
     assert abs(fd - o.doppler_hz) < 30.0   # clock-drift term excluded
     assert abs(fd) < 5000.0
+
+
+def test_assisted_warm_start_acquisition():
+    """Warm start (reference assist_GNSS + pcps_assisted_acquisition): with
+    restored ephemerides and a position estimate, acquisition searches a
+    narrow Doppler window around the per-satellite prediction and still
+    finds every satellite."""
+    import numpy as np
+    from gnss_sdr_tpu.receiver.pvt import solver as pvt_solver
+    from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+    from gnss_sdr_tpu.io.sources import ArraySignalSource
+    from gnss_sdr_tpu.utils import scenario as scen
+
+    sc = scen.build_gps_l1_scenario(duration_s=2.0, n_sats=5, cn0_dbhz=47.0,
+                                    fs=2.0e6)
+    x = sc.generate(seed=81)
+    cfg = ReceiverConfig(signal="1C", fs=sc.fs, n_channels=5,
+                         prns=tuple(sc.prns), chunk_ms=100,
+                         acq_assisted=True, acq_two_step=False,
+                         pvt_apply_tropo=False, pvt_apply_iono=False)
+    rx = Receiver(cfg)
+    # warm-start state: assistance + a prior fix at the true position/time
+    for p in sc.prns:
+        rx.ephemerides[("G", p)] = sc.ephemerides[p]
+    rx.fixes.append(pvt_solver.PvtSolution(
+        valid=True, pos_ecef=sc.rcv_ecef.copy(), vel_ecef=np.zeros(3),
+        tow_s=sc.t0_gps, week=sc.ephemerides[sc.prns[0]].week, n_sats=5))
+    # sanity: every prediction lands within the narrow assisted window
+    preds = rx._predicted_dopplers(rx.groups[0], list(sc.prns))
+    assert preds is not None
+    for prn, fd_pred in zip(sc.prns, preds):
+        sat = next(s for s in sc.sats if s.prn == prn)
+        assert abs(fd_pred - sat.doppler_hz) < 200.0, (prn, fd_pred)
+    rx.run_source(ArraySignalSource(x, sc.fs))
+    assert len(set(rx.tracked_prns()) & set(sc.prns)) >= 4
