@@ -8,6 +8,7 @@ flags (``gnss_sdr_flags.cc``: --doppler_max, --dll_bw_hz, --pll_bw_hz ...).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import logging
 import sys
 
@@ -28,6 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stop after N processing chunks")
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. cpu, tpu)")
+    p.add_argument("--devices", type=int, default=None,
+                   help="shard channels/acquisition over N jax devices")
     p.add_argument("--log_level", default="INFO")
     return p
 
@@ -55,6 +58,8 @@ def main(argv=None) -> int:
         conf.set_property("Tracking_1C.pll_bw_hz", args.pll_bw_hz)
 
     rcfg = ini.receiver_config_from_ini(conf)
+    if args.devices is not None:
+        rcfg = dataclasses.replace(rcfg, n_mesh_devices=args.devices)
     source = ini.source_from_ini(conf)
     if abs(source.fs - rcfg.fs) > 1.0:
         # decimating conditioner: integer or rational decimation via FIR

@@ -125,6 +125,8 @@ def receiver_config_from_ini(conf: Configuration):
         # reference: Tracking_1C.implementation=GPS_L1_CA_KF_Tracking
         carrier_kf="KF" in str(conf.property(f"{trk}.implementation", "")),
         pvt_output_rate_ms=float(conf.property("PVT.output_rate_ms", 100)),
+        # multi-device channel sharding (TPU mesh); 0/absent = single-device
+        n_mesh_devices=(conf.property("GNSS-SDR.num_devices", 0) or None),
     )
 
 

@@ -165,20 +165,22 @@ def decode_message(m: np.ndarray) -> tuple[int, int, float, dict] | None:
 
 def encode_symbol_stream(eph: KeplerEphemeris, tow_start_s: float,
                          n_messages: int,
-                         iono: IonoParams | None = None) -> np.ndarray:
+                         iono: IonoParams | None = None,
+                         period_s: float = 12.0) -> np.ndarray:
     """Continuous FEC-encoded symbol stream cycling messages 10, 11, 30.
 
     The convolutional encoder runs continuously across messages (IS-GPS-200:
     the L2C/L5 FEC is not reset per message); message k starts at
-    tow_start_s + 12k (L2C timing).
+    tow_start_s + k * period_s — 12 s on L2C (25 bps), 6 s on L5 (50 bps,
+    reference gps_l5_telemetry_decoder_gs.cc).
     """
     types = (10, 11, 30)
     bits = []
     for k in range(n_messages):
         mt = types[k % 3]
         # IS-GPS-200: the CNAV TOW count tags the start of the NEXT message
-        bits.append(encode_message(mt, eph.prn, tow_start_s + 12.0 * (k + 1),
-                                   eph, iono))
+        bits.append(encode_message(
+            mt, eph.prn, tow_start_s + period_s * (k + 1), eph, iono))
     all_bits = np.concatenate(bits)
     return fec.conv_encode(all_bits, invert_g2=False, flush=True)
 

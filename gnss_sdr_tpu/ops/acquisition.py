@@ -125,6 +125,70 @@ def pcps_search(x: jax.Array, code_fft_conj: jax.Array, dopplers: jax.Array,
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "samples_per_code", "samples_per_chip", "noncoherent"))
+def pcps_search_grids(x: jax.Array, code_fft_conj: jax.Array,
+                      dopplers_sd: jax.Array, *, fs: float,
+                      samples_per_code: int, samples_per_chip: int,
+                      noncoherent: int = 1) -> AcqGridResult:
+    """PCPS with a PER-SIGNAL Doppler grid — one device call for the whole
+    candidate batch.
+
+    This is the batched TPU shape of two reference per-satellite loops:
+    assisted acquisition (``pcps_assisted_acquisition_cc``: a narrow grid
+    around each satellite's predicted Doppler) and GLONASS FDMA (each slot's
+    IF offset folded into its grid center — translating the input by f_if
+    and searching [-max, max] is identical to searching [f_if-max, f_if+max]
+    on the untranslated input).
+
+    Args:
+      x: [noncoherent * n_fft, 2] float32 split-IQ input (complex64 ok).
+      code_fft_conj: [S, n_fft, 2] split conj(FFT(code)) per signal.
+      dopplers_sd: [S, D] float32 Doppler bins, one row per signal.
+
+    Returns AcqGridResult ([S] leaves); doppler_hz is in the grid's frame
+    (subtract the per-signal center to recover the residual Doppler).
+    """
+    x = iq.as_complex(x)
+    code_fft_conj = iq.as_complex(code_fft_conj)
+    n_fft = code_fft_conj.shape[-1]
+    xb = x[: noncoherent * n_fft].reshape(noncoherent, n_fft)
+    n = jnp.arange(n_fft, dtype=jnp.float32) * jnp.float32(1.0 / fs)
+
+    def scan_body(_, inp):
+        cfc, dops = inp                                  # [N], [D]
+        carriers = jnp.exp(jnp.complex64(-2j * np.pi)
+                           * (dops[:, None] * n[None, :]))      # [D, N]
+        xw = xb[:, None, :] * carriers[None, :, :]              # [B, D, N]
+        Xf = mxu_fft.fft(xw)
+        corr = mxu_fft.ifft(Xf * cfc[None, None, :])
+        mag = jnp.sum(jnp.abs(corr) ** 2, axis=0) * jnp.float32(n_fft * n_fft)
+        mag_cp = mag[:, :samples_per_code]
+        flat_idx = jnp.argmax(mag_cp)
+        d_idx, t_idx = jnp.unravel_index(flat_idx, mag_cp.shape)
+        peak = mag_cp[d_idx, t_idx]
+        row = mag_cp[d_idx]
+        pos = jnp.arange(samples_per_code, dtype=jnp.int32)
+        dist = jnp.abs(pos - t_idx)
+        dist = jnp.minimum(dist, samples_per_code - dist)
+        second = jnp.max(jnp.where(dist >= samples_per_chip, row, 0.0))
+        return None, (peak, t_idx, second, dops[d_idx])
+
+    _, (peaks, t_idxs, seconds, dops_pk) = jax.lax.scan(
+        scan_body, None, (code_fft_conj, dopplers_sd))
+
+    input_power = jnp.mean(jnp.abs(xb) ** 2) * jnp.float32(noncoherent)
+    nrm = jnp.float32(n_fft) ** 4
+    return AcqGridResult(
+        test_max_power=(peaks / nrm / input_power).astype(jnp.float32),
+        test_cfar=(peaks / jnp.maximum(seconds, 1e-30)).astype(jnp.float32),
+        code_phase=t_idxs.astype(jnp.int32),
+        doppler_hz=dops_pk.astype(jnp.float32),
+        magnitude=peaks.astype(jnp.float32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("fs",))
 def fine_doppler_search(x: jax.Array, code_replica: jax.Array,
                         dopplers: jax.Array, *, fs: float) -> jax.Array:

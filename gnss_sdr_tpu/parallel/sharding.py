@@ -24,6 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+try:
+    from jax import shard_map  # jax >= 0.7
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
 
 def make_mesh(n_devices: int | None = None, axis: str = "channel") -> Mesh:
     devs = jax.devices()
@@ -47,3 +52,31 @@ def shard_channel_array(arr, mesh: Mesh):
 
 def replicate(arr, mesh: Mesh):
     return jax.device_put(arr, NamedSharding(mesh, P()))
+
+
+def pcps_search_sharded(mesh: Mesh, x, code_fft_conj, dopplers, *,
+                        fs: float, samples_per_code: int,
+                        samples_per_chip: int, noncoherent: int = 1,
+                        axis: str = "channel"):
+    """PCPS acquisition with the signal axis sharded across the mesh.
+
+    Each device searches its local slice of the [S, doppler, code-phase]
+    cube independently (batch-parallel FFTs — the reference's analog is one
+    acquisition worker per channel, gnss_flowgraph.cc:1249); results come
+    back sharded on the signal axis. S must be divisible by the mesh size —
+    pad the code-FFT stack by repeating entries and slice the results.
+
+    Returns an ops.acquisition.AcqGridResult (all leaves [S]).
+    """
+    from gnss_sdr_tpu.ops import acquisition as acq_ops
+
+    def local(x_loc, cf_loc, dop_loc):
+        return acq_ops.pcps_search(
+            x_loc, cf_loc, dop_loc, fs=fs, samples_per_code=samples_per_code,
+            samples_per_chip=samples_per_chip, noncoherent=noncoherent)
+
+    out_specs = acq_ops.AcqGridResult(
+        *([P(axis)] * len(acq_ops.AcqGridResult._fields)))
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(axis), P()),
+                   out_specs=out_specs, check_vma=False)
+    return fn(x, code_fft_conj, dopplers)

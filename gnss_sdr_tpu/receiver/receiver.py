@@ -24,6 +24,7 @@ import dataclasses
 import logging
 import pathlib
 
+import jax
 import numpy as np
 
 from gnss_sdr_tpu import constants
@@ -91,6 +92,11 @@ class ReceiverConfig:
     pvt_apply_sbas: bool = True
     # tracing dumps (reference: per-block dump=true -> .dat/.mat)
     dump_dir: str | None = None
+    # multi-device execution: shard the channel axis (tracking state, code
+    # tables) and the acquisition signal axis over an n-device jax mesh
+    # (SURVEY §2.4: the reference's N channel threads -> channel-axis data
+    # parallelism over ICI). None = single-device.
+    n_mesh_devices: int | None = None
 
 
 class Channel:
@@ -118,10 +124,13 @@ class SignalGroup:
     acquisition pool (reference: one GetChannel_* family per signal)."""
 
     def __init__(self, cfg: ReceiverConfig, signal: str, n_channels: int,
-                 prns: tuple, global_id0: int):
+                 prns: tuple, global_id0: int, c_pad: int | None = None):
         self.signal = signal
         self.rx_cfg = cfg
         self.spec = constants.SIGNALS[signal]
+        # padded channel-array width: a multiple of the mesh size so the
+        # channel axis shards evenly; pad rows stay inactive in the scan
+        self.c_pad = c_pad if c_pad is not None else n_channels
         track_pilot = cfg.track_pilot and codes.has_pilot(signal)
         self.trk_cfg = trk.default_config(
             self.spec, cfg.fs, cfg.chunk_ms,
@@ -133,13 +142,13 @@ class SignalGroup:
             track_pilot=track_pilot,
             carrier_kf=cfg.carrier_kf)
         self.channels = [Channel(i, global_id0 + i) for i in range(n_channels)]
-        self.trk_state = trk.init_state(n_channels, self.trk_cfg.n_taps)
+        self.trk_state = trk.init_state(self.c_pad, self.trk_cfg.n_taps)
         table_len = self.spec.code_length_chips * self.trk_cfg.table_rate
-        shape = ((n_channels, 2, table_len) if track_pilot
-                 else (n_channels, table_len))
+        shape = ((self.c_pad, 2, table_len) if track_pilot
+                 else (self.c_pad, table_len))
         self.code_tables = np.zeros(shape, np.float32)
         self.sec_tables = np.ones(
-            (n_channels, self.trk_cfg.sec_table_len), np.float32)
+            (self.c_pad, self.trk_cfg.sec_table_len), np.float32)
         self.extend_symbols = max(1, int(cfg.extend_symbols))
         self.spc = int(round(cfg.fs * self.spec.code_period_s))
         self.acq_reps: dict[int, np.ndarray] = {}
@@ -172,6 +181,14 @@ class SignalGroup:
 class Receiver:
     def __init__(self, config: ReceiverConfig):
         self.cfg = config
+        # device mesh for channel/signal-axis sharding (None = single-device)
+        self.mesh = None
+        self._n_dev = 1
+        if config.n_mesh_devices and config.n_mesh_devices > 1:
+            from gnss_sdr_tpu.parallel import sharding as shd
+            self._shd = shd
+            self.mesh = shd.make_mesh(config.n_mesh_devices)
+            self._n_dev = config.n_mesh_devices
         plan = list(config.signal_plan) or [
             (config.signal, config.n_channels, config.prns)]
         self.groups: list[SignalGroup] = []
@@ -180,7 +197,9 @@ class Receiver:
             sig, n_ch = entry[0], entry[1]
             prns = entry[2] if len(entry) > 2 and entry[2] else tuple(
                 range(1, constants.SIGNALS[sig].prn_max + 1))
-            self.groups.append(SignalGroup(config, sig, n_ch, prns, gid))
+            c_pad = -(-n_ch // self._n_dev) * self._n_dev
+            self.groups.append(
+                SignalGroup(config, sig, n_ch, prns, gid, c_pad=c_pad))
             gid += n_ch
         # primary group keeps the single-signal API working
         g0 = self.groups[0]
@@ -326,48 +345,57 @@ class Receiver:
         predicted = self._predicted_dopplers(g, candidates)
         if predicted is not None and g.spec.fdma_step_hz == 0.0:
             # assisted warm start: per-candidate narrow grids around the
-            # predicted Doppler (reference pcps_assisted_acquisition)
-            nc_head = chunk[: nc * slab]
-            cfars, phases, dops = [], [], []
-            for i, p in enumerate(candidates):
-                grid = acq_ops.make_doppler_grid(
+            # predicted Doppler, batched into ONE device call (reference
+            # pcps_assisted_acquisition runs one worker per satellite)
+            grids = np.stack([
+                acq_ops.make_doppler_grid(
                     self.cfg.acq_assisted_doppler_max_hz,
                     self.cfg.acq_doppler_step_hz,
                     doppler_center=predicted[i])
-                r1 = acq_ops.pcps_search(
-                    iq.split(nc_head), cf[i: i + 1], grid,
-                    fs=self.cfg.fs, samples_per_code=g.spc,
-                    samples_per_chip=spchip, noncoherent=nc)
-                cfars.append(float(r1.test_cfar[0]))
-                phases.append(int(r1.code_phase[0]))
-                dops.append(float(r1.doppler_hz[0]))
-            cfar = np.asarray(cfars)
-            code_phases, doppler_hz = phases, dops
-        elif g.spec.fdma_step_hz > 0.0:
-            # FDMA: each candidate sits at its own slot IF — translate the
-            # dwell per candidate before the common PCPS grid (reference:
-            # per-channel Freq_Xlating conditioning for GLONASS)
-            head = chunk[: nc * slab]
-            t = np.arange(len(head)) / self.cfg.fs
-            cfars, phases, dops = [], [], []
-            for i, p in enumerate(candidates):
-                f_if = g.if_freq_for(p)
-                xlat = (head * np.exp(-2j * np.pi * f_if * t)
-                        ).astype(np.complex64)
-                r1 = acq_ops.pcps_search(
-                    iq.split(xlat), cf[i: i + 1], dopplers,
-                    fs=self.cfg.fs, samples_per_code=g.spc,
-                    samples_per_chip=spchip, noncoherent=nc)
-                cfars.append(float(r1.test_cfar[0]))
-                phases.append(int(r1.code_phase[0]))
-                dops.append(float(r1.doppler_hz[0]))
-            cfar = np.asarray(cfars)
-            code_phases, doppler_hz = phases, dops
-        else:
-            res = acq_ops.pcps_search(
-                iq.split(chunk[: nc * slab]), cf, dopplers,
+                for i in range(len(candidates))])
+            res = acq_ops.pcps_search_grids(
+                iq.split(chunk[: nc * slab]), cf, grids,
                 fs=self.cfg.fs, samples_per_code=g.spc,
                 samples_per_chip=spchip, noncoherent=nc)
+            cfar = np.asarray(res.test_cfar)
+            code_phases = [int(v) for v in np.asarray(res.code_phase)]
+            doppler_hz = [float(v) for v in np.asarray(res.doppler_hz)]
+        elif g.spec.fdma_step_hz > 0.0:
+            # FDMA: each candidate sits at its own slot IF — fold the slot
+            # offset into a per-candidate grid center (equivalent to the
+            # reference's per-channel Freq_Xlating conditioning, but one
+            # batched device call for all slots)
+            centers = np.array([g.if_freq_for(p) for p in candidates],
+                               np.float32)
+            grids = centers[:, None] + dopplers[None, :]
+            res = acq_ops.pcps_search_grids(
+                iq.split(chunk[: nc * slab]), cf, grids,
+                fs=self.cfg.fs, samples_per_code=g.spc,
+                samples_per_chip=spchip, noncoherent=nc)
+            cfar = np.asarray(res.test_cfar)
+            code_phases = [int(v) for v in np.asarray(res.code_phase)]
+            # report residual Doppler relative to each slot's IF
+            doppler_hz = [float(v) - float(c) for v, c in
+                          zip(np.asarray(res.doppler_hz), centers)]
+        else:
+            if self.mesh is not None:
+                # signal axis sharded: pad the code-FFT stack to a multiple
+                # of the mesh size, search per-device, slice the results
+                n_sig = len(candidates)
+                s_pad = -(-n_sig // self._n_dev) * self._n_dev
+                cf_p = (np.concatenate(
+                    [cf, np.repeat(cf[-1:], s_pad - n_sig, axis=0)])
+                    if s_pad > n_sig else cf)
+                res = self._shd.pcps_search_sharded(
+                    self.mesh, iq.split(chunk[: nc * slab]), cf_p, dopplers,
+                    fs=self.cfg.fs, samples_per_code=g.spc,
+                    samples_per_chip=spchip, noncoherent=nc)
+                res = jax.tree.map(lambda a: np.asarray(a)[:n_sig], res)
+            else:
+                res = acq_ops.pcps_search(
+                    iq.split(chunk[: nc * slab]), cf, dopplers,
+                    fs=self.cfg.fs, samples_per_code=g.spc,
+                    samples_per_chip=spchip, noncoherent=nc)
             cfar = np.asarray(res.test_cfar)
             code_phases = [int(v) for v in np.asarray(res.code_phase)]
             doppler_hz = [float(v) for v in np.asarray(res.doppler_hz)]
@@ -436,9 +464,17 @@ class Receiver:
     def _run_tracking(self, g: SignalGroup, chunk_with_halo: np.ndarray) -> None:
         if not any(ch.state == "tracking" for ch in g.channels):
             return
+        chunk2 = iq.split(chunk_with_halo[: self.chunk_len + g.n_max])
+        state, tables, sec = g.trk_state, g.code_tables, g.sec_tables
+        if self.mesh is not None:
+            # channel axis sharded across devices, sample chunk replicated
+            # (SURVEY §2.4: per-satellite data parallelism over the mesh)
+            state = self._shd.shard_tracking_state(state, self.mesh)
+            tables = self._shd.shard_channel_array(tables, self.mesh)
+            sec = self._shd.shard_channel_array(sec, self.mesh)
+            chunk2 = self._shd.replicate(chunk2, self.mesh)
         g.trk_state, out = trk.track_chunk(
-            g.trk_cfg, iq.split(chunk_with_halo[: self.chunk_len + g.n_max]),
-            g.trk_state, g.code_tables, g.sec_tables)
+            g.trk_cfg, chunk2, state, tables, sec)
         valid = np.asarray(out.valid)
         prompt = iq.combine(np.asarray(out.prompt))   # [S, C] complex (host)
         eidx = np.asarray(out.epoch_index)

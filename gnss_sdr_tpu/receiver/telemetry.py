@@ -318,6 +318,129 @@ class GpsL2CMTelemetry:
         return self.assembler.ephemeris()
 
 
+class GpsL5ITelemetry:
+    """GPS L5I CNAV telemetry: 1 ms primary-code epochs carry
+    symbol * NH10[epoch phase]; the 10-bit Neuman-Hofman overlay gives 10 ms
+    symbol sync, then 100 sps symbols feed the continuous K=7 r=1/2 FEC and
+    CRC-24Q CNAV framing shared with L2C (models/nav/gps_cnav).
+
+    Reference analog: gps_l5_telemetry_decoder_gs.cc:1-280 (NH sync + the
+    libswiftcnav cnav_msg_decoder) — message period 6 s at 50 bps.
+    """
+
+    NH_EPOCHS = 10
+    MSG_SYMBOLS = 600               # 300 bits * 2 symbols at r=1/2
+    MSG_PERIOD_S = 6.0
+
+    def __init__(self, prn: int):
+        from gnss_sdr_tpu import constants
+        from gnss_sdr_tpu.models.nav import fec, gps_cnav
+        self._fec = fec
+        self._cnav = gps_cnav
+        nh = constants.GPS_L5_I.secondary_code
+        self.NH10 = np.array([int(b) for b in nh], np.uint8)
+        self.prn = prn
+        self._epochs = np.zeros(0, np.int64)
+        self._prompts = np.zeros(0, np.float64)
+        self.assembler = gps_cnav.CnavAssembler(prn)
+        self.bit_phase: int | None = None        # epoch phase of symbol start
+        self.tow_ref: TowReference | None = None
+        self._frame_anchor: tuple[int, float] | None = None  # (sym_off, pol)
+        self._decoded_upto = 0
+        self.message_count = 0
+
+    def push(self, epoch_indices, prompts_i) -> None:
+        if len(epoch_indices) == 0:
+            return
+        self._epochs = np.concatenate(
+            [self._epochs, np.asarray(epoch_indices, np.int64)])
+        self._prompts = np.concatenate(
+            [self._prompts, np.asarray(prompts_i, np.float64)])
+        self._decode()
+
+    def _symbols(self):
+        """NH10-wipe and integrate 1 ms prompts to 100 sps soft symbols
+        (+amp == bit 1); returns (soft, start_epochs)."""
+        nh_pm = 1.0 - 2.0 * self.NH10.astype(np.float64)
+        p = self._prompts
+        e0 = int(self._epochs[0])
+        n_nh = self.NH_EPOCHS
+        if self.bit_phase is None:
+            if len(p) < 12 * n_nh:
+                return None, None
+            best_phase, best_mag = None, 0.0
+            for phase in range(n_nh):
+                off = (phase - e0) % n_nh
+                n_b = (len(p) - off) // n_nh
+                if n_b < 8:
+                    continue
+                seg = p[off: off + n_b * n_nh].reshape(n_b, n_nh)
+                corr = np.abs(seg @ nh_pm).sum()
+                if corr > best_mag:
+                    best_mag, best_phase = corr, phase
+            self.bit_phase = best_phase
+        off = (self.bit_phase - e0) % n_nh
+        n_b = (len(p) - off) // n_nh
+        if n_b <= 0:
+            return None, None
+        seg = p[off: off + n_b * n_nh].reshape(n_b, n_nh)
+        # chip bit b -> amplitude (1-2b): soft(+ == bit1) = -(I @ nh_pm)
+        soft = -(seg @ nh_pm)
+        starts = e0 + off + np.arange(n_b, dtype=np.int64) * n_nh
+        return soft, starts
+
+    def _try_decode_at(self, soft: np.ndarray, off: int, pol: float):
+        sym = pol * soft[off: off + self.MSG_SYMBOLS + 12]
+        if len(sym) < self.MSG_SYMBOLS + 12:
+            return None
+        bits = self._fec.viterbi_decode(sym, 300)
+        return self._cnav.decode_message(bits)
+
+    def _decode(self) -> None:
+        soft, starts = self._symbols()
+        if soft is None:
+            return
+        n = len(soft)
+        if self._frame_anchor is None:
+            for off in range(0, min(n - (self.MSG_SYMBOLS + 12), 1300)):
+                for pol in (1.0, -1.0):
+                    if self._try_decode_at(soft, off, pol) is not None:
+                        self._frame_anchor = (off, pol)
+                        self._decoded_upto = off
+                        break
+                if self._frame_anchor:
+                    break
+            if self._frame_anchor is None:
+                return
+        _, pol = self._frame_anchor
+        while self._decoded_upto + self.MSG_SYMBOLS + 12 <= n:
+            off = self._decoded_upto
+            res = self._try_decode_at(soft, off, pol)
+            if res is not None:
+                mtype, prn, tow, fields = res
+                self.assembler.push(mtype, fields)
+                self.message_count += 1
+                # CNAV TOW tags the start of the NEXT message (6 s on L5)
+                self.tow_ref = TowReference(
+                    tow_s=tow - self.MSG_PERIOD_S,
+                    epoch=int(starts[off]), polarity=1)
+            self._decoded_upto = off + self.MSG_SYMBOLS
+
+    @property
+    def have_tow(self) -> bool:
+        return self.tow_ref is not None
+
+    def transmit_time(self, epoch: int, chips: float, code_len: int = 10230,
+                      code_rate: float = 10.23e6) -> float | None:
+        if self.tow_ref is None:
+            return None
+        de = epoch - self.tow_ref.epoch
+        return self.tow_ref.tow_s + (de * code_len + chips) / code_rate
+
+    def ephemeris(self):
+        return self.assembler.ephemeris()
+
+
 class GlonassL1CaTelemetry:
     """GLONASS L1 C/A GNAV telemetry: 1 ms epochs -> 100 sps half-bit stream,
     time-mark sync, meander stripping, Hamming-checked strings.
@@ -855,6 +978,8 @@ def make_telemetry(signal: str, prn: int):
         return GalileoE1BTelemetry(prn)
     if signal == "2S":
         return GpsL2CMTelemetry(prn)
+    if signal == "L5":
+        return GpsL5ITelemetry(prn)
     if signal in ("1G", "2G"):
         return GlonassL1CaTelemetry(prn)
     if signal in ("B1", "B3"):

@@ -23,7 +23,7 @@ from gnss_sdr_tpu.utils import constellation, generator
 
 @dataclasses.dataclass
 class Scenario:
-    rcv_ecef: np.ndarray
+    rcv_ecef: np.ndarray        # position at t0 (sample 0)
     rcv_llh: tuple
     t0_gps: float               # GPS time at receiver sample 0
     tow_bits_start: float       # SV time of LNAV bit 0
@@ -33,27 +33,47 @@ class Scenario:
     sats: list[generator.SatParams]
     prns: list[int]
     spec: constants.SignalSpec = constants.GPS_L1_CA
+    # constant-velocity receiver motion (dynamic system test; the reference
+    # asserts against a Spirent motion file, position_test.cc:803-804)
+    rcv_vel_ecef: np.ndarray | None = None
 
     def generate(self, seed: int = 0, noise: bool = True) -> np.ndarray:
         return generator.generate(self.spec, self.sats, self.fs,
                                   self.duration_s, seed=seed, noise=noise)
+
+    def rcv_pos_at(self, t_since_t0: float) -> np.ndarray:
+        """Truth receiver position t seconds after sample 0."""
+        if self.rcv_vel_ecef is None:
+            return self.rcv_ecef
+        return self.rcv_ecef + self.rcv_vel_ecef * t_since_t0
 
 
 def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),
                           t0_gps: float = 352800.08, duration_s: float = 28.0,
                           fs: float = 2.046e6, n_sats: int = 6,
                           cn0_dbhz: float = 47.0,
-                          ephemerides: dict | None = None) -> Scenario:
-    """Build a static-receiver GPS L1 C/A scenario.
+                          ephemerides: dict | None = None,
+                          vel_enu: tuple = (0.0, 0.0, 0.0)) -> Scenario:
+    """Build a GPS L1 C/A scenario (static, or constant-velocity ``vel_enu``).
 
     The LNAV streams cycle subframes (1,2,3) so ephemeris is decodable within
     ~25 s of signal. SV transmit-time trajectories are quadratic fits of the
-    exact light-time solution — worst-case deviation over 30 s is millimetric.
+    exact light-time solution — worst-case deviation over 30 s is millimetric
+    (constant receiver velocity only bends t_tx(t) quadratically through the
+    slowly-rotating line of sight, which the fit absorbs).
     """
     ephs = ephemerides or constellation.almanac_constellation()
     for e in ephs.values():
         e.tgd = 0.0   # signal-level sim carries no inter-signal group delay
     rcv = geodesy.geodetic_to_ecef(*rcv_llh)
+    moving = any(v != 0.0 for v in vel_enu)
+    vel_ecef = (geodesy.enu_to_ecef_offset(
+        np.asarray(vel_enu, float), rcv_llh[0], rcv_llh[1])
+        if moving else None)
+
+    def rcv_at(t: float) -> np.ndarray:
+        return rcv + vel_ecef * t if moving else rcv
+
     vis = constellation.visible_sats(ephs, rcv, t0_gps, el_mask_deg=15.0)
     chosen = [prn for prn, _, _ in vis[:n_sats]]
     if len(chosen) < n_sats:
@@ -76,7 +96,7 @@ def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
         # quadratic fit of t_tx_sv(t), t = receiver time since sample 0
         ts = np.array([0.0, duration_s / 2.0, duration_s])
         tx = np.array([constellation.simulate_observation(
-            eph, rcv, t0_gps + t).t_tx_sv for t in ts])
+            eph, rcv_at(t), t0_gps + t).t_tx_sv for t in ts])
         a2, a1, a0 = np.polyfit(ts, tx, 2)
         doppler = fc * (a1 - 1.0)
         doppler_rate = fc * 2.0 * a2
@@ -92,7 +112,59 @@ def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
 
     return Scenario(rcv_ecef=rcv, rcv_llh=rcv_llh, t0_gps=t0_gps,
                     tow_bits_start=tow_bits_start, duration_s=duration_s,
-                    fs=fs, ephemerides=ephs, sats=sats, prns=chosen)
+                    fs=fs, ephemerides=ephs, sats=sats, prns=chosen,
+                    rcv_vel_ecef=vel_ecef)
+
+
+def build_gps_l5_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),
+                          t0_gps: float = 352800.06, duration_s: float = 26.0,
+                          fs: float = 11.0e6, n_sats: int = 4,
+                          cn0_dbhz: float = 50.0) -> Scenario:
+    """GPS L5I signal-level scenario with CNAV (6 s messages, 100 sps).
+
+    The 10.23 Mcps L5 code needs fs > 10.23 MHz; 11 MHz keeps sampling
+    incommensurate with the chip rate (no flat-peak DLL bias). CNAV cycles
+    message types 10/11/30 so the ephemeris completes within 18 s of frame
+    sync (reference: gps_l5_telemetry_decoder_gs.cc timing).
+    """
+    from gnss_sdr_tpu.models.nav import gps_cnav
+
+    spec = constants.GPS_L5_I
+    ephs = constellation.almanac_constellation()
+    for e in ephs.values():
+        e.tgd = 0.0
+    rcv = geodesy.geodetic_to_ecef(*rcv_llh)
+    vis = constellation.visible_sats(ephs, rcv, t0_gps, el_mask_deg=15.0)
+    chosen = [prn for prn, _, _ in vis[:n_sats]]
+    if len(chosen) < n_sats:
+        raise RuntimeError(f"only {len(chosen)} visible sats")
+
+    fc = spec.carrier_freq_hz
+    t_tx0 = {prn: constellation.simulate_observation(
+        ephs[prn], rcv, t0_gps).t_tx_sv for prn in chosen}
+    # symbol-stream origin: a 6 s CNAV message boundary before min t_tx(0)
+    tow_sym_start = 6.0 * np.floor(min(t_tx0.values()) / 6.0)
+    n_messages = int(np.ceil((duration_s + 12.0) / 6.0)) + 1
+
+    sats = []
+    for prn in chosen:
+        eph = ephs[prn]
+        ts = np.array([0.0, duration_s / 2.0, duration_s])
+        tx = np.array([constellation.simulate_observation(
+            eph, rcv, t0_gps + t).t_tx_sv for t in ts])
+        a2, a1, a0 = np.polyfit(ts, tx, 2)
+        sym = gps_cnav.encode_symbol_stream(eph, tow_sym_start, n_messages,
+                                            period_s=6.0)
+        sats.append(generator.SatParams(
+            prn=prn, cn0_dbhz=cn0_dbhz,
+            doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
+            code_delay_s=tow_sym_start - a0,
+            data_bits=generator.lnav_bits_to_symbols(sym)))
+
+    return Scenario(rcv_ecef=rcv, rcv_llh=rcv_llh, t0_gps=t0_gps,
+                    tow_bits_start=tow_sym_start, duration_s=duration_s,
+                    fs=fs, ephemerides=ephs, sats=sats, prns=chosen,
+                    spec=spec)
 
 
 def build_galileo_e1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),

@@ -10,14 +10,17 @@ import pytest
 from gnss_sdr_tpu.receiver.pvt import geodesy
 from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
 from gnss_sdr_tpu.io.sources import ArraySignalSource
-from gnss_sdr_tpu.utils import scenario as scen
+from gnss_sdr_tpu.utils import fixture_cache, scenario as scen
 
 
 @pytest.fixture(scope="module")
 def e2e_run():
     sc = scen.build_galileo_e1_scenario(duration_s=18.0, n_sats=5,
                                         cn0_dbhz=48.0, fs=4.0e6)
-    x = sc.generate(seed=21)
+    x = fixture_cache.cached_iq(
+        "e2e_gal_e1", dict(duration_s=18.0, n_sats=5, cn0_dbhz=48.0,
+                           fs=4.0e6, seed=21),
+        lambda: sc.generate(seed=21))
     cfg = ReceiverConfig(
         signal="1B", fs=sc.fs, n_channels=5, prns=tuple(sc.prns),
         chunk_ms=100, acq_doppler_max_hz=5000.0, acq_doppler_step_hz=125.0,

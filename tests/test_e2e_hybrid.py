@@ -13,7 +13,7 @@ import pytest
 from gnss_sdr_tpu.receiver.pvt import geodesy
 from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
 from gnss_sdr_tpu.io.sources import ArraySignalSource
-from gnss_sdr_tpu.utils import scenario as scen
+from gnss_sdr_tpu.utils import fixture_cache, scenario as scen
 
 FS = 4.0e6
 T0 = 352800.13
@@ -28,11 +28,17 @@ def hybrid_run():
                                           n_sats=4, cn0_dbhz=48.0)
     # both sims are referenced to the same receiver epoch and share the
     # carrier; sum the clean signals and add one unit-variance noise floor
-    x = sc_g.generate(seed=31, noise=False) + sc_e.generate(seed=32, noise=False)
-    rng = np.random.default_rng(33)
-    n = len(x)
-    x = (x + (rng.standard_normal(n) + 1j * rng.standard_normal(n))
-         / np.sqrt(2.0)).astype(np.complex64)
+    def _build():
+        x = (sc_g.generate(seed=31, noise=False)
+             + sc_e.generate(seed=32, noise=False))
+        rng = np.random.default_rng(33)
+        n = len(x)
+        return (x + (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+                / np.sqrt(2.0)).astype(np.complex64)
+
+    x = fixture_cache.cached_iq(
+        "e2e_hybrid", dict(t0=T0, duration_s=DUR, fs=FS, n_sats=4,
+                           seeds=(31, 32, 33)), _build)
 
     cfg = ReceiverConfig(
         fs=FS, chunk_ms=100,

@@ -14,7 +14,7 @@ import pytest
 from gnss_sdr_tpu.receiver.pvt import geodesy
 from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
 from gnss_sdr_tpu.io.sources import ArraySignalSource
-from gnss_sdr_tpu.utils import scenario as scen
+from gnss_sdr_tpu.utils import fixture_cache, scenario as scen
 
 
 @pytest.fixture(scope="module")
@@ -25,11 +25,19 @@ def e2e_run():
     # for this band (conf/gnss-sdr_GPS_L1_ishort.conf internal_fs_sps).
     sc = scen.build_gps_l1_scenario(duration_s=28.0, n_sats=6, cn0_dbhz=47.0,
                                     fs=2.0e6)
-    x = sc.generate(seed=123)
+    x = fixture_cache.cached_iq(
+        "e2e_gps_l1", dict(duration_s=28.0, n_sats=6, cn0_dbhz=47.0,
+                           fs=2.0e6, seed=123),
+        lambda: sc.generate(seed=123))
+    # run on the full 8-virtual-device mesh: the e2e fix itself exercises
+    # channel-axis sharding (6 channels padded to 8, 1 per device) and
+    # signal-axis-sharded acquisition (tests/test_parallel.py asserts the
+    # sharded==unsharded numerics; this asserts the sharded chain's fixes)
     cfg = ReceiverConfig(
         signal="1C", fs=sc.fs, n_channels=6, prns=tuple(sc.prns),
         chunk_ms=100, acq_doppler_max_hz=5000.0, acq_doppler_step_hz=250.0,
-        pvt_apply_tropo=False, pvt_apply_iono=False)
+        pvt_apply_tropo=False, pvt_apply_iono=False,
+        n_mesh_devices=8)
     rx = Receiver(cfg)
     rx.run_source(ArraySignalSource(x, sc.fs))
     return sc, rx

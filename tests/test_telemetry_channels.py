@@ -215,3 +215,41 @@ def test_beidou_d2_geo_telemetry():
     assert dec is not None
     assert abs(dec.sqrt_a - eph.sqrt_a) <= 2.0 ** -19
     assert dec.toe == eph.toe
+
+
+def test_gps_l5_cnav_telemetry():
+    """L5I: NH10 overlay sync + 100 sps CNAV (6 s messages) -> ephemeris.
+
+    Reference analog: gps_l5_telemetry_decoder_gs.cc (NH sync + cnav decode).
+    """
+    from gnss_sdr_tpu import constants
+    from gnss_sdr_tpu.receiver.telemetry import GpsL5ITelemetry
+
+    eph = sample_ephemeris()
+    eph.toe = eph.toc = 352800.0
+    sym = gps_cnav.encode_symbol_stream(eph, 352800.0, 6, period_s=6.0)
+    nh = np.array([int(b) for b in constants.GPS_L5_I.secondary_code],
+                  np.float64)
+    # prompts: symbol (chip conv) * NH chip (chip conv), 10 epochs per symbol
+    sym_amp = 100.0 * (1.0 - 2.0 * sym.astype(np.float64))
+    prompts = (np.repeat(sym_amp, 10).reshape(-1, 10)
+               * (1.0 - 2.0 * nh)[None, :]).reshape(-1)
+    rng = np.random.default_rng(11)
+    prompts = prompts + rng.normal(0, 22.0, len(prompts))
+    start = 337  # arbitrary mid-stream start, polarity flipped
+    tlm = GpsL5ITelemetry(prn=9)
+    _feed(tlm, -prompts[start:], epoch0=91)
+    assert tlm.message_count >= 3, tlm.message_count
+    assert tlm.have_tow
+    dec = tlm.ephemeris()
+    assert dec is not None
+    assert abs(dec.sqrt_a - eph.sqrt_a) < 1e-5
+    assert dec.toe == eph.toe
+    # transmit-time anchor: symbol s sits at tow_start + s * 0.01; the first
+    # pushed epoch (index 91) is stream epoch `start`, i.e. t = start * 1 ms
+    t = tlm.transmit_time(91 + 100, 0.0)
+    assert t == pytest.approx(352800.0 + (start + 100) * 1e-3, abs=1e-9)
+
+
+def test_make_telemetry_l5():
+    assert make_telemetry("L5", 9).__class__.__name__ == "GpsL5ITelemetry"
