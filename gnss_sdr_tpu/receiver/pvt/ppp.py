@@ -1,10 +1,12 @@
-"""Precise Point Positioning (static, float ambiguities).
+"""Precise Point Positioning (static and kinematic, float ambiguities).
 
 Reference analog: ``src/algorithms/libs/rtklib/rtklib_ppp.cc`` (pppos): a
 sequential filter over iono-free code + carrier observations with precise
-orbits/clocks (see sp3.py), estimating position (static), receiver clock
-(white noise), residual zenith tropospheric delay (random walk) and one
-float iono-free ambiguity per satellite.
+orbits/clocks (see sp3.py), estimating position (constant in static mode, a
+random walk in kinematic mode — RTKLIB ``udpos_ppp`` PMODE_PPP_KINEMA),
+receiver clock (white noise), residual zenith tropospheric delay (random
+walk) and one float iono-free ambiguity per satellite, with cycle-slip
+resets of the affected ambiguity state (``udbias_ppp``/``detecs``).
 
 State: x = [p(3), c*dt, T_z, N_1..N_m] (N in meters of iono-free phase).
 Measurements per satellite per epoch:
@@ -53,18 +55,24 @@ class PppFilter:
 
     def __init__(self, ephemerides: dict, x0_ecef: np.ndarray,
                  sigma_pr_m: float = 1.0, sigma_phase_m: float = 0.01,
-                 q_clk: float = 1e8, q_ztd: float = 1e-8):
+                 q_clk: float = 1e8, q_ztd: float = 1e-8,
+                 mode: str = "static", q_pos_m2_s: float = 1.0):
         self.ephemerides = ephemerides
         self.sigma_pr = sigma_pr_m
         self.sigma_ph = sigma_phase_m
         self.q_clk = q_clk
         self.q_ztd = q_ztd
+        # kinematic (RTKLIB PMODE_PPP_KINEMA): position random walk with
+        # spectral density q_pos_m2_s per axis; static: position constant
+        self.mode = mode
+        self.q_pos = q_pos_m2_s
         self.sat_index: dict[tuple, int] = {}
         n = 5
         self.x = np.zeros(n)
         self.x[:3] = x0_ecef
         self.p = np.diag([100.0 ** 2] * 3 + [1e9, 0.25])
         self.epoch = 0
+        self.n_slips = 0
 
     def _ensure_sat(self, key) -> int:
         if key not in self.sat_index:
@@ -77,19 +85,37 @@ class PppFilter:
             self.p = p
         return self.sat_index[key]
 
-    def update(self, obs: list[PppObs]) -> PppSolution:
+    def reset_ambiguity(self, key: tuple) -> None:
+        """Cycle slip on (system, prn): reinitialize its ambiguity state
+        (reference udbias_ppp on detected slip)."""
+        if key not in self.sat_index:
+            return
+        i = self.sat_index[key]
+        self.x[i] = 0.0
+        self.p[i, :] = 0.0
+        self.p[:, i] = 0.0
+        self.p[i, i] = 1e6
+        self.n_slips += 1
+
+    def update(self, obs: list[PppObs], dt_s: float = 1.0,
+               slips: set | None = None) -> PppSolution:
         usable = [o for o in obs
                   if _eph_lookup(self.ephemerides, o) is not None]
         if len(usable) < 4:
             return PppSolution(valid=False, n_sats=len(usable))
         self.epoch += 1
 
-        # time update: position static, clock white, ZTD random walk
+        # time update: position static or random walk, clock white, ZTD RW
+        if self.mode == "kinematic":
+            self.p[:3, :3] += np.eye(3) * (self.q_pos * max(dt_s, 0.0))
         self.p[3, :] = 0.0
         self.p[:, 3] = 0.0
         self.p[3, 3] = self.q_clk
         self.p[4, 4] += self.q_ztd
 
+        if slips:
+            for key in slips:
+                self.reset_ambiguity(key)
         for o in usable:
             self._ensure_sat((o.system, o.prn))
 

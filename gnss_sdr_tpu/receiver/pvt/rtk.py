@@ -35,6 +35,7 @@ class RtkObs:
     cn0_dbhz: float = 45.0
     system: str = "G"
     t_tx_sv: float = 0.0
+    doppler_hz: float = 0.0     # used by RtkFilter slip detection
 
 
 @dataclasses.dataclass

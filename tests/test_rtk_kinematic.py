@@ -1,0 +1,234 @@
+"""Kinematic RTK filter + cycle slips + kinematic PPP tests.
+
+Reference analogs: rtklib_rtkpos.cc relpos/udstate (filtered kinematic DD
+positioning with ambiguity bookkeeping and slip resets) and rtklib_ppp.cc
+pppos in PMODE_PPP_KINEMA. Truth from the synthetic constellation oracle: a
+constant-velocity rover must stay fixed at carrier-phase accuracy through
+the trajectory, survive an injected cycle slip, and kinematic PPP must track
+the moving antenna at sub-meter level.
+"""
+
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu import constants as C
+from gnss_sdr_tpu.receiver.pvt import geodesy, ppp, rtk
+from gnss_sdr_tpu.receiver.pvt.rtk_filter import RtkFilter, RtkFilterConfig
+from gnss_sdr_tpu.utils import constellation
+
+LAM = C.SPEED_OF_LIGHT_M_S / 1_575_420_000.0
+TRUE_LLH = (np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
+T0 = 354000.0
+
+
+@pytest.fixture(scope="module")
+def world():
+    ephs = constellation.almanac_constellation()
+    base = geodesy.geodetic_to_ecef(*TRUE_LLH)
+    vis = constellation.visible_sats(ephs, base, T0, el_mask_deg=10.0)
+    prns = [p for p, _, _ in vis[:8]]
+    return {("G", p): ephs[p] for p in prns}, base, prns
+
+
+def _obs_at(ephs_keyed, prns, pos, t, n_amb, rng, pr_sigma=0.3,
+            cp_sigma_cyc=0.005, clock_bias_s=0.0, slip_cycles=None,
+            vel_ecef=None):
+    """Observations of ``prns`` from ``pos`` at GPS time t (with injected
+    integer ambiguities and optional per-PRN extra slip cycles)."""
+    out = []
+    for prn in prns:
+        eph = ephs_keyed[("G", prn)]
+        o = constellation.simulate_observation(eph, pos, t,
+                                               rcv_clock_bias_s=clock_bias_s)
+        extra = (slip_cycles or {}).get(prn, 0)
+        # Doppler from the range rate (finite difference of the oracle,
+        # RINEX sign D = -d(rho)/dt/lambda); receiver motion included
+        pos2 = pos if vel_ecef is None else pos + vel_ecef
+        o2 = constellation.simulate_observation(eph, pos2, t + 1.0,
+                                                rcv_clock_bias_s=clock_bias_s)
+        dop = -(o2.pseudorange_m - o.pseudorange_m) / LAM
+        out.append(rtk.RtkObs(
+            prn=prn, system="G",
+            pseudorange_m=o.pseudorange_m + rng.normal(0, pr_sigma),
+            carrier_phase_cycles=(o.pseudorange_m / LAM + n_amb[prn] + extra
+                                  + rng.normal(0, cp_sigma_cyc)),
+            doppler_hz=dop, t_tx_sv=o.t_tx_sv))
+    return out
+
+
+def test_kinematic_rtk_moving_rover(world):
+    """Constant-velocity rover: fixed baselines at cm accuracy per epoch."""
+    ephs, base_ecef, prns = world
+    lat, lon, _ = TRUE_LLH
+    v_enu = np.array([3.0, -1.5, 0.0])          # 3.4 m/s rover
+    p0 = base_ecef + geodesy.enu_to_ecef_offset(
+        np.array([50.0, 20.0, 1.0]), lat, lon)
+    v_ecef = geodesy.enu_to_ecef_offset(v_enu, lat, lon)
+
+    rng = np.random.default_rng(7)
+    n_rov = {p: int(rng.integers(-2e6, 2e6)) for p in prns}
+    n_bas = {p: int(rng.integers(-2e6, 2e6)) for p in prns}
+
+    # moderately carrier-smoothed code (Hatch, observables.py): the filter
+    # accumulates DD-ambiguity information across epochs (sigma_N ~ 1/sqrt(k))
+    filt = RtkFilter(base_ecef, ephs,
+                     RtkFilterConfig(mode="kinematic", sigma_pr_m=0.1,
+                                     fix_and_hold=True))
+    n_fixed = 0
+    errs = []
+    for k in range(30):
+        t = T0 + 1.0 * k
+        pos = p0 + v_ecef * k
+        rover = _obs_at(ephs, prns, pos, t, n_rov, rng, pr_sigma=0.1,
+                        clock_bias_s=1.3e-4, vel_ecef=v_ecef)
+        basev = _obs_at(ephs, prns, base_ecef, t, n_bas, rng, pr_sigma=0.1,
+                        clock_bias_s=-0.6e-4)
+        sol = filt.update(rover, basev, t)
+        assert sol.valid
+        if k >= 2:
+            assert sol.fixed, f"epoch {k} not fixed (ratio {sol.ratio:.1f})"
+        if sol.fixed:
+            n_fixed += 1
+            errs.append(np.linalg.norm(sol.rover_ecef - pos))
+    assert n_fixed >= 25
+    assert filt.n_slips == 0, f"{filt.n_slips} false slips"
+    assert max(errs) < 0.03, f"max kinematic fixed error {max(errs)*100:.1f} cm"
+
+
+def test_kinematic_rtk_detects_cycle_slip(world):
+    """A mid-run slip on one satellite is detected and re-fixed."""
+    ephs, base_ecef, prns = world
+    lat, lon, _ = TRUE_LLH
+    p0 = base_ecef + geodesy.enu_to_ecef_offset(
+        np.array([10.0, 5.0, 0.0]), lat, lon)
+
+    rng = np.random.default_rng(13)
+    n_rov = {p: int(rng.integers(-2e6, 2e6)) for p in prns}
+    n_bas = {p: int(rng.integers(-2e6, 2e6)) for p in prns}
+
+    filt = RtkFilter(base_ecef, ephs,
+                     RtkFilterConfig(mode="static", sigma_pr_m=0.1,
+                                     fix_and_hold=True))
+    slip_prn = prns[2]
+    errs_after = []
+    for k in range(30):
+        t = T0 + 1.0 * k
+        slips = {slip_prn: 7} if k >= 15 else None   # +7 cycles from epoch 15
+        rover = _obs_at(ephs, prns, p0, t, n_rov, rng, pr_sigma=0.1,
+                        slip_cycles=slips)
+        basev = _obs_at(ephs, prns, base_ecef, t, n_bas, rng, pr_sigma=0.1)
+        sol = filt.update(rover, basev, t)
+        if k >= 18:
+            assert sol.fixed, f"epoch {k} lost fix after slip"
+            errs_after.append(np.linalg.norm(sol.rover_ecef - p0))
+    assert filt.n_slips >= 1, "slip not detected"
+    assert max(errs_after) < 0.02, f"{max(errs_after)*100:.1f} cm after slip"
+
+
+def test_kinematic_rtk_lli_reset(world):
+    """An LLI flag forces the ambiguity reset even without a phase jump."""
+    ephs, base_ecef, prns = world
+    rng = np.random.default_rng(17)
+    n_rov = {p: int(rng.integers(-2e6, 2e6)) for p in prns}
+    n_bas = {p: int(rng.integers(-2e6, 2e6)) for p in prns}
+    filt = RtkFilter(base_ecef, ephs, RtkFilterConfig(mode="static"))
+    for k in range(6):
+        t = T0 + 1.0 * k
+        rover = _obs_at(ephs, prns, base_ecef + 5.0, t, n_rov, rng)
+        basev = _obs_at(ephs, prns, base_ecef, t, n_bas, rng)
+        lli = {("G", prns[0])} if k == 3 else None
+        var_before = None
+        if k == 3:
+            i = filt.sat_index[("G", prns[0])]
+            var_before = filt.p[i, i]
+        sol = filt.update(rover, basev, t, lli=lli)
+        if k == 3:
+            assert filt.n_slips >= 1
+    assert sol.valid
+
+
+def test_ppp_kinematic_tracks_motion(world):
+    """Kinematic PPP follows a moving antenna at sub-meter level."""
+    ephs, base_ecef, prns = world
+    lat, lon, _ = TRUE_LLH
+    v_ecef = geodesy.enu_to_ecef_offset(np.array([2.0, 1.0, 0.0]), lat, lon)
+    rng = np.random.default_rng(23)
+    amb = {p: rng.normal(0, 30.0) for p in prns}
+    ztd = 0.15
+
+    filt = ppp.PppFilter(ephs, x0_ecef=base_ecef + np.array([20.0, -10.0, 30.0]),
+                         mode="kinematic", q_pos_m2_s=1.0,
+                         sigma_pr_m=0.7, sigma_phase_m=0.005)
+    errs = []
+    est = {}
+    n_epochs = 480
+    for k in range(n_epochs):
+        t = T0 + 1.0 * k
+        pos = base_ecef + v_ecef * k
+        obs = []
+        for p in prns:
+            eph = ephs[("G", p)]
+            o = constellation.simulate_observation(eph, pos, t,
+                                                   rcv_clock_bias_s=1e-4)
+            az, el = geodesy.az_el(pos, eph.position_velocity(o.t_tx_sv)[0])
+            trop = ztd * ppp.tropo_mapping(el)
+            obs.append(ppp.PppObs(
+                prn=p, system="G", t_tx_sv=o.t_tx_sv,
+                pr_if_m=o.pseudorange_m + trop + rng.normal(0, 0.7),
+                phase_if_m=(o.pseudorange_m + trop + amb[p]
+                            + rng.normal(0, 0.005))))
+        sol = filt.update(obs, dt_s=1.0)
+        est[k] = sol.pos_ecef.copy()
+        if k >= n_epochs - 120:
+            errs.append(np.linalg.norm(sol.pos_ecef - pos))
+    # float kinematic PPP: ambiguities separate from position only through
+    # geometry change, so meter-level after 8 min is the honest expectation
+    # (RTKLIB PPP-kinematic behaves the same); the filter must bound the
+    # error and follow the trajectory, not diverge
+    rmse = float(np.sqrt(np.mean(np.square(errs))))
+    assert rmse < 3.5, f"kinematic PPP RMSE {rmse:.2f} m"
+    # the carrier keeps epoch-to-epoch motion essentially exact: the
+    # estimated displacement over the last 100 s must match |v| * dt
+    moved = np.linalg.norm(est[n_epochs - 1] - est[n_epochs - 101])
+    expect = np.linalg.norm(v_ecef) * 100.0
+    assert moved == pytest.approx(expect, rel=0.02), (moved, expect)
+
+
+def test_ppp_slip_reset_recovers(world):
+    """A flagged cycle slip resets the ambiguity state; the filter must end
+    close to its no-slip trajectory, while ignoring the slip corrupts it.
+    (reference: udbias_ppp reinitializes biases on detected slips)"""
+    ephs, base_ecef, prns = world
+    pos = base_ecef
+    slip_prn = prns[1]
+
+    def run(flag_slip: bool, inject_slip: bool):
+        rng = np.random.default_rng(29)
+        amb = {p: rng.normal(0, 30.0) for p in prns}
+        filt = ppp.PppFilter(ephs, x0_ecef=pos + 20.0, mode="static",
+                             sigma_pr_m=0.7, sigma_phase_m=0.005)
+        for k in range(480):
+            t = T0 + 1.0 * k
+            if k == 240 and inject_slip:
+                amb[slip_prn] += 25.0 * LAM
+            obs = []
+            for p in prns:
+                eph = ephs[("G", p)]
+                o = constellation.simulate_observation(eph, pos, t)
+                obs.append(ppp.PppObs(
+                    prn=p, system="G", t_tx_sv=o.t_tx_sv,
+                    pr_if_m=o.pseudorange_m + rng.normal(0, 0.7),
+                    phase_if_m=(o.pseudorange_m + amb[p]
+                                + rng.normal(0, 0.005))))
+            slips = ({("G", slip_prn)} if (k == 240 and flag_slip) else None)
+            sol = filt.update(obs, slips=slips)
+        return filt, np.linalg.norm(sol.pos_ecef - pos)
+
+    filt_clean, err_clean = run(flag_slip=False, inject_slip=False)
+    filt_reset, err_reset = run(flag_slip=True, inject_slip=True)
+    filt_blind, err_blind = run(flag_slip=False, inject_slip=True)
+    assert filt_reset.n_slips == 1 and filt_blind.n_slips == 0
+    # the reset confines the damage to near the no-slip trajectory ...
+    assert err_reset < err_clean + 0.35, (err_reset, err_clean)
+    # ... while swallowing a 25-cycle slip visibly corrupts the solution
+    assert err_blind > err_reset + 0.3, (err_blind, err_reset)
