@@ -21,12 +21,36 @@ shapes are full arrays (per-row blocks violate the (8, 128) tiling rule);
 the window length is padded to a lane multiple and the wrapper zero-pads the
 chunk so the last window's DMA stays in bounds.
 
-Status: QA'd against the numpy oracle and the XLA path in interpret mode
-(tests/test_correlator.py). On the current axon runtime the remote Pallas
-compile service itself fails (HTTP 500 from its tpu_compile_helper even for
-a minimal DMA+reduce kernel), so the receiver uses the XLA formulation
-(ops/correlator.py), which already sustains ~650x real-time for the 8-channel
-receiver; this kernel is the drop-in replacement once Pallas compiles there.
+Status — DEMOTED after on-chip evaluation (round 2, v5-lite via axon):
+QA'd against the numpy oracle and the XLA path in interpret mode
+(tests/test_correlator.py), but NOT used by the receiver, for two reasons
+established by direct measurement on the chip:
+
+1. The axon Mosaic backend cannot lower the kernel's core constructs.
+   Bisection (one construct per fresh process) showed:
+   - ``tpu.dynamic_gather`` is limited to a single 128-lane vreg along the
+     gather dimension ("Not implemented: Multiple source vregs along gather
+     dimension") — a 1023-entry C/A code table cannot be lane-gathered;
+   - dynamic-offset lane slices of VMEM (``ref[:, pl.ds(b, 128)]``) and
+     sublane gathers fail in tpu_compile_helper; dynamic-offset DMA from a
+     1-D HBM ref fails in ``tpu.memref_slice``.
+   Supported: static 128-lane gathers, ``pltpu.roll`` with traced shift,
+   partial lane stores, axis reductions, int32 iota, in-kernel MXU dot.
+   A roll+static-window-gather reformulation is possible but cannot win —
+   see (2).
+2. The XLA formulation is already at the HBM roofline. Measured on-chip
+   with dispatch amortized inside ``lax.scan`` (100 epochs/call, all
+   operands passed as jit arguments — a closure-captured device array
+   forces the documented 60x-slower scan path):
+     C=8:   0.36 us/epoch   (~0.9 TB/s effective)
+     C=32:  1.30 us/epoch   (~1.0 TB/s)
+     C=128: 3.52 us/epoch   (~1.5 TB/s)
+   The 100 ms sample chunk (~1.6 MB) is VMEM-resident across the whole
+   scan, so per-epoch windows never re-read HBM; effective bandwidth at or
+   above the v5-lite spec means there is no headroom for a hand kernel.
+
+The kernel is kept (with interpret-mode QA) as the reference Pallas
+formulation for backends with full Mosaic gather support.
 """
 
 from __future__ import annotations
