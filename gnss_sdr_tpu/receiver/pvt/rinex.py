@@ -187,7 +187,15 @@ class RinexObsReader:
 
 
 class RinexNavWriter:
-    """RINEX 3.02 mixed navigation writer (GPS LNAV + Galileo I/NAV)."""
+    """RINEX 3.02 mixed navigation writer: GPS LNAV, Galileo I/NAV, BeiDou
+    D1 (Kepler layouts with per-system trailing fields) and GLONASS GNAV
+    state-vector records (geph).
+
+    Reference analog: the nav side of ``rinex_printer.cc`` (log_rinex_nav
+    for Gps_Ephemeris / Galileo_Ephemeris / Glonass_Gnav_Ephemeris /
+    Beidou_Dnav_Ephemeris, ``rinex_printer.h:290-310``); unknown systems are
+    rejected instead of silently mis-formatted.
+    """
 
     def __init__(self, path):
         self.path = pathlib.Path(path)
@@ -205,7 +213,28 @@ class RinexNavWriter:
         f.write(_hline("", "END OF HEADER"))
         self._wrote_header = True
 
-    def write_ephemeris(self, eph, system: str = "G") -> None:
+    def _epoch_line(self, system: str, prn: int, t, a0, a1, a2) -> None:
+        self._f.write(
+            f"{system}{prn:02d} {t.year:4d} {t.month:02d} {t.day:02d} "
+            f"{t.hour:02d} {t.minute:02d} {t.second:02d}"
+            f"{_f1912(a0)}{_f1912(a1)}{_f1912(a2)}\n")
+
+    def _line(self, *vals) -> None:
+        self._f.write("    " + "".join(_f1912(v) for v in vals) + "\n")
+
+    def write_ephemeris(self, eph, system: str = "G",
+                        glonass_date: datetime.date | None = None) -> None:
+        """Append one broadcast record. ``eph`` is a KeplerEphemeris for
+        G/E/C or a GlonassEphemeris (detected by its ``tb_s`` attribute)
+        for R; ``glonass_date`` gives the UTC date of the geph epoch (the
+        GNAV strings carry only time-of-day)."""
+        if hasattr(eph, "tb_s"):                        # GLONASS geph
+            self._write_geph(eph, glonass_date)
+            return
+        if system not in ("G", "E", "C"):
+            raise ValueError(
+                f"no RINEX nav layout for system {system!r} with a Kepler "
+                "ephemeris (GLONASS needs a GlonassEphemeris record)")
         key = (system, eph.prn, eph.iode, eph.toe)
         if key in self._written:
             return
@@ -213,22 +242,136 @@ class RinexNavWriter:
         if not self._wrote_header:
             self._header()
         t = gps_to_gpsdatetime(eph.week, eph.toc)
-        f = self._f
-        f.write(f"{system}{eph.prn:02d} {t.year:4d} {t.month:02d} {t.day:02d} "
-                f"{t.hour:02d} {t.minute:02d} {t.second:02d}"
-                f"{_f1912(eph.af0)}{_f1912(eph.af1)}{_f1912(eph.af2)}\n")
+        self._epoch_line(system, eph.prn, t, eph.af0, eph.af1, eph.af2)
+        self._line(float(eph.iode), eph.crs, eph.delta_n, eph.m0)
+        self._line(eph.cuc, eph.e, eph.cus, eph.sqrt_a)
+        self._line(eph.toe, eph.cic, eph.omega0, eph.cis)
+        self._line(eph.i0, eph.crc, eph.omega, eph.omega_dot)
+        if system == "G":
+            self._line(eph.idot, 1.0, float(eph.week), 0.0)
+            self._line(float(eph.ura), float(eph.health), eph.tgd,
+                       float(eph.iodc))
+            self._line(eph.toe, 4.0)
+        elif system == "E":
+            # data sources 0x0201 = I/NAV E1-B; BGD E5a/E1 in the tgd slot
+            self._line(eph.idot, 513.0, float(eph.week), 0.0)
+            self._line(float(eph.ura), float(eph.health), eph.tgd, 0.0)
+            self._line(eph.toe, 0.0)
+        else:                                            # BeiDou D1
+            self._line(eph.idot, 0.0, float(eph.week), 0.0)
+            self._line(float(eph.ura), float(eph.health), eph.tgd, 0.0)
+            self._line(eph.toe, float(eph.iodc))
+        self._f.flush()
 
-        def line(*vals):
-            f.write("    " + "".join(_f1912(v) for v in vals) + "\n")
-
-        line(float(eph.iode), eph.crs, eph.delta_n, eph.m0)
-        line(eph.cuc, eph.e, eph.cus, eph.sqrt_a)
-        line(eph.toe, eph.cic, eph.omega0, eph.cis)
-        line(eph.i0, eph.crc, eph.omega, eph.omega_dot)
-        line(eph.idot, 1.0, float(eph.week), 0.0)
-        line(float(eph.ura), float(eph.health), eph.tgd, float(eph.iodc))
-        line(eph.toe, 4.0)
+    def _write_geph(self, g, date: datetime.date | None) -> None:
+        key = ("R", g.slot, g.tb_s)
+        if key in self._written:
+            return
+        self._written.add(key)
+        if not self._wrote_header:
+            self._header()
+        # geph epoch: tb is Moscow time (UTC+3h); RINEX wants UTC
+        utc_sec = (g.tb_s - 10800.0) % 86400.0
+        date = date or datetime.date(2020, 1, 1)
+        hh = int(utc_sec // 3600)
+        mm = int((utc_sec % 3600) // 60)
+        ss = int(utc_sec % 60)
+        # header line: -tau_n, gamma_n, message frame time
+        self._f.write(
+            f"R{g.slot:02d} {date.year:4d} {date.month:02d} {date.day:02d} "
+            f"{hh:02d} {mm:02d} {ss:02d}"
+            f"{_f1912(-g.tau_n)}{_f1912(g.gamma_n)}{_f1912(0.0)}\n")
+        # pos/vel/acc in KM (RINEX geph convention), health / freq slot / age
+        p, v, a = g.pos_m, g.vel_m_s, g.acc_m_s2
+        self._line(p[0] / 1e3, v[0] / 1e3, a[0] / 1e3, float(g.health))
+        self._line(p[1] / 1e3, v[1] / 1e3, a[1] / 1e3, float(g.freq_slot))
+        self._line(p[2] / 1e3, v[2] / 1e3, a[2] / 1e3, 0.0)
         self._f.flush()
 
     def close(self) -> None:
         self._f.close()
+
+
+class RinexNavReader:
+    """RINEX 3.x mixed navigation reader (G/E/C Kepler + R geph).
+
+    Reference analog: RTKLIB's ``readrnx`` nav branch (rtklib_rinex) — feeds
+    assisted starts (utils/rinex2assist) and the RTK base ephemeris store.
+    Returns a dict keyed (system, prn) -> ephemeris (latest record wins).
+    """
+
+    def __init__(self, path):
+        self.path = pathlib.Path(path)
+
+    @staticmethod
+    def _floats(s: str, n: int) -> list:
+        out = []
+        for i in range(n):
+            chunk = s[4 + 19 * i: 4 + 19 * (i + 1)].replace("D", "E").strip()
+            out.append(float(chunk) if chunk else 0.0)
+        return out
+
+    def read(self) -> dict:
+        from gnss_sdr_tpu.models.ephemeris import KeplerEphemeris
+        from gnss_sdr_tpu.models.nav.glonass_gnav import GlonassEphemeris
+        from gnss_sdr_tpu.receiver.pvt.gpstime import gpsdatetime_to_gps
+        from gnss_sdr_tpu import constants as C
+
+        lines = self.path.read_text().splitlines()
+        i = 0
+        while i < len(lines) and "END OF HEADER" not in lines[i]:
+            i += 1
+        i += 1
+        out: dict = {}
+        while i < len(lines):
+            ln = lines[i]
+            if len(ln) < 23 or ln[0] not in "GECR":
+                i += 1
+                continue
+            system = ln[0]
+            prn = int(ln[1:3])
+            y, mo, d, h, mi, s = (int(ln[4:8]), int(ln[9:11]), int(ln[12:14]),
+                                  int(ln[15:17]), int(ln[18:20]),
+                                  int(ln[21:23]))
+            a = [float(ln[23 + 19 * k: 23 + 19 * (k + 1)].replace("D", "E"))
+                 for k in range(3)]
+            if system == "R":
+                r1 = self._floats(lines[i + 1], 4)
+                r2 = self._floats(lines[i + 2], 4)
+                r3 = self._floats(lines[i + 3], 4)
+                utc_sec = h * 3600 + mi * 60 + s
+                out[("R", prn)] = GlonassEphemeris(
+                    slot=prn, freq_slot=int(r2[3]),
+                    tb_s=(utc_sec + 10800.0) % 86400.0,
+                    pos_m=(r1[0] * 1e3, r2[0] * 1e3, r3[0] * 1e3),
+                    vel_m_s=(r1[1] * 1e3, r2[1] * 1e3, r3[1] * 1e3),
+                    acc_m_s2=(r1[2] * 1e3, r2[2] * 1e3, r3[2] * 1e3),
+                    tau_n=-a[0], gamma_n=a[1], health=int(r1[3]))
+                i += 4
+                continue
+            rows = [self._floats(lines[i + k], 4) for k in range(1, 7)]
+            tail = self._floats(lines[i + 7], 2) if i + 7 < len(lines) else [0.0, 0.0]
+            week = int(rows[4][2])
+            _, toc = gpsdatetime_to_gps(
+                datetime.datetime(y, mo, d, h, mi, s))
+            eph = KeplerEphemeris(
+                prn=prn, week=week, toc=toc,
+                af0=a[0], af1=a[1], af2=a[2],
+                iode=int(rows[0][0]), crs=rows[0][1], delta_n=rows[0][2],
+                m0=rows[0][3],
+                cuc=rows[1][0], e=rows[1][1], cus=rows[1][2],
+                sqrt_a=rows[1][3],
+                toe=rows[2][0], cic=rows[2][1], omega0=rows[2][2],
+                cis=rows[2][3],
+                i0=rows[3][0], crc=rows[3][1], omega=rows[3][2],
+                omega_dot=rows[3][3],
+                idot=rows[4][0],
+                ura=int(rows[5][0]), health=int(rows[5][1]), tgd=rows[5][2],
+                iodc=int(rows[5][3]))
+            if system == "E":
+                eph.gm = C.GM_EARTH_GAL
+            elif system == "C":
+                eph.gm = C.GM_EARTH_BDS
+            out[(system, prn)] = eph
+            i += 8
+        return out

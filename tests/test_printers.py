@@ -154,3 +154,60 @@ def test_rinex_211_writer(tmp_path):
     assert "# / TYPES OF OBSERV" in text
     assert "G07" in text
     assert "21936123.456" in text
+
+
+def test_rinex_nav_mixed_roundtrip(tmp_path):
+    """Mixed G/E/C/R nav file round-trips through writer -> reader.
+
+    Reference analog: rinex_printer.h:290-310 (log_rinex_nav overloads for
+    GPS/Galileo/BeiDou Kepler records and GLONASS state vectors)."""
+    from gnss_sdr_tpu.models.nav.glonass_gnav import GlonassEphemeris
+
+    p = tmp_path / "mixed_nav.rnx"
+    w = rinex.RinexNavWriter(p)
+    g = sample_ephemeris()
+    e = sample_ephemeris()
+    e.prn = 11
+    e.tgd = 2.3e-9                      # BGD E5a/E1
+    c = sample_ephemeris()
+    c.prn = 14
+    r = GlonassEphemeris(
+        slot=5, freq_slot=-3, tb_s=12600.0,
+        pos_m=(11_234_567.8, -9_876_543.2, 19_123_456.7),
+        vel_m_s=(1234.5678, -2345.6789, 345.6789),
+        acc_m_s2=(1.2e-6, -2.3e-6, 0.9e-6),
+        gamma_n=3.2e-12, tau_n=-4.5e-7, health=0)
+    w.write_ephemeris(g, "G")
+    w.write_ephemeris(e, "E")
+    w.write_ephemeris(c, "C")
+    w.write_ephemeris(r)
+    w.close()
+
+    text = p.read_text()
+    assert "R05 " in text and "E11 " in text and "C14 " in text
+    got = rinex.RinexNavReader(p).read()
+    assert set(got) == {("G", g.prn), ("E", 11), ("C", 14), ("R", 5)}
+    for system, eph in (("G", g), ("E", e), ("C", c)):
+        dec = got[(system, eph.prn)]
+        for f in ("sqrt_a", "e", "m0", "omega0", "i0", "omega", "toe",
+                  "af0", "af1", "tgd", "delta_n", "omega_dot", "idot"):
+            assert abs(getattr(dec, f) - getattr(eph, f)) < 1e-9, (system, f)
+        assert dec.week == eph.week and dec.iode == eph.iode
+    gr = got[("R", 5)]
+    assert gr.tb_s == r.tb_s and gr.freq_slot == r.freq_slot
+    np.testing.assert_allclose(gr.pos_m, r.pos_m, atol=1e-3)
+    np.testing.assert_allclose(gr.vel_m_s, r.vel_m_s, atol=1e-6)
+    np.testing.assert_allclose(gr.acc_m_s2, r.acc_m_s2, atol=1e-12)
+    assert abs(gr.tau_n - r.tau_n) < 1e-15
+    assert abs(gr.gamma_n - r.gamma_n) < 1e-18
+    # the decoded GLONASS record must propagate: position at tb + 900 s
+    p1, v1 = gr.position_velocity(r.tb_s + 900.0)
+    p2, v2 = r.position_velocity(r.tb_s + 900.0)
+    np.testing.assert_allclose(p1, p2, atol=1e-3)
+
+
+def test_rinex_nav_rejects_unknown_system(tmp_path):
+    w = rinex.RinexNavWriter(tmp_path / "bad.rnx")
+    with pytest.raises(ValueError):
+        w.write_ephemeris(sample_ephemeris(), "R")   # Kepler record as R
+    w.close()
