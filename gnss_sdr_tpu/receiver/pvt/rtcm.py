@@ -344,7 +344,7 @@ def decode_1045(bits: np.ndarray) -> KeplerEphemeris:
 
 
 # ---------------------------------------------------------------------------
-# MSM7 (1077 GPS / 1097 Galileo)
+# MSM observables (reference Rtcm::print_MSM_1..7, rtcm.h)
 # ---------------------------------------------------------------------------
 
 
@@ -359,13 +359,35 @@ class MsmObservation:
     lock_time_s: float = 0.0
 
 
-MSM7_GPS = 1077
-MSM7_GAL = 1097
+MSM4_GPS, MSM5_GPS, MSM7_GPS = 1074, 1075, 1077
+MSM4_GLO, MSM5_GLO, MSM7_GLO = 1084, 1085, 1087
+MSM4_GAL, MSM5_GAL, MSM7_GAL = 1094, 1095, 1097
+
+# msm level by message number: {msg: (level, system)}
+MSM_MESSAGES = {
+    1074: (4, "G"), 1075: (5, "G"), 1077: (7, "G"),
+    1084: (4, "R"), 1085: (5, "R"), 1087: (7, "R"),
+    1094: (4, "E"), 1095: (5, "E"), 1097: (7, "E"),
+}
+
+# per-level field widths: (fine_pr_bits/scale, fine_ph_bits/scale,
+# lock_bits, cnr_bits/scale, has_rate)
+_MSM_LAYOUT = {
+    4: ((15, 2.0 ** -24), (22, 2.0 ** -29), 4, (6, 1.0), False),
+    5: ((15, 2.0 ** -24), (22, 2.0 ** -29), 4, (6, 1.0), True),
+    7: ((20, 2.0 ** -29), (24, 2.0 ** -31), 10, (10, 2.0 ** -4), True),
+}
 
 
-def encode_msm7(msg_num: int, station_id: int, epoch_ms: int,
-                obs: list[MsmObservation]) -> np.ndarray:
-    """Encode one MSM7 message (reference Rtcm::print_MSM_7 analog)."""
+def encode_msm(msg_num: int, station_id: int, epoch_ms: int,
+               obs: list[MsmObservation]) -> np.ndarray:
+    """Encode one MSM4/5/7 message (reference Rtcm::print_MSM_4/5/7).
+
+    The level and system come from ``msg_num`` (MSM_MESSAGES table).
+    """
+    level, _system = MSM_MESSAGES[msg_num]
+    (pr_bits, pr_scale), (ph_bits, ph_scale), lock_bits, \
+        (cnr_bits, cnr_scale), has_rate = _MSM_LAYOUT[level]
     sats = sorted({o.prn for o in obs})
     sigs = sorted({o.signal_id for o in obs})
     cell = {(o.prn, o.signal_id): o for o in obs}
@@ -373,8 +395,7 @@ def encode_msm7(msg_num: int, station_id: int, epoch_ms: int,
     w = BitWriter()
     w.u(msg_num, 12)
     w.u(station_id, 12)
-    w.u(epoch_ms % (7 * 24 * 3600 * 1000) if msg_num == MSM7_GPS
-        else epoch_ms, 30)
+    w.u(epoch_ms % (7 * 24 * 3600 * 1000), 30)
     w.u(0, 1)                  # multiple message bit
     w.u(0, 3)                  # IODS
     w.u(0, 7)                  # reserved
@@ -390,52 +411,59 @@ def encode_msm7(msg_num: int, station_id: int, epoch_ms: int,
     for c in cells:
         w.u(1 if c in cell else 0, 1)
 
-    # satellite data: rough range (ms int + 1/1024 ms), rough phase rate
+    # satellite data: rough range (int ms + 1/1024 ms) [+ ext info + rough
+    # phase rate for MSM5/7]
     rough = {}
     for p in sats:
         any_o = next(o for o in obs if o.prn == p)
-        rr_ms = any_o.pseudorange_m / RANGE_MS
-        n_ms = int(rr_ms)
+        n_ms = int(any_o.pseudorange_m / RANGE_MS)
         rough[p] = n_ms
         w.u(n_ms, 8)
-    for p in sats:
-        w.u(0, 4)              # extended satellite info
+    if has_rate:
+        for p in sats:
+            w.u(0, 4)          # extended satellite info
     for p in sats:
         any_o = next(o for o in obs if o.prn == p)
         frac = any_o.pseudorange_m / RANGE_MS - rough[p]
         w.u(int(frac * 1024.0), 10)
-    for p in sats:
-        any_o = next(o for o in obs if o.prn == p)
-        w.s(int(round(any_o.phase_rate_m_s)), 14)
+    if has_rate:
+        for p in sats:
+            any_o = next(o for o in obs if o.prn == p)
+            w.s(int(round(any_o.phase_rate_m_s)), 14)
 
-    # signal data
+    def rough_range(o):
+        return (rough[o.prn]
+                + int((o.pseudorange_m / RANGE_MS - rough[o.prn]) * 1024.0)
+                / 1024.0) * RANGE_MS
+
     present = [c for c in cells if c in cell]
-    for c in present:                       # fine pseudorange, 2^-29 ms
+    for c in present:                       # fine pseudorange
         o = cell[c]
-        rr = (rough[o.prn] + int((o.pseudorange_m / RANGE_MS - rough[o.prn])
-                                 * 1024.0) / 1024.0) * RANGE_MS
-        w.sq((o.pseudorange_m - rr) / RANGE_MS, 2.0 ** -29, 20)
-    for c in present:                       # fine phase range, 2^-31 ms
+        w.sq((o.pseudorange_m - rough_range(o)) / RANGE_MS, pr_scale, pr_bits)
+    for c in present:                       # fine phase range
         o = cell[c]
-        rr = (rough[o.prn] + int((o.pseudorange_m / RANGE_MS - rough[o.prn])
-                                 * 1024.0) / 1024.0) * RANGE_MS
-        w.sq((o.phase_range_m - rr) / RANGE_MS, 2.0 ** -31, 24)
+        w.sq((o.phase_range_m - rough_range(o)) / RANGE_MS, ph_scale, ph_bits)
     for c in present:                       # lock time indicator
-        o = cell[c]
-        w.u(min(int(o.lock_time_s), 1023), 10)
+        w.u(min(int(cell[c].lock_time_s), (1 << lock_bits) - 1), lock_bits)
     for c in present:                       # half-cycle ambiguity
         w.u(0, 1)
-    for c in present:                       # CNR, 2^-4 dB-Hz
-        w.uq(min(cell[c].cn0_dbhz, 63.9), 2.0 ** -4, 10)
-    for c in present:                       # fine phase rate, 0.0001 m/s
-        o = cell[c]
-        w.sq(o.phase_rate_m_s - round(o.phase_rate_m_s), 1e-4, 15)
+    for c in present:                       # CNR
+        w.uq(min(cell[c].cn0_dbhz, (1 << cnr_bits) * cnr_scale - cnr_scale),
+             cnr_scale, cnr_bits)
+    if has_rate:
+        for c in present:                   # fine phase rate, 0.0001 m/s
+            o = cell[c]
+            w.sq(o.phase_rate_m_s - round(o.phase_rate_m_s), 1e-4, 15)
     return w.array()
 
 
-def decode_msm7(bits: np.ndarray) -> tuple[dict, list[MsmObservation]]:
+def decode_msm(bits: np.ndarray) -> tuple[dict, list[MsmObservation]]:
+    """Decode any MSM4/5/7 message from MSM_MESSAGES."""
     r = BitReader(bits)
     msg = r.u(12)
+    level, _system = MSM_MESSAGES[msg]
+    (pr_bits, pr_scale), (ph_bits, ph_scale), lock_bits, \
+        (cnr_bits, cnr_scale), has_rate = _MSM_LAYOUT[level]
     station = r.u(12)
     epoch_ms = r.u(30)
     r.u(1 + 3 + 7 + 2 + 2 + 1 + 3)
@@ -445,18 +473,21 @@ def decode_msm7(bits: np.ndarray) -> tuple[dict, list[MsmObservation]]:
     present = [c for c in cells if r.u(1)]
 
     n_ms = {p: r.u(8) for p in sats}
-    for p in sats:
-        r.u(4)
+    if has_rate:
+        for p in sats:
+            r.u(4)
     frac = {p: r.u(10) / 1024.0 for p in sats}
-    rate = {p: r.s(14) for p in sats}
+    rate = ({p: r.s(14) for p in sats} if has_rate
+            else {p: 0 for p in sats})
     rough = {p: (n_ms[p] + frac[p]) * RANGE_MS for p in sats}
 
-    fine_pr = [r.sq(2.0 ** -29, 20) * RANGE_MS for _ in present]
-    fine_ph = [r.sq(2.0 ** -31, 24) * RANGE_MS for _ in present]
-    lock = [r.u(10) for _ in present]
-    half = [r.u(1) for _ in present]
-    cnr = [r.uq(2.0 ** -4, 10) for _ in present]
-    fine_rate = [r.sq(1e-4, 15) for _ in present]
+    fine_pr = [r.sq(pr_scale, pr_bits) * RANGE_MS for _ in present]
+    fine_ph = [r.sq(ph_scale, ph_bits) * RANGE_MS for _ in present]
+    lock = [r.u(lock_bits) for _ in present]
+    _half = [r.u(1) for _ in present]
+    cnr = [r.uq(cnr_scale, cnr_bits) for _ in present]
+    fine_rate = ([r.sq(1e-4, 15) for _ in present] if has_rate
+                 else [0.0] * len(present))
 
     out = []
     for k, (p, s) in enumerate(present):
@@ -466,6 +497,168 @@ def decode_msm7(bits: np.ndarray) -> tuple[dict, list[MsmObservation]]:
             phase_range_m=rough[p] + fine_ph[k],
             phase_rate_m_s=rate[p] + fine_rate[k],
             cn0_dbhz=cnr[k], lock_time_s=float(lock[k])))
+    return dict(msg=msg, station_id=station, epoch_ms=epoch_ms), out
+
+
+def encode_msm7(msg_num: int, station_id: int, epoch_ms: int,
+                obs: list[MsmObservation]) -> np.ndarray:
+    """Back-compat wrapper (MSM7 only)."""
+    return encode_msm(msg_num, station_id, epoch_ms, obs)
+
+
+def decode_msm7(bits: np.ndarray) -> tuple[dict, list[MsmObservation]]:
+    return decode_msm(bits)
+
+
+# ---------------------------------------------------------------------------
+# Legacy observables: 1002 (GPS L1 ext), 1004 (GPS L1+L2 ext),
+# 1012 (GLONASS L1+L2 ext) — reference Rtcm::print_M1002/M1004/M1012
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LegacyObservation:
+    prn: int
+    pseudorange_m: float         # L1
+    phase_range_m: float = 0.0   # L1 carrier phase-range (meters)
+    lock_time_s: float = 0.0
+    cn0_dbhz: float = 45.0
+    # L2 block (1004/1012 only; None = not present)
+    pseudorange_l2_m: float | None = None
+    phase_range_l2_m: float | None = None
+    cn0_l2_dbhz: float = 45.0
+    freq_slot: int = 0           # GLONASS FDMA k in [-7, 6] (1012 only)
+
+
+def _lock_indicator(lock_s: float) -> int:
+    return min(int(lock_s), 127)
+
+
+def _legacy_l1_block(w: BitWriter, o: LegacyObservation, glonass: bool):
+    """Shared L1 body of 1002/1004/1012."""
+    pr_bits = 25 if glonass else 24
+    w.u(0, 1)                                   # L1 code indicator (C/A)
+    if glonass:
+        w.u(o.freq_slot + 7, 5)
+    amb = int(o.pseudorange_m / RANGE_MS)
+    pr_mod = o.pseudorange_m - amb * RANGE_MS
+    w.uq(pr_mod, 0.02, pr_bits)
+    # phaserange - pseudorange, 0.0005 m signed 20 bits
+    w.sq(o.phase_range_m - o.pseudorange_m, 5e-4, 20)
+    w.u(_lock_indicator(o.lock_time_s), 7)
+    w.u(amb, 8 if not glonass else 7)
+    w.uq(min(o.cn0_dbhz, 63.75), 0.25, 8)
+    return amb
+
+
+def _legacy_l2_block(w: BitWriter, o: LegacyObservation):
+    w.u(0, 2)                                   # L2 code indicator
+    if o.pseudorange_l2_m is None:
+        w.s(-8192, 14)                          # no L2 (invalid marker)
+        w.s(-524288, 20)
+        w.u(0, 7)
+        w.u(0, 8)
+        return
+    w.sq(o.pseudorange_l2_m - o.pseudorange_m, 0.02, 14)
+    w.sq(o.phase_range_l2_m - o.pseudorange_m, 5e-4, 20)
+    w.u(_lock_indicator(o.lock_time_s), 7)
+    w.uq(min(o.cn0_l2_dbhz, 63.75), 0.25, 8)
+
+
+def encode_1002(station_id: int, tow_ms: int,
+                obs: list[LegacyObservation]) -> np.ndarray:
+    w = BitWriter()
+    w.u(1002, 12)
+    w.u(station_id, 12)
+    w.u(tow_ms, 30)
+    w.u(0, 1)                   # sync
+    w.u(len(obs), 5)
+    w.u(0, 1)                   # smoothing
+    w.u(0, 3)                   # smoothing interval
+    for o in obs:
+        w.u(o.prn, 6)
+        _legacy_l1_block(w, o, glonass=False)
+    return w.array()
+
+
+def encode_1004(station_id: int, tow_ms: int,
+                obs: list[LegacyObservation]) -> np.ndarray:
+    w = BitWriter()
+    w.u(1004, 12)
+    w.u(station_id, 12)
+    w.u(tow_ms, 30)
+    w.u(0, 1)
+    w.u(len(obs), 5)
+    w.u(0, 1)
+    w.u(0, 3)
+    for o in obs:
+        w.u(o.prn, 6)
+        _legacy_l1_block(w, o, glonass=False)
+        _legacy_l2_block(w, o)
+    return w.array()
+
+
+def encode_1012(station_id: int, tod_ms: int,
+                obs: list[LegacyObservation]) -> np.ndarray:
+    """GLONASS extended L1+L2; epoch is time-of-day (UTC+3) ms, 27 bits."""
+    w = BitWriter()
+    w.u(1012, 12)
+    w.u(station_id, 12)
+    w.u(tod_ms, 27)
+    w.u(0, 1)
+    w.u(len(obs), 5)
+    w.u(0, 1)
+    w.u(0, 3)
+    for o in obs:
+        w.u(o.prn, 6)
+        _legacy_l1_block(w, o, glonass=True)
+        _legacy_l2_block(w, o)
+    return w.array()
+
+
+def _decode_legacy_l1(r: BitReader, glonass: bool):
+    r.u(1)
+    freq_slot = (r.u(5) - 7) if glonass else 0
+    pr_mod = r.uq(0.02, 25 if glonass else 24)
+    dph = r.sq(5e-4, 20)
+    lock = r.u(7)
+    amb = r.u(7 if glonass else 8)
+    cnr = r.uq(0.25, 8)
+    pr = amb * RANGE_MS + pr_mod
+    return dict(pseudorange_m=pr, phase_range_m=pr + dph,
+                lock_time_s=float(lock), cn0_dbhz=cnr, freq_slot=freq_slot)
+
+
+def _decode_legacy_l2(r: BitReader, l1: dict):
+    r.u(2)
+    dpr = r.s(14)
+    dph = r.s(20)
+    r.u(7)
+    cnr = r.uq(0.25, 8)
+    if dpr == -8192:
+        return dict(pseudorange_l2_m=None, phase_range_l2_m=None)
+    return dict(pseudorange_l2_m=l1["pseudorange_m"] + dpr * 0.02,
+                phase_range_l2_m=l1["pseudorange_m"] + dph * 5e-4,
+                cn0_l2_dbhz=cnr)
+
+
+def decode_legacy_obs(bits: np.ndarray) -> tuple[dict, list[LegacyObservation]]:
+    """Decode 1002 / 1004 / 1012."""
+    r = BitReader(bits)
+    msg = r.u(12)
+    station = r.u(12)
+    epoch_ms = r.u(27 if msg in (1009, 1010, 1011, 1012) else 30)
+    r.u(1)
+    n = r.u(5)
+    r.u(1 + 3)
+    glonass = msg in (1009, 1010, 1011, 1012)
+    out = []
+    for _ in range(n):
+        prn = r.u(6)
+        l1 = _decode_legacy_l1(r, glonass)
+        l2 = (_decode_legacy_l2(r, l1) if msg in (1004, 1012)
+              else {})
+        out.append(LegacyObservation(prn=prn, **l1, **l2))
     return dict(msg=msg, station_id=station, epoch_ms=epoch_ms), out
 
 

@@ -22,7 +22,8 @@ log = logging.getLogger("gnss_sdr_tpu")
 
 # invert the MSM signal-slot mapping used by outputs.py per system
 _SIG_FROM_SLOT = {("G", 2): "1C", ("G", 15): "2S", ("G", 22): "L5",
-                  ("E", 2): "1B", ("E", 22): "5X"}
+                  ("E", 2): "1B", ("E", 22): "5X",
+                  ("R", 2): "1G", ("R", 8): "2G"}
 
 
 class RtcmBaseStation:
@@ -62,9 +63,30 @@ class RtcmBaseStation:
         elif msg == 1045:
             e = rtcm.decode_1045(payload_bits)
             self.ephemerides[("E", e.prn)] = e
-        elif msg in (rtcm.MSM7_GPS, rtcm.MSM7_GAL):
-            hdr, obs = rtcm.decode_msm7(payload_bits)
-            system = "G" if msg == rtcm.MSM7_GPS else "E"
+        elif msg in rtcm.MSM_MESSAGES:
+            hdr, obs = rtcm.decode_msm(payload_bits)
+            _level, system = rtcm.MSM_MESSAGES[msg]
+            tow = hdr["epoch_ms"] * 1e-3
+            self.epochs.append((tow, system, obs))
+            if len(self.epochs) > self._max_epochs:
+                self.epochs.pop(0)
+        elif msg in (1002, 1004, 1012):
+            # legacy extended observables -> the same MSM-shaped epochs
+            hdr, legacy = rtcm.decode_legacy_obs(payload_bits)
+            system = "R" if msg == 1012 else "G"
+            obs = []
+            for lo in legacy:
+                obs.append(rtcm.MsmObservation(
+                    prn=lo.prn, signal_id=2,
+                    pseudorange_m=lo.pseudorange_m,
+                    phase_range_m=lo.phase_range_m,
+                    cn0_dbhz=lo.cn0_dbhz, lock_time_s=lo.lock_time_s))
+                if lo.pseudorange_l2_m is not None:
+                    obs.append(rtcm.MsmObservation(
+                        prn=lo.prn, signal_id=15 if system == "G" else 8,
+                        pseudorange_m=lo.pseudorange_l2_m,
+                        phase_range_m=lo.phase_range_l2_m,
+                        cn0_dbhz=lo.cn0_l2_dbhz, lock_time_s=lo.lock_time_s))
             tow = hdr["epoch_ms"] * 1e-3
             self.epochs.append((tow, system, obs))
             if len(self.epochs) > self._max_epochs:
@@ -79,6 +101,17 @@ class RtcmBaseStation:
                 best.extend(
                     _tag(o, system) for o in obs)
         return best or None
+
+    # -------------------------------------------------------------- ntrip
+    def connect_ntrip(self, host: str, port: int, mountpoint: str,
+                      username: str | None = None,
+                      password: str | None = None) -> None:
+        """Stream the base data from an NTRIP caster mountpoint
+        (reference: RTKLIB STR_NTRIPCLI, rtklib_stream.h:67-69)."""
+        from gnss_sdr_tpu.io.ntrip import NtripClient
+        self._ntrip = NtripClient(host, port, mountpoint,
+                                  username=username, password=password)
+        self._ntrip.stream_to(self.push_bytes)
 
     # ---------------------------------------------------------------- tcp
     def connect_tcp(self, host: str, port: int, timeout_s: float = 5.0) -> None:
@@ -101,6 +134,8 @@ class RtcmBaseStation:
 
     def close(self) -> None:
         self._stop.set()
+        if getattr(self, "_ntrip", None) is not None:
+            self._ntrip.close()
         if self._sock is not None:
             try:
                 self._sock.close()

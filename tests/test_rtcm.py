@@ -103,3 +103,190 @@ def test_rtcm_tcp_server_broadcast():
         cli.close()
     finally:
         srv.close()
+
+
+def _sample_msm_obs():
+    return [
+        rtcm.MsmObservation(prn=7, signal_id=2, pseudorange_m=21_936_123.45,
+                            phase_range_m=21_936_124.12, phase_rate_m_s=531.25,
+                            cn0_dbhz=44.0, lock_time_s=120.0),
+        rtcm.MsmObservation(prn=7, signal_id=15, pseudorange_m=21_936_125.01,
+                            phase_range_m=21_936_124.88, phase_rate_m_s=531.10,
+                            cn0_dbhz=39.0, lock_time_s=15.0),
+        rtcm.MsmObservation(prn=23, signal_id=2, pseudorange_m=24_112_874.2,
+                            phase_range_m=24_112_873.9, phase_rate_m_s=-712.4,
+                            cn0_dbhz=47.5, lock_time_s=3.0),
+    ]
+
+
+@pytest.mark.parametrize("msg,pr_tol,ph_tol", [
+    (rtcm.MSM4_GPS, 0.02, 6e-4),
+    (rtcm.MSM5_GPS, 0.02, 6e-4),
+    (rtcm.MSM4_GAL, 0.02, 6e-4),
+    (rtcm.MSM5_GLO, 0.02, 6e-4),
+    (rtcm.MSM7_GAL, 1e-3, 3e-4),
+])
+def test_msm_levels_roundtrip(msg, pr_tol, ph_tol):
+    """MSM4/5/7 encode->frame->deframe->decode round-trips within the
+    per-level quantization (reference Rtcm::print_MSM_4/5/7)."""
+    obs = _sample_msm_obs()
+    bits = rtcm.encode_msm(msg, 902, 345_600_123, obs)
+    payloads = rtcm.deframe(rtcm.frame(bits))
+    assert len(payloads) == 1
+    hdr, dec = rtcm.decode_msm(payloads[0])
+    assert hdr["msg"] == msg and hdr["station_id"] == 902
+    assert len(dec) == 3
+    level, _sys = rtcm.MSM_MESSAGES[msg]
+    for o, d in zip(sorted(obs, key=lambda o: (o.prn, o.signal_id)),
+                    sorted(dec, key=lambda o: (o.prn, o.signal_id))):
+        assert (d.prn, d.signal_id) == (o.prn, o.signal_id)
+        assert abs(d.pseudorange_m - o.pseudorange_m) < pr_tol
+        assert abs(d.phase_range_m - o.phase_range_m) < ph_tol
+        if level >= 5:
+            assert abs(d.phase_rate_m_s - o.phase_rate_m_s) < 1e-3
+        assert abs(d.cn0_dbhz - o.cn0_dbhz) <= 1.0
+
+
+def test_legacy_1002_1004_roundtrip():
+    obs = [rtcm.LegacyObservation(
+               prn=5, pseudorange_m=22_123_456.78,
+               phase_range_m=22_123_457.01, lock_time_s=90.0, cn0_dbhz=46.5,
+               pseudorange_l2_m=22_123_458.11, phase_range_l2_m=22_123_457.5,
+               cn0_l2_dbhz=41.0),
+           rtcm.LegacyObservation(
+               prn=19, pseudorange_m=20_456_789.12,
+               phase_range_m=20_456_788.9, lock_time_s=2.0, cn0_dbhz=50.0)]
+    for encode, msg in ((rtcm.encode_1002, 1002), (rtcm.encode_1004, 1004)):
+        bits = encode(77, 123_456_000, obs)
+        hdr, dec = rtcm.decode_legacy_obs(rtcm.deframe(rtcm.frame(bits))[0])
+        assert hdr["msg"] == msg and hdr["station_id"] == 77
+        assert hdr["epoch_ms"] == 123_456_000
+        for o, d in zip(obs, dec):
+            assert d.prn == o.prn
+            assert abs(d.pseudorange_m - o.pseudorange_m) < 0.02
+            assert abs((d.phase_range_m - d.pseudorange_m)
+                       - (o.phase_range_m - o.pseudorange_m)) < 6e-4
+            assert abs(d.cn0_dbhz - o.cn0_dbhz) <= 0.25
+            if msg == 1004 and o.pseudorange_l2_m is not None:
+                assert abs(d.pseudorange_l2_m - o.pseudorange_l2_m) < 0.03
+            else:
+                assert d.pseudorange_l2_m is None
+
+
+def test_legacy_1012_glonass_roundtrip():
+    obs = [rtcm.LegacyObservation(
+        prn=3, pseudorange_m=19_876_543.21, phase_range_m=19_876_543.05,
+        lock_time_s=33.0, cn0_dbhz=43.25, freq_slot=-4)]
+    bits = rtcm.encode_1012(14, 43_200_123, obs)
+    hdr, dec = rtcm.decode_legacy_obs(rtcm.deframe(rtcm.frame(bits))[0])
+    assert hdr["msg"] == 1012 and hdr["epoch_ms"] == 43_200_123
+    d = dec[0]
+    assert d.prn == 3 and d.freq_slot == -4
+    assert abs(d.pseudorange_m - obs[0].pseudorange_m) < 0.02
+    assert abs((d.phase_range_m - d.pseudorange_m)
+               - (obs[0].phase_range_m - obs[0].pseudorange_m)) < 6e-4
+
+
+def test_base_station_ingests_legacy_and_msm45():
+    """RtcmBaseStation consumes 1004 / 1012 / MSM4 epochs (the rover side
+    previously understood only the message set it emits itself)."""
+    from gnss_sdr_tpu.receiver.pvt.rtk_engine import RtcmBaseStation
+
+    bs = RtcmBaseStation()
+    legacy = [rtcm.LegacyObservation(
+        prn=5, pseudorange_m=22e6, phase_range_m=22e6 + 0.2,
+        pseudorange_l2_m=22e6 + 1.0, phase_range_l2_m=22e6 + 0.1)]
+    glo = [rtcm.LegacyObservation(
+        prn=9, pseudorange_m=20e6, phase_range_m=20e6 - 0.1, freq_slot=2)]
+    msm4 = [rtcm.MsmObservation(prn=11, signal_id=2,
+                                pseudorange_m=23e6, phase_range_m=23e6 + 0.3)]
+    stream = (rtcm.frame(rtcm.encode_1004(1, 100_000, legacy))
+              + rtcm.frame(rtcm.encode_1012(1, 50_000, glo))
+              + rtcm.frame(rtcm.encode_msm(rtcm.MSM4_GPS, 1, 100_000, msm4)))
+    # feed in awkward pieces to exercise the incremental deframer
+    bs.push_bytes(stream[:17])
+    bs.push_bytes(stream[17:])
+    assert len(bs.epochs) == 3
+    (t1, s1, o1), (t2, s2, o2), (t3, s3, o3) = bs.epochs
+    assert (s1, s2, s3) == ("G", "R", "G")
+    assert {o.signal_id for o in o1} == {2, 15}      # L1 + L2 from 1004
+    assert o2[0].prn == 9 and s2 == "R"
+    assert o3[0].prn == 11
+    assert abs(t1 - 100.0) < 1e-9
+
+
+def test_ntrip_client_against_fake_caster():
+    """NTRIP v1 negotiation + streaming into the base station."""
+    import threading
+    from gnss_sdr_tpu.io.ntrip import NtripClient, NtripError
+    from gnss_sdr_tpu.receiver.pvt.rtk_engine import RtcmBaseStation
+
+    payload = rtcm.frame(rtcm.encode_1005(42, np.array([4e6, 1e5, 4.8e6])))
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    seen = {}
+
+    def caster():
+        conn, _ = srv.accept()
+        req = b""
+        while b"\r\n\r\n" not in req:
+            req += conn.recv(4096)
+        seen["request"] = req.decode()
+        if b"GET /BASE1 " in req:
+            conn.sendall(b"ICY 200 OK\r\n" + payload)
+        else:
+            conn.sendall(b"SOURCETABLE 200 OK\r\n\r\n")
+        import time
+        time.sleep(0.3)
+        conn.close()
+
+    th = threading.Thread(target=caster, daemon=True)
+    th.start()
+
+    bs = RtcmBaseStation()
+    cli = NtripClient("127.0.0.1", port, "BASE1",
+                      username="user", password="pw")
+    cli.stream_to(bs.push_bytes)
+    import time
+    deadline = time.time() + 3.0
+    while bs.base_ecef is None and time.time() < deadline:
+        time.sleep(0.05)
+    cli.close()
+    th.join(timeout=2.0)
+    srv.close()
+    assert bs.base_ecef is not None
+    np.testing.assert_allclose(bs.base_ecef, [4e6, 1e5, 4.8e6], atol=1e-3)
+    assert "GET /BASE1 HTTP/1.0" in seen["request"]
+    assert "Authorization: Basic" in seen["request"]
+
+
+def test_ntrip_client_rejects_bad_mountpoint():
+    import threading
+    from gnss_sdr_tpu.io.ntrip import NtripClient, NtripError
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def caster():
+        conn, _ = srv.accept()
+        req = b""
+        while b"\r\n\r\n" not in req:
+            req += conn.recv(4096)
+        conn.sendall(b"SOURCETABLE 200 OK\r\n\r\n")
+        conn.close()
+
+    th = threading.Thread(target=caster, daemon=True)
+    th.start()
+    cli = NtripClient("127.0.0.1", port, "NOPE")
+    with pytest.raises(NtripError):
+        cli.connect()
+    cli.close()
+    th.join(timeout=2.0)
+    srv.close()
