@@ -65,11 +65,13 @@ def main(argv=None) -> int:
         # decimating conditioner: integer or rational decimation via FIR
         logging.getLogger("gnss_sdr_tpu").info(
             "conditioning %.0f sps -> %.0f sps", source.fs, rcfg.fs)
+    input_filter = ini.input_filter_from_ini(conf)
     rx = Receiver(rcfg)
     from gnss_sdr_tpu.receiver.outputs import attach_outputs
     outputs = attach_outputs(rx, conf)
     try:
-        rx.run_file_source(source, max_chunks=args.max_chunks)
+        rx.run_file_source(source, max_chunks=args.max_chunks,
+                           input_filter=input_filter)
     finally:
         outputs.close()
         rx.close_dumps()

@@ -130,12 +130,98 @@ def receiver_config_from_ini(conf: Configuration):
     )
 
 
+def input_filter_from_ini(conf: Configuration):
+    """Build the InputFilter stage of the signal conditioner from config.
+
+    Reference analog: the config-selectable input-filter adapters
+    (``src/algorithms/input_filter/adapters/``): Pulse_Blanking_Filter,
+    Notch_Filter / Notch_Filter_Lite, Freq_Xlating_Fir_Filter and
+    Beamformer_Filter. Returns a callable ``f(block) -> block`` applied at
+    the SOURCE rate before resampling (the reference chain is
+    DataTypeAdapter -> InputFilter -> Resampler), or None for Pass_Through.
+    For Beamformer_Filter the callable maps an [N_elements, T] array block
+    to a single [T] stream.
+    """
+    import numpy as np
+
+    impl = conf.property("InputFilter.implementation", "Pass_Through")
+    if impl in ("Pass_Through", "", "Fir_Filter"):
+        # plain Fir_Filter band-limiting is already performed by the
+        # decimating conditioner in Receiver.run_file_source
+        return None
+    if impl == "Pulse_Blanking_Filter":
+        from gnss_sdr_tpu.ops import iq
+        from gnss_sdr_tpu.ops.interference import pulse_blanking
+        thr = float(conf.property("InputFilter.threshold", 10.0))
+        window = int(conf.property("InputFilter.segments_est",
+                                   conf.property("InputFilter.length", 64)))
+
+        def _blank(x):
+            return np.asarray(iq.combine(np.asarray(
+                pulse_blanking(iq.split(np.ascontiguousarray(x)),
+                               threshold=thr, window=window))))
+        return _blank
+    if impl in ("Notch_Filter", "Notch_Filter_Lite"):
+        from gnss_sdr_tpu.ops import iq
+        from gnss_sdr_tpu.ops.interference import notch_excision
+        thr_db = float(conf.property("InputFilter.threshold_db", 12.0))
+
+        def _notch(x):
+            return np.asarray(iq.combine(np.asarray(
+                notch_excision(iq.split(np.ascontiguousarray(x)),
+                               threshold_db=thr_db))))
+        return _notch
+    if impl == "Freq_Xlating_Fir_Filter":
+        from gnss_sdr_tpu.ops import iq
+        from gnss_sdr_tpu.ops.fir import freq_translate
+        f_if = float(conf.property("InputFilter.IF", 0.0))
+        fs = float(conf.property("InputFilter.sampling_frequency",
+                                 conf.property("SignalSource.sampling_frequency",
+                                               4_000_000)))
+        if f_if == 0.0:
+            return None
+        pos = {"n0": 0}           # absolute sample index: phase continuity
+                                  # across successive blocks
+
+        def _xlate(x):
+            out = np.asarray(iq.combine(np.asarray(freq_translate(
+                iq.split(np.ascontiguousarray(x)), f_if, fs,
+                n0=pos["n0"]))))
+            pos["n0"] += len(out)
+            return out
+        return _xlate
+    if impl == "Beamformer_Filter":
+        from gnss_sdr_tpu.ops import iq
+        from gnss_sdr_tpu.ops.beamformer import beamform, ula_steering_weights
+        n_el = int(conf.property("InputFilter.n_elements",
+                                 conf.property("SignalSource.RF_channels", 4)))
+        theta = np.deg2rad(float(conf.property("InputFilter.theta_deg", 0.0)))
+        spacing = float(conf.property("InputFilter.spacing_wavelengths", 0.5))
+        w2 = iq.split(ula_steering_weights(n_el, theta, spacing))
+
+        def _beam(x_nt):
+            x_nt = np.ascontiguousarray(x_nt)
+            x2 = np.stack([x_nt.real, x_nt.imag], axis=-1).astype(np.float32)
+            return np.asarray(iq.combine(np.asarray(beamform(x2, w2))))
+        return _beam
+    raise NotImplementedError(f"input filter {impl} not supported")
+
+
 def source_from_ini(conf: Configuration):
     """Build the signal source + conversion/resampling plan from config."""
     from gnss_sdr_tpu.io import sources
 
     impl = conf.property("SignalSource.implementation", "File_Signal_Source")
     fs = float(conf.property("SignalSource.sampling_frequency", 4_000_000))
+    if impl == "Raw_Array_Signal_Source":
+        # N-element antenna-array file capture (reference raw_array via
+        # Array_Signal_Conditioner + Beamformer_Filter)
+        return sources.ArrayFileSignalSource(
+            conf.property("SignalSource.filename", ""),
+            n_elements=int(conf.property("SignalSource.RF_channels", 4)),
+            item_type=conf.property("SignalSource.item_type", "gr_complex"),
+            sampling_frequency=fs,
+            samples=conf.property("SignalSource.samples", 0))
     if impl == "File_Signal_Source":
         return sources.FileSignalSource(
             conf.property("SignalSource.filename", ""),

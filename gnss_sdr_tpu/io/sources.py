@@ -97,6 +97,49 @@ class ArraySignalSource:
         return take
 
 
+class ArrayFileSignalSource:
+    """N-element antenna-array capture file: element-interleaved samples
+    (t0e0, t0e1, ..., t0eN-1, t1e0, ...). ``read(n)`` returns an [N, n]
+    complex block for the beamformer conditioner.
+
+    Reference analog: Raw_Array_Signal_Source feeding the
+    Array_Signal_Conditioner (``src/algorithms/conditioner/adapters/
+    array_signal_conditioner.cc``) ahead of Beamformer_Filter.
+    """
+
+    def __init__(self, path: str | pathlib.Path, n_elements: int = 4,
+                 item_type: str = "gr_complex",
+                 sampling_frequency: float = 4e6, samples: int = 0):
+        if item_type not in ITEM_TYPES:
+            raise ValueError(f"unknown item_type {item_type!r}")
+        self.path = pathlib.Path(path)
+        self.n_elements = n_elements
+        self.item_type = item_type
+        self.fs = sampling_frequency
+        dtype, comps = ITEM_TYPES[item_type]
+        self._dtype, self._comps = dtype, comps
+        n_raw = self.path.stat().st_size // np.dtype(dtype).itemsize
+        self.total_samples = n_raw // comps // n_elements
+        if samples > 0:
+            self.total_samples = min(self.total_samples, samples)
+        self._pos = 0
+
+    def read(self, n: int) -> np.ndarray:
+        take = min(n, self.total_samples - self._pos)
+        if take <= 0:
+            return np.zeros((self.n_elements, 0), np.complex64)
+        count = take * self.n_elements * self._comps
+        offset = (self._pos * self.n_elements * self._comps
+                  * np.dtype(self._dtype).itemsize)
+        raw = np.fromfile(self.path, dtype=self._dtype, count=count,
+                          offset=offset)
+        x = decode_samples(raw, self.item_type)
+        self._pos += take
+        # element-interleaved -> [N, T]
+        return np.ascontiguousarray(
+            x.reshape(take, self.n_elements).T)
+
+
 class UdpSignalSource:
     """Raw IQ over UDP datagrams (reference: Custom_UDP_Signal_Source,
     custom_udp_signal_source.cc — libpcap there, a plain UDP socket here).

@@ -687,27 +687,35 @@ class Receiver:
         if iono is not None:
             self.iono = iono
 
-    def run_source(self, source, max_chunks: int | None = None) -> None:
+    def run_source(self, source, max_chunks: int | None = None,
+                   input_filter=None) -> None:
         n = 0
         while max_chunks is None or n < max_chunks:
             block = source.read(self.chunk_len)
+            if input_filter is not None and len(block):
+                block = input_filter(block)
             if len(block) == 0:
                 break
             self.process(block)
             n += 1
 
-    def run_file_source(self, source, max_chunks: int | None = None) -> None:
+    def run_file_source(self, source, max_chunks: int | None = None,
+                        input_filter=None) -> None:
         """Run from a source whose rate may exceed the internal rate; a
         decimating FIR (integer ratios) or polyphase fractional resampler
-        (reference Mmse_Resampler) bridges the rates (reference:
-        SignalConditioner = DataTypeAdapter -> InputFilter -> Resampler)."""
+        (reference Mmse_Resampler) bridges the rates, with an optional
+        ``input_filter`` (notch / pulse blanking / beamformer, see
+        config.ini.input_filter_from_ini) applied at the source rate first
+        (reference: SignalConditioner = DataTypeAdapter -> InputFilter ->
+        Resampler)."""
         from gnss_sdr_tpu.ops.fir import (StreamingFir,
                                           StreamingFractionalResampler,
                                           design_lowpass)
 
         ratio = source.fs / self.cfg.fs
         if abs(ratio - 1.0) < 1e-9:
-            return self.run_source(source, max_chunks)
+            return self.run_source(source, max_chunks,
+                                   input_filter=input_filter)
         decim = int(round(ratio))
         if abs(ratio - decim) < 1e-9:
             taps = design_lowpass(decim * 16 + 1, 0.8 / decim)
@@ -729,6 +737,8 @@ class Receiver:
         n = 0
         while max_chunks is None or n < max_chunks:
             block = source.read(block_len)
+            if input_filter is not None and len(block):
+                block = input_filter(block)
             if len(block) < 2:
                 break
             self.process(np.asarray(cond(block)))
