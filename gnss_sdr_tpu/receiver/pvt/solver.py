@@ -266,6 +266,17 @@ def solve_pvt(obs: list[ObsInput], ephemerides: dict,
 
     t_rx = usable[0].t_tx_sv + pr_raw[0] / C.SPEED_OF_LIGHT_M_S
     clk0 = x[3 + sys_idx[0]]
+    # week from the SAME ephemeris whose transmit time defines tow_s (the
+    # previous back-fill used an arbitrary ephemeris — wrong across mixed
+    # GPS/Galileo/BDS week numbering), with half-week rollover correction
+    # of tow vs toe (reference: rtklib adjweek)
+    eph0 = _eph_lookup(ephemerides, usable[0])
+    week = int(getattr(eph0, "week", 0))
+    toe0 = float(getattr(eph0, "toe", t_rx))
+    if t_rx - toe0 > C.SECONDS_PER_WEEK / 2:
+        week -= 1               # tow wrapped backward relative to toe
+    elif t_rx - toe0 < -C.SECONDS_PER_WEEK / 2:
+        week += 1               # tow wrapped forward past the week boundary
     return PvtSolution(
         valid=True, pos_ecef=x[:3].copy(), vel_ecef=vsol[:3].copy(),
         clock_bias_s=x[3] / C.SPEED_OF_LIGHT_M_S,

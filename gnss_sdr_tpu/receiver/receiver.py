@@ -600,8 +600,8 @@ class Receiver:
             iono=self.iono if self.cfg.pvt_apply_iono else None,
             apply_tropo=self.cfg.pvt_apply_tropo)
         if sol.valid:
-            if sol.week == 0 and self.ephemerides:
-                sol.week = next(iter(self.ephemerides.values())).week
+            # week is set by the solver from the ephemeris that anchors
+            # tow_s (rollover-corrected); no back-fill needed here
             self.fixes.append(sol)
             for sink in self.fix_sinks:
                 sink(sol)

@@ -222,3 +222,55 @@ def test_raim_passes_clean_set(world):
     sol = solver.solve_pvt_fde(obs, ephs, iono=None, apply_tropo=False)
     assert sol.valid and sol.excluded_prn is None
     assert np.linalg.norm(sol.pos_ecef - rcv) < 0.05
+
+
+def test_pvt_week_from_anchoring_ephemeris():
+    """The fix week must come from the ephemeris that anchors tow_s, with
+    half-week rollover correction (reference rtklib adjweek) — not from an
+    arbitrary ephemeris in the store."""
+    from gnss_sdr_tpu.utils import constellation
+    from gnss_sdr_tpu.receiver.pvt import geodesy as geo
+
+    ephs = constellation.almanac_constellation()
+    rcv = geo.geodetic_to_ecef(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
+    t = 352800.0
+    vis = constellation.visible_sats(ephs, rcv, t, el_mask_deg=10.0)
+    prns = [p for p, _, _ in vis[:6]]
+    keyed = {}
+    for p in prns:
+        e = ephs[p]
+        e.week = 2140
+        keyed[("G", p)] = e
+    # a poisoned unrelated ephemeris that iteration order might surface
+    import copy
+    rogue = copy.deepcopy(ephs[prns[0]])
+    rogue.week = 999
+    keyed[("C", 63)] = rogue
+
+    obs = []
+    for p in prns:
+        o = constellation.simulate_observation(keyed[("G", p)], rcv, t)
+        obs.append(solver.ObsInput(prn=p, system="G", t_tx_sv=o.t_tx_sv,
+                                   pseudorange_m=o.pseudorange_m,
+                                   doppler_hz=0.0,
+                                   carrier_freq_hz=1_575_420_000.0))
+    sol = solver.solve_pvt(obs, keyed, apply_tropo=False)
+    assert sol.valid
+    assert sol.week == 2140
+
+    # rollover: same geometry but tow near the week start with toe near the
+    # end of the previous week -> week must advance by one
+    for p in prns:
+        keyed[("G", p)].toe = 604000.0
+        keyed[("G", p)].toc = 604000.0
+    t2 = 1200.0
+    obs2 = []
+    for p in prns:
+        o = constellation.simulate_observation(keyed[("G", p)], rcv, t2)
+        obs2.append(solver.ObsInput(prn=p, system="G", t_tx_sv=o.t_tx_sv,
+                                    pseudorange_m=o.pseudorange_m,
+                                    doppler_hz=0.0,
+                                    carrier_freq_hz=1_575_420_000.0))
+    sol2 = solver.solve_pvt(obs2, keyed, apply_tropo=False)
+    assert sol2.valid
+    assert sol2.week == 2141
