@@ -161,20 +161,34 @@ def attach_outputs(rx, conf) -> OutputSet:
         return [(a.strip(), port) for a in addrs.split(",") if a.strip()]
 
     if prop("Monitor.enable_monitor", False):
-        from gnss_sdr_tpu.io.monitor import GnssSynchroMonitor
         addrs = _addr_list("Monitor.client_addresses", "Monitor.udp_port", 1234)
         if addrs:
-            m = GnssSynchroMonitor(
-                addrs, decimation=int(prop("Monitor.decimation_factor", 1)))
+            # reference Monitor.enable_protobuf selects the protobuf wire
+            # format (gnss_synchro.proto); default there is protobuf — here
+            # JSON stays the default unless the key asks for protobuf
+            if prop("Monitor.enable_protobuf", False):
+                from gnss_sdr_tpu.io.monitor import ProtobufGnssSynchroMonitor
+                m = ProtobufGnssSynchroMonitor(
+                    addrs,
+                    decimation=int(prop("Monitor.decimation_factor", 1)),
+                    fs=float(prop("GNSS-SDR.internal_fs_sps", 0)))
+            else:
+                from gnss_sdr_tpu.io.monitor import GnssSynchroMonitor
+                m = GnssSynchroMonitor(
+                    addrs, decimation=int(prop("Monitor.decimation_factor", 1)))
             rx.obs_sinks.append(m.push)
             out.closers.append(m.sink.close)
 
     if prop("PVT.enable_monitor", False):
-        from gnss_sdr_tpu.io.monitor import PvtMonitor
         addrs = _addr_list("PVT.monitor_client_addresses",
                            "PVT.monitor_udp_port", 1235)
         if addrs:
-            m = PvtMonitor(addrs)
+            if prop("PVT.enable_protobuf", False):
+                from gnss_sdr_tpu.io.monitor import ProtobufPvtMonitor
+                m = ProtobufPvtMonitor(addrs)
+            else:
+                from gnss_sdr_tpu.io.monitor import PvtMonitor
+                m = PvtMonitor(addrs)
             rx.fix_sinks.append(m.push)
             out.closers.append(m.sink.close)
 

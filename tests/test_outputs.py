@@ -130,3 +130,49 @@ def test_sbas_fast_corrections_applied_in_pvt(monkeypatch):
     rx._run_pvt(obs)
     assert abs(seen["pr"][7] - (obs[0].pseudorange_m + 3.25)) < 1e-9
     assert abs(seen["pr"][13] - obs[1].pseudorange_m) < 1e-9   # slot 1 absent
+
+
+def test_protobuf_monitors_wire_format():
+    """Protobuf monitors serialize the reference's documented wire schema
+    (docs/protobuf/gnss_synchro.proto + monitor_pvt.proto): datagrams parse
+    with the generated classes and carry the right fields."""
+    import socket as sock_mod
+    from gnss_sdr_tpu.io import monitor_pb2
+    from gnss_sdr_tpu.io.monitor import (ProtobufGnssSynchroMonitor,
+                                         ProtobufPvtMonitor)
+    from gnss_sdr_tpu.receiver.observables import ChannelObservable
+
+    rxsock = sock_mod.socket(sock_mod.AF_INET, sock_mod.SOCK_DGRAM)
+    rxsock.bind(("127.0.0.1", 0))
+    rxsock.settimeout(2.0)
+    port = rxsock.getsockname()[1]
+
+    mon = ProtobufGnssSynchroMonitor([("127.0.0.1", port)], fs=2e6)
+    obs = [ChannelObservable(prn=17, signal="1C", t_tx_sv=352800.1,
+                             pseudorange_m=21_345_678.9,
+                             carrier_phase_cycles=123.25, doppler_hz=-812.5,
+                             cn0_dbhz=44.5)]
+    mon.push(123456, obs)
+    data, _ = rxsock.recvfrom(65536)
+    msg = monitor_pb2.Observables()
+    msg.ParseFromString(data)
+    assert len(msg.observable) == 1
+    s = msg.observable[0]
+    assert s.prn == 17 and s.system == "G" and s.signal == "1C"
+    assert abs(s.pseudorange_m - 21_345_678.9) < 1e-6
+    assert abs(s.carrier_doppler_hz + 812.5) < 1e-9
+    assert s.fs == 2_000_000 and s.flag_valid_pseudorange
+
+    pvt_mon = ProtobufPvtMonitor([("127.0.0.1", port)])
+    sol = _solution()
+    pvt_mon.push(sol)
+    data, _ = rxsock.recvfrom(65536)
+    m = monitor_pb2.MonitorPvt()
+    m.ParseFromString(data)
+    assert m.week == sol.week
+    assert abs(m.pos_x - sol.pos_ecef[0]) < 1e-6
+    assert m.valid_sats == sol.n_sats
+    assert abs(m.latitude - np.degrees(sol.lat_rad)) < 1e-9
+    rxsock.close()
+    mon.sink.close()
+    pvt_mon.sink.close()
