@@ -222,6 +222,11 @@ def source_from_ini(conf: Configuration):
             item_type=conf.property("SignalSource.item_type", "gr_complex"),
             sampling_frequency=fs,
             samples=conf.property("SignalSource.samples", 0))
+    if impl == "Labsat_Signal_Source":
+        return sources.LabsatSignalSource(
+            conf.property("SignalSource.filename", ""),
+            channel=int(conf.property("SignalSource.selected_channel", 1)),
+            sampling_frequency=fs)
     if impl == "File_Signal_Source":
         return sources.FileSignalSource(
             conf.property("SignalSource.filename", ""),

@@ -54,7 +54,8 @@ def get_lib():
     for name in ("decode_ishort", "decode_ibyte", "decode_short"):
         getattr(lib, name).argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                        ctypes.c_void_p]
-    for name in ("decode_2bit_packed_real", "decode_2bit_packed_cpx"):
+    for name in ("decode_2bit_packed_real", "decode_2bit_packed_cpx",
+                 "decode_labsat_2bit", "decode_labsat_4bit"):
         getattr(lib, name).argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                        ctypes.c_void_p]
     _lib = lib
@@ -100,6 +101,33 @@ class NativeFileSource:
             self.close()
         except Exception:
             pass
+
+
+def decode_labsat_words(raw: np.ndarray, bits_per_sample: int) -> np.ndarray:
+    """Decode LabSat 2/3 16-bit sample words -> complex64 (native kernel,
+    numpy fallback). 2-bit: 8 samples/word; 4-bit: 4 samples/word."""
+    lib = get_lib()
+    words = np.ascontiguousarray(raw, np.uint16)
+    per = 8 if bits_per_sample == 2 else 4
+    if lib is not None:
+        out = np.empty(len(words) * per, np.complex64)
+        fn = (lib.decode_labsat_2bit if bits_per_sample == 2
+              else lib.decode_labsat_4bit)
+        fn(words.ctypes.data_as(ctypes.c_void_p), len(words),
+           out.ctypes.data_as(ctypes.c_void_p))
+        return out
+    w = words.astype(np.uint32)
+    if bits_per_sample == 2:
+        i_bits = np.stack([(w >> (15 - 2 * i)) & 1 for i in range(8)], 1)
+        q_bits = np.stack([(w >> (14 - 2 * i)) & 1 for i in range(8)], 1)
+        return ((2.0 * i_bits - 1.0) + 1j * (2.0 * q_bits - 1.0)
+                ).reshape(-1).astype(np.complex64)
+    lut = np.array([1.0, 2.0, -2.0, -1.0], np.float32)
+    ic = np.stack([(((w >> (15 - 4 * i)) & 1) << 1)
+                   | ((w >> (13 - 4 * i)) & 1) for i in range(4)], 1)
+    qc = np.stack([(((w >> (14 - 4 * i)) & 1) << 1)
+                   | ((w >> (12 - 4 * i)) & 1) for i in range(4)], 1)
+    return (lut[ic] + 1j * lut[qc]).reshape(-1).astype(np.complex64)
 
 
 def decode_2bit_cpx(raw: np.ndarray) -> np.ndarray:

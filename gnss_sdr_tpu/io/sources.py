@@ -97,6 +97,103 @@ class ArraySignalSource:
         return take
 
 
+class LabsatSignalSource:
+    """LabSat 2 / LabSat 3 capture-file source.
+
+    Reference analog: ``labsat23_source`` (``src/algorithms/signal_source/
+    gnuradio_blocks/labsat23_source.cc``): parses the LS2/LS3 header
+    (8-byte zero preamble, 'LS2'/'LS3' magic, sub-version, little-endian
+    header length, section 2 with ref clock / bits-per-sample / channel
+    layout), then streams 16-bit sample words (2-bit: 8 complex samples per
+    word; 4-bit sign/magnitude: 4 per word) through the native decoder.
+    LabSat 3 captures are file sequences ``<base>_0000.LS3, _0001.LS3, ...``
+    consumed transparently.
+    """
+
+    def __init__(self, path: str | pathlib.Path, channel: int = 1,
+                 sampling_frequency: float = 16.368e6):
+        self.base = str(path)
+        self.fs = sampling_frequency
+        self.channel = channel
+        self._file_no = 0
+        self._f = open(self._filename(), "rb")
+        self._parse_header()
+        self.total_samples = -1          # streaming; unknown up front
+
+    def _filename(self) -> str:
+        if self.base.lower().endswith(".ls2"):
+            if self._file_no == 0:
+                return self.base
+            raise FileNotFoundError("LS2 captures are single-file")
+        return f"{self.base}_{self._file_no:04d}.LS3"
+
+    def _parse_header(self) -> None:
+        head = self._f.read(1024)
+        if len(head) < 64 or head[:8] != b"\x00" * 8:
+            raise ValueError("LabSat preamble not found")
+        magic = head[8:11]
+        if magic == b"LS2":
+            self.version = 2
+        elif magic == b"LS3":
+            self.version = 3
+        else:
+            raise ValueError(f"unknown LabSat magic {magic!r}")
+        self.sub_version = head[11]
+        header_bytes = int.from_bytes(head[12:16], "little")
+        p = 16
+        # first section must be id 2 (record parameters)
+        section_id = int.from_bytes(head[p: p + 2], "little")
+        p += 6                             # id (2) + section length (4)
+        if section_id != 2:
+            raise ValueError("LabSat header section 2 missing")
+        self.ref_clock = head[p]; p += 1
+        self.bits_per_sample = head[p]; p += 1
+        if self.bits_per_sample not in (2, 4):
+            raise ValueError(
+                f"unsupported LabSat bits/sample {self.bits_per_sample}")
+        self.channel_layout = head[p]; p += 1
+        if self.channel_layout == 0:
+            raise ValueError("dual-channel LabSat files not supported")
+        if self.channel == 2 and self.channel_layout != 0:
+            raise ValueError("channel 2 requested but file is single-channel")
+        self.quantization = head[p]; p += 1
+        self.constellation_a = head[p]; p += 1
+        self.constellation_b = head[p]; p += 1
+        self._f.seek(header_bytes)
+
+    @property
+    def samples_per_word(self) -> int:
+        return 8 if self.bits_per_sample == 2 else 4
+
+    def read(self, n: int) -> np.ndarray:
+        from gnss_sdr_tpu.io import native
+        per = self.samples_per_word
+        out: list[np.ndarray] = []
+        need_words = -(-n // per)
+        while need_words > 0:
+            raw = np.fromfile(self._f, dtype="<u2", count=need_words)
+            if len(raw):
+                out.append(native.decode_labsat_words(
+                    raw, self.bits_per_sample))
+                need_words -= len(raw)
+                continue
+            # next file in an LS3 sequence, if any
+            self._file_no += 1
+            try:
+                nxt = open(self._filename(), "rb")
+            except (FileNotFoundError, OSError):
+                break
+            self._f.close()
+            self._f = nxt                  # data files have no header
+        if not out:
+            return np.zeros(0, np.complex64)
+        x = np.concatenate(out)
+        return x[:n]
+
+    def close(self) -> None:
+        self._f.close()
+
+
 class ArrayFileSignalSource:
     """N-element antenna-array capture file: element-interleaved samples
     (t0e0, t0e1, ..., t0eN-1, t1e0, ...). ``read(n)`` returns an [N, n]

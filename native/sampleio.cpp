@@ -53,6 +53,40 @@ void decode_2bit_packed_real(const uint8_t* in, int64_t n_bytes, float* out) {
     }
 }
 
+// LabSat 2/3 sample words (reference labsat23_source.cc
+// decode_samples_one_channel): 16-bit words, MSB-first bit order.
+// 2-bit mode: 8 complex samples/word, bit(15-2i)=I sign, bit(14-2i)=Q sign,
+// value = 2*bit - 1 (so {0,1} -> {-1,+1}).
+void decode_labsat_2bit(const uint16_t* in, int64_t n_words, float* out) {
+    for (int64_t w = 0; w < n_words; ++w) {
+        uint16_t v = in[w];
+        for (int i = 0; i < 8; ++i) {
+            int ib = (v >> (15 - 2 * i)) & 1;
+            int qb = (v >> (14 - 2 * i)) & 1;
+            out[2 * (8 * w + i)] = 2.0f * ib - 1.0f;
+            out[2 * (8 * w + i) + 1] = 2.0f * qb - 1.0f;
+        }
+    }
+}
+
+// 4-bit mode: 4 complex samples/word, sign/magnitude per component:
+// I: sign bit(15-4i), mag bit(13-4i); Q: sign bit(14-4i), mag bit(12-4i);
+// map 00->+1, 01->+2, 10->-2, 11->-1.
+void decode_labsat_4bit(const uint16_t* in, int64_t n_words, float* out) {
+    static const float lut[4] = {1.0f, 2.0f, -2.0f, -1.0f};
+    for (int64_t w = 0; w < n_words; ++w) {
+        uint16_t v = in[w];
+        for (int i = 0; i < 4; ++i) {
+            int icode = (((v >> (15 - 4 * i)) & 1) << 1)
+                      | ((v >> (13 - 4 * i)) & 1);
+            int qcode = (((v >> (14 - 4 * i)) & 1) << 1)
+                      | ((v >> (12 - 4 * i)) & 1);
+            out[2 * (4 * w + i)] = lut[icode];
+            out[2 * (4 * w + i) + 1] = lut[qcode];
+        }
+    }
+}
+
 // 2-bit complex packed: one byte = I(2b) Q(2b) I(2b) Q(2b) -> 2 complex
 void decode_2bit_packed_cpx(const uint8_t* in, int64_t n_bytes, float* out) {
     static const float lut[4] = {1.0f, 3.0f, -1.0f, -3.0f};

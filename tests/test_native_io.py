@@ -67,3 +67,100 @@ def test_native_throughput_sane(tmp_path, lib_ok):
     src.close()
     assert total == 1_000_000
     assert total / dt > 20e6, f"only {total/dt/1e6:.1f} Msps"
+
+
+def _labsat_header(bits_per_sample: int, header_bytes: int = 64) -> bytes:
+    head = bytearray(header_bytes)
+    head[8:11] = b"LS3"
+    head[11] = 1                                  # sub version
+    head[12:16] = int(header_bytes).to_bytes(4, "little")
+    head[16:18] = (2).to_bytes(2, "little")       # section id 2
+    head[18:22] = (16).to_bytes(4, "little")      # section length
+    head[22] = 0                                  # ref clock OCXO
+    head[23] = bits_per_sample
+    head[24] = 1                                  # channel A only
+    head[25] = 1                                  # quantization
+    head[26] = 0                                  # channel A = GPS
+    head[27] = 255                                # no channel B
+    return bytes(head)
+
+
+def _encode_labsat_2bit(iq: np.ndarray) -> np.ndarray:
+    """Oracle encoder: complex ±1 components -> 16-bit LabSat words."""
+    assert len(iq) % 8 == 0
+    words = np.zeros(len(iq) // 8, np.uint16)
+    for w in range(len(words)):
+        v = 0
+        for i in range(8):
+            s = iq[8 * w + i]
+            ib = 1 if s.real > 0 else 0
+            qb = 1 if s.imag > 0 else 0
+            v |= ib << (15 - 2 * i)
+            v |= qb << (14 - 2 * i)
+        words[w] = v
+    return words
+
+
+def test_labsat3_source_roundtrip(tmp_path):
+    """LabSat 3 file-sequence source: header parse + 2-bit word decode +
+    transparent continuation into the next file of the sequence
+    (reference labsat23_source.cc)."""
+    from gnss_sdr_tpu.io.sources import LabsatSignalSource
+
+    rng = np.random.default_rng(7)
+    iq = (np.sign(rng.standard_normal(256))
+          + 1j * np.sign(rng.standard_normal(256))).astype(np.complex64)
+    words = _encode_labsat_2bit(iq)
+    base = tmp_path / "capture"
+    # first file: header + first half; second file: raw words only
+    with open(f"{base}_0000.LS3", "wb") as f:
+        f.write(_labsat_header(2))
+        words[: len(words) // 2].astype("<u2").tofile(f)
+    with open(f"{base}_0001.LS3", "wb") as f:
+        words[len(words) // 2:].astype("<u2").tofile(f)
+
+    src = LabsatSignalSource(str(base), sampling_frequency=16.368e6)
+    assert src.version == 3 and src.bits_per_sample == 2
+    got = src.read(256)
+    np.testing.assert_array_equal(got, iq)
+    assert len(src.read(64)) == 0          # sequence exhausted
+    src.close()
+
+
+def test_labsat_4bit_decode_matches_reference_map():
+    """4-bit sign/magnitude map: 00->+1, 01->+2, 10->-2, 11->-1 per
+    component (labsat23_source.cc decode_samples_one_channel case 4)."""
+    from gnss_sdr_tpu.io import native
+
+    # craft one word holding samples (I=+1,Q=-1), (I=-2,Q=+2), x2
+    def code(v):
+        return {1.0: 0b00, 2.0: 0b01, -2.0: 0b10, -1.0: 0b11}[v]
+
+    samples = [(1.0, -1.0), (-2.0, 2.0), (2.0, 1.0), (-1.0, -2.0)]
+    v = 0
+    for i, (si, sq) in enumerate(samples):
+        ci, cq = code(si), code(sq)
+        v |= (ci >> 1) << (15 - 4 * i)
+        v |= (ci & 1) << (13 - 4 * i)
+        v |= (cq >> 1) << (14 - 4 * i)
+        v |= (cq & 1) << (12 - 4 * i)
+    out = native.decode_labsat_words(np.array([v], np.uint16), 4)
+    np.testing.assert_array_equal(
+        out, np.array([si + 1j * sq for si, sq in samples], np.complex64))
+
+
+def test_labsat_native_matches_numpy_fallback():
+    from gnss_sdr_tpu.io import native
+    if not native.available():
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(3)
+    words = rng.integers(0, 1 << 16, 512).astype(np.uint16)
+    for bps in (2, 4):
+        a = native.decode_labsat_words(words, bps)
+        lib, native._lib = native._lib, None
+        tried, native._tried = native._tried, True
+        try:
+            b = native.decode_labsat_words(words, bps)
+        finally:
+            native._lib, native._tried = lib, tried
+        np.testing.assert_array_equal(a, b)
