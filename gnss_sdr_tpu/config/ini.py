@@ -222,6 +222,18 @@ def source_from_ini(conf: Configuration):
             item_type=conf.property("SignalSource.item_type", "gr_complex"),
             sampling_frequency=fs,
             samples=conf.property("SignalSource.samples", 0))
+    if impl == "Spir_File_Signal_Source":
+        return sources.SpirSignalSource(
+            conf.property("SignalSource.filename", ""), fmt="int1",
+            sampling_frequency=fs,
+            channel=int(conf.property("SignalSource.sel_ch", 1)),
+            samples=conf.property("SignalSource.samples", 0))
+    if impl == "Spir_GSS6450_File_Signal_Source":
+        return sources.SpirSignalSource(
+            conf.property("SignalSource.filename", ""), fmt="gss6450",
+            sampling_frequency=fs,
+            adc_bits=int(conf.property("SignalSource.adc_bits", 4)),
+            samples=conf.property("SignalSource.samples", 0))
     if impl == "Labsat_Signal_Source":
         return sources.LabsatSignalSource(
             conf.property("SignalSource.filename", ""),

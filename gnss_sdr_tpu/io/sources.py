@@ -194,6 +194,84 @@ class LabsatSignalSource:
         self._f.close()
 
 
+def decode_spir_int1(raw_int32: np.ndarray, channel: int = 1) -> np.ndarray:
+    """SPIR 1-bit int format: one int32 per complex sample; the selected
+    channel's I bit is (val >> ((ch-1)*2)) & 1, Q bit is (val >> (2ch-1))
+    & 1, mapped to +/-32767 (reference unpack_intspir_1bit_samples.cc)."""
+    v = np.asarray(raw_int32).astype(np.int64)
+    i_bits = (v >> ((channel - 1) * 2)) & 1
+    q_bits = (v >> (2 * channel - 1)) & 1
+    amp = np.float32(32767.0)
+    return ((2 * i_bits - 1) * amp
+            + 1j * ((2 * q_bits - 1) * amp)).astype(np.complex64)
+
+
+def decode_spir_gss6450(raw_int32: np.ndarray, adc_bits: int) -> np.ndarray:
+    """SPIR GSS6450 packing: int32 words holding 8 (2-bit ADC) or 4 (4-bit)
+    complex samples, I then Q LSB-first per sample, two's-complement, with
+    samples emitted in REVERSED order within the word
+    (reference unpack_spir_gss6450_samples.cc decode_4bits_word)."""
+    if adc_bits not in (2, 4):
+        raise ValueError(f"unsupported GSS6450 adc_bits {adc_bits}")
+    w = np.asarray(raw_int32).astype(np.uint32)
+    per = 16 // adc_bits
+    mask = (1 << adc_bits) - 1
+    half = 1 << (adc_bits - 1)
+    full = 1 << adc_bits
+    comps = []
+    for k in range(per):
+        i_raw = (w >> (2 * adc_bits * k)) & mask
+        q_raw = (w >> (2 * adc_bits * k + adc_bits)) & mask
+        i_val = np.where(i_raw >= half, i_raw.astype(np.int64) - full, i_raw)
+        q_val = np.where(q_raw >= half, q_raw.astype(np.int64) - full, q_raw)
+        comps.append(i_val + 1j * q_val)
+    # extraction k fills output slot per-1-k (reversed within the word)
+    out = np.stack(comps[::-1], axis=1)
+    return out.reshape(-1).astype(np.complex64)
+
+
+class SpirSignalSource:
+    """SPIR capture-file source (1-bit int or GSS6450 packed formats).
+
+    Reference analogs: ``Spir_File_Signal_Source`` and
+    ``Spir_GSS6450_File_Signal_Source`` adapters with their unpack blocks.
+    ``fmt``: "int1" (one int32 per sample, channel-selectable) or
+    "gss6450" with ``adc_bits`` in {2, 4}.
+    """
+
+    def __init__(self, path: str | pathlib.Path, fmt: str = "int1",
+                 sampling_frequency: float = 80e6, channel: int = 1,
+                 adc_bits: int = 4, samples: int = 0):
+        self.path = pathlib.Path(path)
+        self.fmt = fmt
+        self.fs = sampling_frequency
+        self.channel = channel
+        self.adc_bits = adc_bits
+        words = self.path.stat().st_size // 4
+        self.samples_per_word = (1 if fmt == "int1" else 16 // adc_bits)
+        self.total_samples = words * self.samples_per_word
+        if samples > 0:
+            self.total_samples = min(self.total_samples, samples)
+        self._pos = 0          # in samples
+
+    def read(self, n: int) -> np.ndarray:
+        per = self.samples_per_word
+        take = min(n, self.total_samples - self._pos)
+        if take <= 0:
+            return np.zeros(0, np.complex64)
+        w0 = self._pos // per
+        w1 = -(-(self._pos + take) // per)
+        raw = np.fromfile(self.path, dtype="<i4", count=w1 - w0,
+                          offset=4 * w0)
+        if self.fmt == "int1":
+            x = decode_spir_int1(raw, self.channel)
+        else:
+            x = decode_spir_gss6450(raw, self.adc_bits)
+        x = x[self._pos - w0 * per: self._pos - w0 * per + take]
+        self._pos += take
+        return x
+
+
 class ArrayFileSignalSource:
     """N-element antenna-array capture file: element-interleaved samples
     (t0e0, t0e1, ..., t0eN-1, t1e0, ...). ``read(n)`` returns an [N, n]

@@ -164,3 +164,66 @@ def test_labsat_native_matches_numpy_fallback():
         finally:
             native._lib, native._tried = lib, tried
         np.testing.assert_array_equal(a, b)
+
+
+def test_spir_int1_decode():
+    """SPIR 1-bit int32 format (unpack_intspir_1bit_samples.cc): bit
+    (ch-1)*2 -> I, bit 2ch-1 -> Q, both to +/-32767."""
+    from gnss_sdr_tpu.io.sources import decode_spir_int1
+
+    vals = np.array([0b00, 0b01, 0b10, 0b11], np.int32)
+    out = decode_spir_int1(vals, channel=1)
+    a = 32767.0
+    np.testing.assert_array_equal(
+        out, np.array([-a - 1j * a, a - 1j * a, -a + 1j * a, a + 1j * a],
+                      np.complex64))
+    # channel 2 reads bits 2 and 3
+    out2 = decode_spir_int1(np.array([0b0100], np.int32), channel=2)
+    np.testing.assert_array_equal(out2, np.array([a - 1j * a], np.complex64))
+
+
+def test_spir_gss6450_decode():
+    """GSS6450 2/4-bit packing round-trip vs a per-word oracle encoder
+    (unpack_spir_gss6450_samples.cc: LSB-first extraction, reversed
+    sample order within the word, two's complement)."""
+    from gnss_sdr_tpu.io.sources import decode_spir_gss6450
+
+    rng = np.random.default_rng(5)
+    for adc_bits in (2, 4):
+        per = 16 // adc_bits
+        half = 1 << (adc_bits - 1)
+        full = 1 << adc_bits
+        mask = full - 1
+        samples = (rng.integers(-half, half, (3, per))
+                   + 1j * rng.integers(-half, half, (3, per)))
+        words = []
+        for row in samples:
+            v = 0
+            # encoder mirror: sample k (in output order) is extracted at
+            # shift position per-1-k
+            for k in range(per):
+                s = row[per - 1 - k]
+                v |= (int(s.real) & mask) << (2 * adc_bits * k)
+                v |= (int(s.imag) & mask) << (2 * adc_bits * k + adc_bits)
+            words.append(v)
+        out = decode_spir_gss6450(
+            np.array(words, np.uint32).astype(np.int32), adc_bits)
+        np.testing.assert_array_equal(
+            out, samples.reshape(-1).astype(np.complex64))
+
+
+def test_spir_source_reads_file(tmp_path):
+    from gnss_sdr_tpu.io.sources import SpirSignalSource, decode_spir_gss6450
+
+    rng = np.random.default_rng(11)
+    words = rng.integers(0, 1 << 32, 64, dtype=np.uint64).astype(np.uint32)
+    p = tmp_path / "spir.dat"
+    words.astype("<u4").tofile(p)
+    src = SpirSignalSource(p, fmt="gss6450", adc_bits=4,
+                           sampling_frequency=80e6)
+    assert src.total_samples == 64 * 4
+    a = src.read(7)
+    b = src.read(300)
+    ref = decode_spir_gss6450(words.astype(np.int32), 4)
+    np.testing.assert_array_equal(np.concatenate([a, b]), ref[:256])
+    assert len(src.read(10)) == 0
