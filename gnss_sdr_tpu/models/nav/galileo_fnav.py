@@ -188,14 +188,19 @@ def decode_page(symbols: np.ndarray) -> tuple[int, dict] | None:
 
 
 def encode_stream(eph: KeplerEphemeris, tow_start_s: float, n_pages: int,
-                  *, wn: int = 0, iono: IonoParams | None = None) -> np.ndarray:
+                  *, wn: int = 0, iono: IonoParams | None = None,
+                  page_offset: int = 0) -> np.ndarray:
     """Cycle page types 1..4; returns [n_pages*500] symbols (0/1).
 
     Page k starts at GST ``tow_start_s + 10 k`` and carries that TOW.
+    ``page_offset`` rotates the type cycle (page k has type
+    ((k + page_offset) % 4) + 1) — each page carries its own TOW, so
+    simulations can start the useful 1-2-3 ephemeris set right after the
+    receiver's first partially-received page.
     """
     out = []
     for k in range(n_pages):
-        ptype = (k % 4) + 1
+        ptype = ((k + page_offset) % 4) + 1
         tow = tow_start_s + PAGE_SECONDS * k
         out.append(encode_page(encode_page_bits(
             ptype, eph, wn=wn, tow=tow, iono=iono)))

@@ -167,6 +167,64 @@ def build_gps_l5_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
                     spec=spec)
 
 
+def build_galileo_e5a_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),
+                               t0_gps: float = 352800.11,
+                               fs: float = 12.0e6, n_sats: int = 4,
+                               cn0_dbhz: float = 50.0,
+                               margin_s: float = 7.0) -> Scenario:
+    """Galileo E5a-I (10.23 Mcps, CS20 overlay) scenario with F/NAV.
+
+    F/NAV pages last 10 s and the ephemeris needs IOD-matched types 1+2+3
+    (galileo_fnav.FnavAssembler); the page cycle is rotated so the first
+    page the receiver sees in full is type 1, and the duration is computed
+    to cover the 1-2-3 set plus ``margin_s`` of fix time. Reference analog:
+    the Channels_5X chain (galileo_e5a_* adapters + FNAV decoder).
+    """
+    from gnss_sdr_tpu.models.nav import galileo_fnav
+
+    spec = constants.GALILEO_E5A_I
+    ephs = constellation.almanac_constellation()
+    for e in ephs.values():
+        e.tgd = 0.0
+        e.gm = constants.GM_EARTH_GAL
+    rcv = geodesy.geodetic_to_ecef(*rcv_llh)
+    vis = constellation.visible_sats(ephs, rcv, t0_gps, el_mask_deg=15.0)
+    chosen = [prn for prn, _, _ in vis[:n_sats]]
+    if len(chosen) < n_sats:
+        raise RuntimeError(f"only {len(chosen)} visible sats")
+
+    fc = spec.carrier_freq_hz
+    t_tx0 = {prn: constellation.simulate_observation(
+        ephs[prn], rcv, t0_gps).t_tx_sv for prn in chosen}
+    # page origin: the 10 s slot containing the earliest t_tx(0); slot 0 is
+    # only partially received, so rotate the cycle to 4,1,2,3 — the
+    # ephemeris completes at the end of slot 3 (origin + 40 s)
+    tow_page_start = 10.0 * np.floor(min(t_tx0.values()) / 10.0)
+    offset0 = min(t_tx0.values()) - tow_page_start
+    duration_s = float(40.0 - offset0 + margin_s)
+    n_pages = int(np.ceil((duration_s + offset0) / 10.0)) + 2
+
+    sats = []
+    for prn in chosen:
+        eph = ephs[prn]
+        ts = np.array([0.0, duration_s / 2.0, duration_s])
+        tx = np.array([constellation.simulate_observation(
+            eph, rcv, t0_gps + t).t_tx_sv for t in ts])
+        a2, a1, a0 = np.polyfit(ts, tx, 2)
+        symbols = galileo_fnav.encode_stream(eph, tow_page_start, n_pages,
+                                             wn=eph.week, page_offset=3)
+        sats.append(generator.SatParams(
+            prn=prn, cn0_dbhz=cn0_dbhz,
+            doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
+            code_delay_s=tow_page_start - a0,
+            data_bits=generator.lnav_bits_to_symbols(symbols)))
+
+    return Scenario(rcv_ecef=rcv, rcv_llh=rcv_llh, t0_gps=t0_gps,
+                    tow_bits_start=tow_page_start, duration_s=duration_s,
+                    fs=fs, ephemerides=ephs, sats=sats, prns=chosen,
+                    spec=spec)
+
+
 def build_galileo_e1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),
                               t0_gps: float = 352800.13, duration_s: float = 18.0,
                               fs: float = 4.0e6, n_sats: int = 5,
