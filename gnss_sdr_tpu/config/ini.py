@@ -95,6 +95,8 @@ def receiver_config_from_ini(conf: Configuration):
     """
     from gnss_sdr_tpu.receiver.receiver import ReceiverConfig
 
+    from gnss_sdr_tpu.config import registry
+
     plan = []
     for suf in SIGNAL_SUFFIXES:
         cnt = conf.property(f"Channels_{suf}.count", 0)
@@ -103,12 +105,16 @@ def receiver_config_from_ini(conf: Configuration):
     if not plan:
         plan = [("1C", 8)]
     signal, n_channels = plan[0]
+    # factory-style validation of every implementation= name + first-group
+    # overrides (KF tracking, fine-Doppler two-step, ...)
+    name_overrides = registry.validate_conf(conf, plan)
 
     fs = float(conf.property("GNSS-SDR.internal_fs_sps",
                              conf.property("GNSS-SDR.internal_fs_hz", 2_000_000)))
     acq = f"Acquisition_{signal}"
     trk = f"Tracking_{signal}"
-    return ReceiverConfig(
+    import dataclasses as _dc
+    cfg = ReceiverConfig(
         signal=signal,
         fs=fs,
         n_channels=n_channels,
@@ -128,6 +134,7 @@ def receiver_config_from_ini(conf: Configuration):
         # multi-device channel sharding (TPU mesh); 0/absent = single-device
         n_mesh_devices=(conf.property("GNSS-SDR.num_devices", 0) or None),
     )
+    return _dc.replace(cfg, **name_overrides) if name_overrides else cfg
 
 
 def input_filter_from_ini(conf: Configuration):

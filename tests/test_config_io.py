@@ -238,3 +238,55 @@ def test_receiver_fractional_conditioning():
     rx.run_file_source(ArraySignalSource(x, fs_in))
     assert rx.tracked_prns() == [9]
     assert abs(float(rx.trk_state.carrier_freq[0]) - 900.0) < 20.0
+
+
+def test_registry_validates_reference_hybrid_conf():
+    """The multisource hybrid conf's implementation names all resolve
+    (reference gnss_block_factory registry parity)."""
+    import pathlib
+    p = pathlib.Path(
+        "/root/reference/conf/gnss-sdr_GLONASS_L1_CA_GPS_L1_CA_ibyte.conf")
+    if not p.exists():
+        pytest.skip("reference conf not available")
+    conf = ini.FileConfiguration(p)
+    rcfg = ini.receiver_config_from_ini(conf)
+    sigs = [s for s, _n, *_ in rcfg.signal_plan]
+    assert "1C" in sigs and "1G" in sigs
+
+
+def test_registry_rejects_unknown_block():
+    from gnss_sdr_tpu.config.registry import UnknownBlockError
+    conf = ini.InMemoryConfiguration()
+    conf.set_property("Channels_1C.count", 4)
+    conf.set_property("Acquisition_1C.implementation", "Quantum_Acquisition")
+    with pytest.raises(UnknownBlockError):
+        ini.receiver_config_from_ini(conf)
+
+
+def test_registry_rejects_signal_mismatch():
+    from gnss_sdr_tpu.config.registry import UnknownBlockError
+    conf = ini.InMemoryConfiguration()
+    conf.set_property("Channels_1C.count", 4)
+    conf.set_property("Acquisition_1C.implementation",
+                      "GPS_L2_M_PCPS_Acquisition")
+    with pytest.raises(UnknownBlockError):
+        ini.receiver_config_from_ini(conf)
+
+
+def test_registry_rejects_hardware_source():
+    from gnss_sdr_tpu.config.registry import UnknownBlockError
+    conf = ini.InMemoryConfiguration()
+    conf.set_property("Channels_1C.count", 4)
+    conf.set_property("SignalSource.implementation", "UHD_Signal_Source")
+    with pytest.raises(UnknownBlockError):
+        ini.receiver_config_from_ini(conf)
+
+
+def test_registry_name_overrides_apply():
+    conf = ini.InMemoryConfiguration()
+    conf.set_property("Channels_1C.count", 4)
+    conf.set_property("Tracking_1C.implementation", "GPS_L1_CA_KF_Tracking")
+    conf.set_property("Acquisition_1C.implementation",
+                      "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler")
+    rcfg = ini.receiver_config_from_ini(conf)
+    assert rcfg.carrier_kf and rcfg.acq_two_step
