@@ -113,6 +113,36 @@ def receiver_config_from_ini(conf: Configuration):
                              conf.property("GNSS-SDR.internal_fs_hz", 2_000_000)))
     acq = f"Acquisition_{signal}"
     trk = f"Tracking_{signal}"
+
+    # per-group parameter overrides: every group's own Acquisition_<sig>/
+    # Tracking_<sig> section configures that group (the reference's
+    # per-adapter config reads), not just the first group's
+    group_params = []
+    for entry in plan:
+        sig = entry[0]
+        a, t = f"Acquisition_{sig}", f"Tracking_{sig}"
+        items: dict = {}
+        for field, key, conv in (
+                ("acq_doppler_max_hz", f"{a}.doppler_max", float),
+                ("acq_doppler_step_hz", f"{a}.doppler_step", float),
+                ("pll_bw_hz", f"{t}.pll_bw_hz", float),
+                ("dll_bw_hz", f"{t}.dll_bw_hz", float),
+                ("pll_bw_narrow_hz", f"{t}.pll_bw_narrow_hz", float),
+                ("dll_bw_narrow_hz", f"{t}.dll_bw_narrow_hz", float),
+                ("extend_symbols", f"{t}.extend_correlation_symbols", int),
+                ("track_pilot", f"{t}.track_pilot", None)):
+            if conf.is_present(key):
+                if conv is None:
+                    items[field] = bool(conf.property(key, False))
+                else:
+                    # typed default drives the conversion in property()
+                    items[field] = conv(conf.property(
+                        key, 0.0 if conv is float else 0))
+        if "KF" in str(conf.property(f"{t}.implementation", "")):
+            items["carrier_kf"] = True
+        if items:
+            group_params.append((sig, tuple(items.items())))
+
     import dataclasses as _dc
     cfg = ReceiverConfig(
         signal=signal,
@@ -133,6 +163,7 @@ def receiver_config_from_ini(conf: Configuration):
         pvt_output_rate_ms=float(conf.property("PVT.output_rate_ms", 100)),
         # multi-device channel sharding (TPU mesh); 0/absent = single-device
         n_mesh_devices=(conf.property("GNSS-SDR.num_devices", 0) or None),
+        group_params=tuple(group_params),
     )
     return _dc.replace(cfg, **name_overrides) if name_overrides else cfg
 

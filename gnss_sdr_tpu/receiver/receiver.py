@@ -49,6 +49,11 @@ class ReceiverConfig:
     # multi-signal plan: tuple of (signal, n_channels) or
     # (signal, n_channels, prns); empty = single group from the fields above
     signal_plan: tuple = ()
+    # per-group parameter overrides: tuple of (signal, ((field, value), ...))
+    # applied over this config when building that signal's group (reference:
+    # each Acquisition_<sig>/Tracking_<sig> section configures its own
+    # adapters; without this only the first group's sections would count)
+    group_params: tuple = ()
     chunk_ms: int = 100
     # acquisition
     acq_doppler_max_hz: float = 5000.0
@@ -193,13 +198,16 @@ class Receiver:
             (config.signal, config.n_channels, config.prns)]
         self.groups: list[SignalGroup] = []
         gid = 0
+        gparams = {sig: dict(items) for sig, items in config.group_params}
         for entry in plan:
             sig, n_ch = entry[0], entry[1]
             prns = entry[2] if len(entry) > 2 and entry[2] else tuple(
                 range(1, constants.SIGNALS[sig].prn_max + 1))
             c_pad = -(-n_ch // self._n_dev) * self._n_dev
+            gcfg = (dataclasses.replace(config, **gparams[sig])
+                    if sig in gparams else config)
             self.groups.append(
-                SignalGroup(config, sig, n_ch, prns, gid, c_pad=c_pad))
+                SignalGroup(gcfg, sig, n_ch, prns, gid, c_pad=c_pad))
             gid += n_ch
         # primary group keeps the single-signal API working
         g0 = self.groups[0]
@@ -267,7 +275,7 @@ class Receiver:
             rep = codes.sample_code(
                 codes.code_chips(g.signal, prn), self.cfg.fs,
                 g.spec.code_rate_cps, g.spc, boc_rate=boc)
-            if self.cfg.acq_bit_transition:
+            if g.rx_cfg.acq_bit_transition:
                 # doubled-FFT mode (reference bit_transition_flag,
                 # pcps_acquisition.cc:101): zero-pad the code to 2 periods so
                 # every code-phase hypothesis correlates over an uninterrupted
@@ -308,7 +316,7 @@ class Receiver:
         None unless assistance and a position estimate cover ALL candidates
         (reference: ControlThread::assist_GNSS + pcps_assisted_acquisition).
         """
-        if not self.cfg.acq_assisted:
+        if not g.rx_cfg.acq_assisted:
             return None
         fix = self.latest_fix()
         if fix is None or not self.ephemerides:
@@ -334,13 +342,13 @@ class Receiver:
         candidates = candidates[: self.cfg.max_in_acquisition]
         if not candidates:
             return
-        nc = self.cfg.acq_noncoherent
-        slab = 2 * g.spc if self.cfg.acq_bit_transition else g.spc
+        nc = g.rx_cfg.acq_noncoherent
+        slab = 2 * g.spc if g.rx_cfg.acq_bit_transition else g.spc
         if len(chunk) < nc * slab:
             return
         cf = np.stack([self._code_fft(g, p) for p in candidates])
         dopplers = acq_ops.make_doppler_grid(
-            self.cfg.acq_doppler_max_hz, self.cfg.acq_doppler_step_hz)
+            g.rx_cfg.acq_doppler_max_hz, g.rx_cfg.acq_doppler_step_hz)
         spchip = max(1, int(self.cfg.fs / g.spec.code_rate_cps))
         predicted = self._predicted_dopplers(g, candidates)
         if predicted is not None and g.spec.fdma_step_hz == 0.0:
@@ -349,8 +357,8 @@ class Receiver:
             # pcps_assisted_acquisition runs one worker per satellite)
             grids = np.stack([
                 acq_ops.make_doppler_grid(
-                    self.cfg.acq_assisted_doppler_max_hz,
-                    self.cfg.acq_doppler_step_hz,
+                    g.rx_cfg.acq_assisted_doppler_max_hz,
+                    g.rx_cfg.acq_doppler_step_hz,
                     doppler_center=predicted[i])
                 for i in range(len(candidates))])
             res = acq_ops.pcps_search_grids(
@@ -404,12 +412,12 @@ class Receiver:
             if not idle:
                 break
             prn = candidates[int(idx)]
-            if cfar[idx] < self.cfg.acq_threshold_cfar:
+            if cfar[idx] < g.rx_cfg.acq_threshold_cfar:
                 g.acq_backoff[prn] = self._chunk_index + 5
                 continue
             delay = code_phases[int(idx)]
             doppler = doppler_hz[int(idx)]
-            if self.cfg.acq_two_step and g.spec.fdma_step_hz == 0.0:
+            if g.rx_cfg.acq_two_step and g.spec.fdma_step_hz == 0.0:
                 doppler = self._refine_doppler(g, chunk, prn, delay, doppler)
             # honor channel pinning from set_ch_satellite telecommands
             pinned_chs = [c for c in idle if g.pinned.get(c.ch_id) == prn]

@@ -290,3 +290,35 @@ def test_registry_name_overrides_apply():
                       "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler")
     rcfg = ini.receiver_config_from_ini(conf)
     assert rcfg.carrier_kf and rcfg.acq_two_step
+
+
+def test_per_group_parameters_from_conf():
+    """Each group's own Acquisition_<sig>/Tracking_<sig> sections configure
+    that group (reference per-adapter config reads) — a hybrid conf's
+    Galileo loop bandwidths must land on the Galileo group, not be ignored
+    in favor of the first group's."""
+    from gnss_sdr_tpu.receiver.receiver import Receiver
+
+    conf = ini.InMemoryConfiguration()
+    conf.set_property("GNSS-SDR.internal_fs_sps", 4_000_000)
+    conf.set_property("Channels_1C.count", 4)
+    conf.set_property("Channels_1B.count", 3)
+    conf.set_property("Acquisition_1C.doppler_max", 6000)
+    conf.set_property("Tracking_1C.pll_bw_hz", 35.0)
+    conf.set_property("Acquisition_1B.doppler_max", 4000)
+    conf.set_property("Tracking_1B.pll_bw_hz", 17.5)
+    conf.set_property("Tracking_1B.dll_bw_hz", 1.5)
+    rcfg = ini.receiver_config_from_ini(conf)
+    gp = {sig: dict(items) for sig, items in rcfg.group_params}
+    assert gp["1B"]["acq_doppler_max_hz"] == 4000.0
+    assert gp["1B"]["pll_bw_hz"] == 17.5
+
+    rx = Receiver(rcfg)
+    g1c = next(g for g in rx.groups if g.signal == "1C")
+    g1b = next(g for g in rx.groups if g.signal == "1B")
+    assert g1c.rx_cfg.acq_doppler_max_hz == 6000.0
+    assert g1b.rx_cfg.acq_doppler_max_hz == 4000.0
+    assert g1b.rx_cfg.pll_bw_hz == 17.5
+    assert g1b.rx_cfg.dll_bw_hz == 1.5
+    # the trk loop config actually built from those values
+    assert g1b.trk_cfg.pll_bw_hz == 17.5
