@@ -1,0 +1,178 @@
+"""PPP with integer ambiguity resolution (PPP-AR).
+
+Reference analog: the ambiguity-resolution branch of
+``src/algorithms/libs/rtklib/rtklib_ppp.cc`` (``pppamb``: average the
+Melbourne-Wübbena combination to fix between-satellite wide-lane integers
+``fix_amb_WL``, then resolve the narrow-lane / L1 integers from the
+iono-free float ambiguities with LAMBDA ``fix_amb_ILS`` and constrain the
+filter states on the fixed values).
+
+Observation model (dual frequency, per satellite):
+  MW       = (f1*L1 - f2*L2)/(f1 - f2) - (f1*P1 + f2*P2)/(f1 + f2)
+           = lam_wl * N_wl + bias            (geometry/iono free)
+  B_IF     = iono-free phase ambiguity state of the float filter [m]
+           = (c/(f1+f2)) * N1 + (c*f2/(f1^2-f2^2)) * N_wl
+Receiver/satellite biases cancel in between-satellite single differences,
+so the SD MW average yields integer N_wl (after convergence) and the SD
+B_IF yields N1 through LAMBDA; the fixed SD values then tighten the filter
+via pseudo-measurements exactly like RTK fix-and-hold. Host numpy float64.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from gnss_sdr_tpu import constants as C
+from gnss_sdr_tpu.receiver.pvt import lambda_ilsq
+from gnss_sdr_tpu.receiver.pvt.ppp import PppFilter, PppObs, PppSolution
+
+
+@dataclasses.dataclass
+class PppArObs(PppObs):
+    """Dual-frequency raw observables for the MW combination (in addition
+    to the iono-free combinations consumed by the float filter)."""
+
+    p1_m: float = 0.0
+    p2_m: float = 0.0
+    l1_cycles: float = 0.0
+    l2_cycles: float = 0.0
+    f1_hz: float = 1_575_420_000.0
+    f2_hz: float = 1_227_600_000.0
+
+
+class PppArFilter(PppFilter):
+    """Float PPP + wide-lane/narrow-lane integer resolution."""
+
+    def __init__(self, *args, wl_sigma_max: float = 0.25,
+                 ratio_threshold: float = 3.0,
+                 hold_var_m2: float = 0.03 ** 2,
+                 min_fix_epoch: int = 20,
+                 max_pos_sigma_m: float = 0.35, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.wl_sigma_max = wl_sigma_max
+        self.ratio_threshold = ratio_threshold
+        # soft hold (RTKLIB holdamb uses ~0.1 cyc): a premature wrong fix
+        # must remain escapable as the float information accumulates
+        self.hold_var_m2 = hold_var_m2
+        # AR gates (rtklib pppamb applies elevation/epoch gates similarly):
+        # no integer search until the float filter has seen min_fix_epoch
+        # epochs and its formal position sigma is below max_pos_sigma_m
+        self.min_fix_epoch = min_fix_epoch
+        self.max_pos_sigma_m = max_pos_sigma_m
+        # per-satellite MW running stats: key -> [n, mean, m2]
+        self._mw: dict[tuple, list] = {}
+        self.n_fixed_epochs = 0
+        self.last_ratio = 0.0
+        self.fixed_wl: dict[tuple, int] = {}
+
+    # ------------------------------------------------------------- MW
+    def _update_mw(self, obs: list[PppArObs], slips: set | None) -> None:
+        for o in obs:
+            key = (o.system, o.prn)
+            if slips and key in slips:
+                self._mw.pop(key, None)
+                self.fixed_wl.pop(key, None)
+            f1, f2 = o.f1_hz, o.f2_hz
+            lam1 = C.SPEED_OF_LIGHT_M_S / f1
+            lam2 = C.SPEED_OF_LIGHT_M_S / f2
+            mw = ((f1 * o.l1_cycles * lam1 - f2 * o.l2_cycles * lam2)
+                  / (f1 - f2)
+                  - (f1 * o.p1_m + f2 * o.p2_m) / (f1 + f2))
+            lam_wl = C.SPEED_OF_LIGHT_M_S / (f1 - f2)
+            mw_cyc = mw / lam_wl
+            st = self._mw.setdefault(key, [0, 0.0, 0.0])
+            st[0] += 1
+            delta = mw_cyc - st[1]
+            st[1] += delta / st[0]
+            st[2] += delta * (mw_cyc - st[1])
+
+    def _mw_sigma(self, key) -> float:
+        st = self._mw.get(key)
+        if st is None or st[0] < 2:
+            return np.inf
+        return float(np.sqrt(st[2] / (st[0] - 1) / st[0]))   # sigma of mean
+
+    # ------------------------------------------------------------- update
+    def update(self, obs: list[PppArObs], dt_s: float = 1.0,
+               slips: set | None = None) -> PppSolution:
+        self._update_mw(obs, slips)
+        sol = super().update(obs, dt_s=dt_s, slips=slips)
+        if not sol.valid:
+            return sol
+        self._try_fix(obs, sol)
+        return sol
+
+    def _try_fix(self, obs: list[PppArObs], sol: PppSolution) -> None:
+        if self.epoch < self.min_fix_epoch:
+            return
+        if np.sqrt(np.trace(self.p[:3, :3])) > self.max_pos_sigma_m:
+            return
+        # candidate satellites: MW average converged, state present
+        by_key = {(o.system, o.prn): o for o in obs}
+        cands = [k for k in by_key
+                 if k in self.sat_index and self._mw_sigma(k) < self.wl_sigma_max]
+        if len(cands) < 4:
+            return
+        ref = max(cands, key=lambda k: self._mw[k][0])
+        others = [k for k in cands if k != ref]
+        if not others:
+            return
+
+        # 1) fix SD wide-lane integers from the MW averages
+        n_wl = {}
+        for k in others:
+            sd = self._mw[k][1] - self._mw[ref][1]
+            n_int = int(np.round(sd))
+            if abs(sd - n_int) > 3.0 * max(
+                    self._mw_sigma(k), self._mw_sigma(ref), 0.05):
+                return                     # not confidently integer yet
+            n_wl[k] = n_int
+        self.fixed_wl = {k: n_wl[k] for k in others}
+
+        # 2) narrow-lane: SD B_IF - wl term = (c/(f1+f2)) * N1_sd
+        o0 = by_key[others[0]]
+        f1, f2 = o0.f1_hz, o0.f2_hz
+        c = C.SPEED_OF_LIGHT_M_S
+        lam_nl = c / (f1 + f2)
+        wl_coef = c * f2 / (f1 * f1 - f2 * f2)
+
+        n = len(others)
+        d = np.zeros((n, len(self.x)))
+        for i, k in enumerate(others):
+            d[i, self.sat_index[k]] = 1.0
+            d[i, self.sat_index[ref]] = -1.0
+        b_sd = d @ self.x                                   # SD B_IF [m]
+        q_b = d @ self.p @ d.T
+        a_float = np.array([(b_sd[i] - wl_coef * n_wl[k]) / lam_nl
+                            for i, k in enumerate(others)])
+        q_a = q_b / lam_nl ** 2
+        try:
+            cands2, norms = lambda_ilsq.lambda_ils(a_float, q_a, n_cands=2)
+        except np.linalg.LinAlgError:
+            return
+        if len(cands2) == 0:
+            return
+        self.last_ratio = (float(norms[1] / max(norms[0], 1e-12))
+                           if len(norms) > 1 else 0.0)
+        if not lambda_ilsq.ratio_test(norms, self.ratio_threshold):
+            return
+        n1 = cands2[0]
+
+        # 3) constrain the filter: pseudo-measurements of the fixed SD B_IF
+        b_fix = np.array([lam_nl * n1[i] + wl_coef * n_wl[k]
+                          for i, k in enumerate(others)])
+        v = b_fix - d @ self.x
+        s = d @ self.p @ d.T + np.eye(n) * self.hold_var_m2
+        try:
+            kg = self.p @ d.T @ np.linalg.inv(s)
+        except np.linalg.LinAlgError:
+            return
+        self.x = self.x + kg @ v
+        self.p = (np.eye(len(self.x)) - kg @ d) @ self.p
+        self.p = 0.5 * (self.p + self.p.T)
+        self.n_fixed_epochs += 1
+        sol.pos_ecef = self.x[:3].copy()
+        sol.clock_bias_m = float(self.x[3])
+        sol.ztd_m = float(self.x[4])

@@ -1,0 +1,143 @@
+"""PPP-AR: Melbourne-Wübbena wide-lane fixing + narrow-lane LAMBDA.
+
+Reference analog: rtklib_ppp.cc pppamb/fix_amb_WL/fix_amb_ILS. Truth from
+the constellation oracle with known integer L1/L2 ambiguities: the filter
+must recover the between-satellite wide-lane integers exactly, pass the
+narrow-lane ratio test, and land the position at cm level — far beyond
+what float PPP reaches in the same time.
+"""
+
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu import constants as C
+from gnss_sdr_tpu.receiver.pvt import geodesy, ppp, ppp_ar
+from gnss_sdr_tpu.utils import constellation
+
+TRUE_LLH = (np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
+T0 = 353500.0
+F1 = 1_575_420_000.0
+F2 = 1_227_600_000.0
+LAM1 = C.SPEED_OF_LIGHT_M_S / F1
+LAM2 = C.SPEED_OF_LIGHT_M_S / F2
+ZTD = 0.12
+
+
+@pytest.fixture(scope="module")
+def world():
+    ephs = constellation.almanac_constellation()
+    for e in ephs.values():
+        e.tgd = 0.0       # the sim is a dual-frequency oracle with no ISB
+    rcv = geodesy.geodetic_to_ecef(*TRUE_LLH)
+    vis = constellation.visible_sats(ephs, rcv, T0, el_mask_deg=10.0)
+    prns = [p for p, _, _ in vis[:8]]
+    return {("G", p): ephs[p] for p in prns}, rcv, prns
+
+
+def _dual_freq_obs(ephs, prns, rcv, t, n1, n2, iono1, rng,
+                   pr_sigma=0.3, cp_sigma_m=0.003):
+    """Raw dual-frequency obs with constant per-satellite slant iono (on L1)
+    and tropo; returns PppArObs with both the IF combinations and the raws."""
+    out = []
+    g12 = (F1 / F2) ** 2
+    a_if1 = F1 * F1 / (F1 * F1 - F2 * F2)
+    a_if2 = F2 * F2 / (F1 * F1 - F2 * F2)
+    for p in prns:
+        eph = ephs[("G", p)]
+        o = constellation.simulate_observation(eph, rcv, t,
+                                               rcv_clock_bias_s=1e-4)
+        az, el = geodesy.az_el(rcv, eph.position_velocity(o.t_tx_sv)[0])
+        trop = ZTD * ppp.tropo_mapping(el)
+        rho = o.pseudorange_m + trop          # geometry + clock + tropo
+        i1 = iono1[p]
+        p1 = rho + i1 + rng.normal(0, pr_sigma)
+        p2 = rho + g12 * i1 + rng.normal(0, pr_sigma)
+        l1 = (rho - i1) / LAM1 + n1[p] + rng.normal(0, cp_sigma_m / LAM1)
+        l2 = (rho - g12 * i1) / LAM2 + n2[p] + rng.normal(0, cp_sigma_m / LAM2)
+        out.append(ppp_ar.PppArObs(
+            prn=p, system="G", t_tx_sv=o.t_tx_sv,
+            pr_if_m=a_if1 * p1 - a_if2 * p2,
+            phase_if_m=a_if1 * l1 * LAM1 - a_if2 * l2 * LAM2,
+            p1_m=p1, p2_m=p2, l1_cycles=l1, l2_cycles=l2,
+            f1_hz=F1, f2_hz=F2))
+    return out
+
+
+def test_ppp_ar_fixes_and_converges(world):
+    ephs, rcv, prns = world
+    rng = np.random.default_rng(41)
+    n1 = {p: int(rng.integers(-5_000_000, 5_000_000)) for p in prns}
+    n2 = {p: int(rng.integers(-5_000_000, 5_000_000)) for p in prns}
+    iono1 = {p: float(rng.uniform(1.0, 6.0)) for p in prns}
+
+    # honest iono-free noise levels: the IF combination amplifies the raw
+    # per-frequency sigmas by ~3x (code) / ~2.2x (phase) + model wobble
+    filt = ppp_ar.PppArFilter(ephs, x0_ecef=rcv + np.array([15.0, -8.0, 25.0]),
+                              sigma_pr_m=1.05, sigma_phase_m=0.012)
+    errs_tail = []
+    for k in range(250):
+        t = T0 + 1.0 * k
+        obs = _dual_freq_obs(ephs, prns, rcv, t, n1, n2, iono1, rng)
+        sol = filt.update(obs)
+        if k >= 220:
+            errs_tail.append(np.linalg.norm(sol.pos_ecef - rcv))
+    assert filt.n_fixed_epochs > 0, \
+        f"never fixed (last ratio {filt.last_ratio:.2f})"
+    # wide-lane integers: between-satellite SD of (N1 - N2) truth
+    assert filt.fixed_wl, "no wide-lane set retained"
+    some_key = next(iter(filt.fixed_wl))
+    # reconstruct the reference satellite the filter used
+    ref_cands = [("G", p) for p in prns
+                 if ("G", p) not in filt.fixed_wl]
+    assert len(ref_cands) == 1
+    ref = ref_cands[0][1]
+    for (sys_, p), nwl in filt.fixed_wl.items():
+        truth = (n1[p] - n2[p]) - (n1[ref] - n2[ref])
+        assert nwl == truth, (p, nwl, truth)
+    err = float(np.mean(errs_tail))
+    assert err < 0.05, f"PPP-AR position error {err*100:.1f} cm"
+
+
+def test_ppp_ar_beats_float(world):
+    """Same scenario, float-only vs AR: AR must end decisively closer."""
+    ephs, rcv, prns = world
+
+    def run(ar: bool):
+        rng = np.random.default_rng(43)
+        n1 = {p: int(rng.integers(-1000, 1000)) for p in prns}
+        n2 = {p: int(rng.integers(-1000, 1000)) for p in prns}
+        iono1 = {p: float(rng.uniform(1.0, 6.0)) for p in prns}
+        cls = ppp_ar.PppArFilter if ar else ppp.PppFilter
+        filt = cls(ephs, x0_ecef=rcv + 20.0, sigma_pr_m=1.05,
+                   sigma_phase_m=0.012)
+        for k in range(250):
+            obs = _dual_freq_obs(ephs, prns, rcv, T0 + k, n1, n2, iono1, rng)
+            sol = filt.update(obs)
+        return np.linalg.norm(sol.pos_ecef - rcv)
+
+    err_float = run(False)
+    err_ar = run(True)
+    assert err_ar < 0.05, f"AR error {err_ar:.3f} m"
+    assert err_ar < err_float / 4.0, (err_ar, err_float)
+
+
+def test_ppp_ar_slip_resets_mw(world):
+    """A flagged slip clears that satellite's MW average and WL fix."""
+    ephs, rcv, prns = world
+    rng = np.random.default_rng(47)
+    n1 = {p: int(rng.integers(-1000, 1000)) for p in prns}
+    n2 = {p: int(rng.integers(-1000, 1000)) for p in prns}
+    iono1 = {p: float(rng.uniform(1.0, 6.0)) for p in prns}
+    filt = ppp_ar.PppArFilter(ephs, x0_ecef=rcv, sigma_pr_m=1.05,
+                              sigma_phase_m=0.012)
+    slip_key = ("G", prns[0])
+    for k in range(40):
+        obs = _dual_freq_obs(ephs, prns, rcv, T0 + k, n1, n2, iono1, rng)
+        if k == 30:
+            n1[prns[0]] += 3           # slip on L1
+            filt.update(obs, slips={slip_key})
+            assert slip_key not in filt._mw or filt._mw[slip_key][0] <= 1
+        else:
+            filt.update(obs)
+    # MW average restarted after the slip
+    assert filt._mw[slip_key][0] <= 10
