@@ -144,14 +144,29 @@ def attach_outputs(rx, conf) -> OutputSet:
         from gnss_sdr_tpu.receiver.pvt.rtk_engine import (RtcmBaseStation,
                                                           RtkEngine)
         station = RtcmBaseStation()
-        station.connect_tcp(base_host, int(prop("PVT.rtk_base_port", 2101)))
+        mount = str(prop("PVT.rtk_ntrip_mountpoint", "")).strip()
+        port = int(prop("PVT.rtk_base_port", 2101))
+        if mount:
+            # NTRIP caster transport (reference STR_NTRIPCLI)
+            station.connect_ntrip(
+                base_host, port, mount,
+                username=str(prop("PVT.rtk_ntrip_user", "")) or None,
+                password=str(prop("PVT.rtk_ntrip_password", "")) or None)
+        else:
+            station.connect_tcp(base_host, port)
+        # positioning_mode (reference rtklib PVT.positioning_mode):
+        # Single -> instantaneous DD; Static / Kinematic -> filtered RTK
+        mode_key = str(prop("PVT.positioning_mode", "Single"))
+        mode = {"Static": "static", "Kinematic": "kinematic"}.get(
+            mode_key, "instantaneous")
         engine = RtkEngine(station,
-                           sigma_pr_m=float(prop("PVT.rtk_sigma_pr_m", 0.5)))
+                           sigma_pr_m=float(prop("PVT.rtk_sigma_pr_m", 0.5)),
+                           mode=mode)
         rx.obs_sinks.append(engine.push_rover_epoch)
         out.closers.append(station.close)
         out.rtk_engine = engine
-        log.info("RTK rover mode: base %s:%s", base_host,
-                 prop("PVT.rtk_base_port", 2101))
+        log.info("RTK rover mode (%s): base %s:%s%s", mode, base_host, port,
+                 f" /{mount}" if mount else "")
 
     def _addr_list(addr_key, port_key, default_port):
         addrs = str(prop(addr_key, "")).strip()

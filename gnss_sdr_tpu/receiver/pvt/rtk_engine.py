@@ -155,13 +155,22 @@ class RtkEngine:
 
     Attach with ``rx.obs_sinks.append(engine.push_rover_epoch)``; fixed and
     float solutions accumulate in ``solutions``.
+
+    ``mode`` selects the positioning engine (reference
+    PVT.positioning_mode): "instantaneous" solves each epoch independently
+    (rtk.solve_rtk), "kinematic"/"static" run the filtered RtkFilter with
+    persistent ambiguities and cycle-slip handling (rtklib relpos modes
+    PMODE_KINEMA / PMODE_STATIC).
     """
 
     def __init__(self, base: RtcmBaseStation, sigma_pr_m: float = 0.5,
-                 ratio_threshold: float = 3.0):
+                 ratio_threshold: float = 3.0,
+                 mode: str = "instantaneous"):
         self.base = base
         self.sigma_pr_m = sigma_pr_m
         self.ratio_threshold = ratio_threshold
+        self.mode = mode
+        self._filter = None
         self.solutions: list[rtk.RtkSolution] = []
 
     def push_rover_epoch(self, tick_sample: int, observables: list) -> None:
@@ -187,7 +196,9 @@ class RtkEngine:
                 prn=b.prn, pseudorange_m=b.pseudorange_m,
                 carrier_phase_cycles=b.phase_range_m / lam,
                 carrier_freq_hz=spec.carrier_freq_hz,
-                cn0_dbhz=b.cn0_dbhz, system=spec.system)
+                cn0_dbhz=b.cn0_dbhz, system=spec.system,
+                # MSM phase rate is d(range)/dt; RINEX D = -d(rho)/dt/lam
+                doppler_hz=-b.phase_rate_m_s / lam)
         seen_sat = set()
         for o in observables:
             spec = constants.SIGNALS[o.signal]
@@ -201,13 +212,25 @@ class RtkEngine:
                 carrier_phase_cycles=o.carrier_phase_cycles,
                 carrier_freq_hz=spec.carrier_freq_hz,
                 cn0_dbhz=o.cn0_dbhz, system=spec.system,
-                t_tx_sv=o.t_tx_sv))
+                t_tx_sv=o.t_tx_sv, doppler_hz=o.doppler_hz))
             base_list.append(base_by_key[key])
         if len(rover) < 5:
             return
-        sol = rtk.solve_rtk(rover, base_list, self.base.base_ecef,
-                            self.base.ephemerides,
-                            sigma_pr_m=self.sigma_pr_m,
-                            ratio_threshold=self.ratio_threshold)
+        if self.mode == "instantaneous":
+            sol = rtk.solve_rtk(rover, base_list, self.base.base_ecef,
+                                self.base.ephemerides,
+                                sigma_pr_m=self.sigma_pr_m,
+                                ratio_threshold=self.ratio_threshold)
+        else:
+            from gnss_sdr_tpu.receiver.pvt.rtk_filter import (RtkFilter,
+                                                              RtkFilterConfig)
+            if self._filter is None:
+                self._filter = RtkFilter(
+                    self.base.base_ecef, self.base.ephemerides,
+                    RtkFilterConfig(mode=self.mode,
+                                    sigma_pr_m=self.sigma_pr_m,
+                                    ratio_threshold=self.ratio_threshold))
+            self._filter.ephemerides = self.base.ephemerides
+            sol = self._filter.update(rover, base_list, tow)
         if sol.valid:
             self.solutions.append(sol)

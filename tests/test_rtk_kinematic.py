@@ -232,3 +232,61 @@ def test_ppp_slip_reset_recovers(world):
     assert err_reset < err_clean + 0.35, (err_reset, err_clean)
     # ... while swallowing a 25-cycle slip visibly corrupts the solution
     assert err_blind > err_reset + 0.3, (err_blind, err_reset)
+
+
+def test_rtk_engine_kinematic_mode_from_rtcm(world):
+    """RtkEngine(mode="kinematic"): base epochs over RTCM (1005/1019/MSM7
+    with phase rates), moving rover pushed per epoch — filtered fixes track
+    the trajectory (reference PVT.positioning_mode=Kinematic -> relpos)."""
+    from gnss_sdr_tpu.receiver.observables import ChannelObservable
+    from gnss_sdr_tpu.receiver.pvt import rtcm
+    from gnss_sdr_tpu.receiver.pvt.rtk_engine import (RtcmBaseStation,
+                                                      RtkEngine)
+
+    ephs, base_ecef, prns = world
+    lat, lon, _ = TRUE_LLH
+    v_ecef = geodesy.enu_to_ecef_offset(np.array([2.5, -1.0, 0.0]), lat, lon)
+    p0 = base_ecef + geodesy.enu_to_ecef_offset(
+        np.array([30.0, 12.0, 0.5]), lat, lon)
+    rng = np.random.default_rng(61)
+    n_rov = {p: int(rng.integers(-5000, 5000)) for p in prns}
+    n_bas = {p: int(rng.integers(-5000, 5000)) for p in prns}
+
+    station = RtcmBaseStation()
+    stream = b"".join(
+        [rtcm.frame(rtcm.encode_1005(55, base_ecef))]
+        + [rtcm.frame(rtcm.encode_1019(ephs[("G", p)])) for p in prns])
+    station.push_bytes(stream)
+    engine = RtkEngine(station, sigma_pr_m=0.1, mode="kinematic")
+
+    errs = []
+    for k in range(30):
+        t = T0 + 1.0 * k
+        pos = p0 + v_ecef * k
+        basev = _obs_at(ephs, prns, base_ecef, t, n_bas, rng, pr_sigma=0.1)
+        tow_base = (basev[0].t_tx_sv
+                    + basev[0].pseudorange_m / C.SPEED_OF_LIGHT_M_S)
+        msm = [rtcm.MsmObservation(
+            prn=o.prn, signal_id=2, pseudorange_m=o.pseudorange_m,
+            phase_range_m=o.carrier_phase_cycles * LAM,
+            phase_rate_m_s=-o.doppler_hz * LAM, cn0_dbhz=44.0)
+            for o in basev]
+        station.push_bytes(rtcm.frame(rtcm.encode_msm7(
+            rtcm.MSM7_GPS, 55, int(round(tow_base * 1e3)), msm)))
+
+        rover = _obs_at(ephs, prns, pos, t, n_rov, rng, pr_sigma=0.1,
+                        vel_ecef=v_ecef)
+        rover_chan = [ChannelObservable(
+            prn=o.prn, signal="1C", t_tx_sv=o.t_tx_sv,
+            pseudorange_m=o.pseudorange_m,
+            carrier_phase_cycles=o.carrier_phase_cycles,
+            doppler_hz=o.doppler_hz, cn0_dbhz=45.0) for o in rover]
+        engine.push_rover_epoch(0, rover_chan)
+        if engine.solutions and engine.solutions[-1].fixed:
+            errs.append(np.linalg.norm(
+                engine.solutions[-1].rover_ecef - pos))
+    assert engine._filter is not None          # filtered mode engaged
+    assert len(errs) >= 10, f"only {len(errs)} fixed epochs"
+    # MSM phase quantization (~0.1 mm) + 1019 ephemeris quantization leave
+    # cm-level agreement
+    assert max(errs[3:]) < 0.06, f"max {max(errs[3:])*100:.1f} cm"
