@@ -260,6 +260,20 @@ def source_from_ini(conf: Configuration):
             item_type=conf.property("SignalSource.item_type", "gr_complex"),
             sampling_frequency=fs,
             samples=conf.property("SignalSource.samples", 0))
+    if impl in ("Nsr_File_Signal_Source", "Two_Bit_Packed_File_Signal_Source",
+                "Two_Bit_Cpx_File_Signal_Source"):
+        # 2-bit packed capture formats (reference unpack_byte_2bit_samples /
+        # unpack_2bit_samples): the native C++ decoders expose them as
+        # "2bit_real" (NSR: real samples at IF) / "2bit_cpx" item kinds
+        from gnss_sdr_tpu.io import native
+        kind = ("2bit_real" if impl != "Two_Bit_Cpx_File_Signal_Source"
+                else "2bit_cpx")
+        if impl == "Two_Bit_Packed_File_Signal_Source":
+            st = conf.property("SignalSource.sample_type", "real")
+            kind = "2bit_real" if st == "real" else "2bit_cpx"
+        return native.NativeFileSource(
+            conf.property("SignalSource.filename", ""),
+            item_type=kind, sampling_frequency=fs)
     if impl == "Spir_File_Signal_Source":
         return sources.SpirSignalSource(
             conf.property("SignalSource.filename", ""), fmt="int1",

@@ -322,3 +322,33 @@ def test_per_group_parameters_from_conf():
     assert g1b.rx_cfg.dll_bw_hz == 1.5
     # the trk loop config actually built from those values
     assert g1b.trk_cfg.pll_bw_hz == 17.5
+
+
+def test_nsr_and_two_bit_sources_from_conf(tmp_path):
+    """Nsr / Two_Bit_* packed file formats map to the native 2-bit decoders
+    (reference nsr_file_signal_source / two_bit_packed adapters)."""
+    from gnss_sdr_tpu.io import native
+    if not native.available():
+        pytest.skip("no native lib")
+    import numpy as np
+    raw = np.arange(64, dtype=np.uint8)
+    p = tmp_path / "packed.bin"
+    raw.tofile(p)
+    for impl, kind in (("Nsr_File_Signal_Source", "2bit_real"),
+                       ("Two_Bit_Cpx_File_Signal_Source", "2bit_cpx")):
+        conf = ini.InMemoryConfiguration()
+        conf.set_property("SignalSource.implementation", impl)
+        conf.set_property("SignalSource.filename", str(p))
+        conf.set_property("SignalSource.sampling_frequency", 4_000_000)
+        src = ini.source_from_ini(conf)
+        x = src.read(16)
+        assert x.dtype == np.complex64 and len(x) == 16
+        src.close()
+    conf = ini.InMemoryConfiguration()
+    conf.set_property("SignalSource.implementation",
+                      "Two_Bit_Packed_File_Signal_Source")
+    conf.set_property("SignalSource.filename", str(p))
+    conf.set_property("SignalSource.sample_type", "iq")
+    src = ini.source_from_ini(conf)
+    assert src.item_type == "2bit_cpx"
+    src.close()
