@@ -164,6 +164,10 @@ def receiver_config_from_ini(conf: Configuration):
         # multi-device channel sharding (TPU mesh); 0/absent = single-device
         n_mesh_devices=(conf.property("GNSS-SDR.num_devices", 0) or None),
         group_params=tuple(group_params),
+        # tracing dumps (reference per-block dump=true; one directory here)
+        dump_dir=(conf.property("GNSS-SDR.dump_dir", "") or None),
+        dump_mat=bool(conf.property("GNSS-SDR.dump_mat",
+                                    conf.property(f"{trk}.dump_mat", False))),
     )
     return _dc.replace(cfg, **name_overrides) if name_overrides else cfg
 

@@ -17,10 +17,15 @@ import numpy as np
 
 
 class StageDump:
-    """Accumulates named arrays per push and saves one npz per stage."""
+    """Accumulates named arrays per push and saves one npz per stage.
 
-    def __init__(self, path: str | pathlib.Path):
+    ``mat=True`` additionally writes a MATLAB ``.mat`` next to the npz
+    (reference save_matfile parity for the utils/matlab helpers).
+    """
+
+    def __init__(self, path: str | pathlib.Path, mat: bool = False):
         self.path = pathlib.Path(path)
+        self.mat = mat
         self._records: dict[str, list] = {}
 
     def push(self, **arrays) -> None:
@@ -38,6 +43,10 @@ class StageDump:
                 out[k] = np.array(vals, dtype=object)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         np.savez_compressed(self.path, **out)
+        if self.mat:
+            from scipy.io import savemat
+            savemat(self.path.with_suffix(".mat"),
+                    {k: v for k, v in out.items() if v.dtype != object})
 
 
 class TrackingDump(StageDump):

@@ -97,6 +97,7 @@ class ReceiverConfig:
     pvt_apply_sbas: bool = True
     # tracing dumps (reference: per-block dump=true -> .dat/.mat)
     dump_dir: str | None = None
+    dump_mat: bool = False             # also write MATLAB .mat (save_matfile)
     # multi-device execution: shard the channel axis (tracking state, code
     # tables) and the acquisition signal axis over an n-device jax mesh
     # (SURVEY §2.4: the reference's N channel threads -> channel-axis data
@@ -242,10 +243,12 @@ class Receiver:
         if config.dump_dir:
             from gnss_sdr_tpu.io import dumps as dumps_mod
             d = pathlib.Path(config.dump_dir)
+            m = config.dump_mat
             self._dumps = dict(
-                tracking=dumps_mod.TrackingDump(d / "tracking.npz"),
-                observables=dumps_mod.ObservablesDump(d / "observables.npz"),
-                pvt=dumps_mod.PvtDump(d / "pvt.npz"))
+                tracking=dumps_mod.TrackingDump(d / "tracking.npz", mat=m),
+                observables=dumps_mod.ObservablesDump(
+                    d / "observables.npz", mat=m),
+                pvt=dumps_mod.PvtDump(d / "pvt.npz", mat=m))
             self.obs_sinks.append(
                 lambda t, obs: self._dumps["observables"].push_epoch(t, obs))
             self.fix_sinks.append(

@@ -39,3 +39,18 @@ def test_receiver_tracking_dump(tmp_path):
     assert tail_i > 3 * tail_q
     # epoch counter strictly increasing
     assert np.all(np.diff(z["epoch"]) > 0)
+
+
+def test_stage_dump_mat_output(tmp_path):
+    """dump_mat writes a MATLAB .mat beside the npz (reference
+    save_matfile / utils/matlab readers parity)."""
+    from scipy.io import loadmat
+    from gnss_sdr_tpu.io.dumps import StageDump
+
+    d = StageDump(tmp_path / "trk.npz", mat=True)
+    d.push(prompt_i=np.array([1.0, 2.0]), cn0_dbhz=np.array([44.0, 45.0]))
+    d.push(prompt_i=np.array([3.0]), cn0_dbhz=np.array([46.0]))
+    d.close()
+    m = loadmat(tmp_path / "trk.mat")
+    np.testing.assert_allclose(m["prompt_i"].ravel(), [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(m["cn0_dbhz"].ravel(), [44.0, 45.0, 46.0])
