@@ -117,7 +117,7 @@ def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
 
 
 def build_gps_l5_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),
-                          t0_gps: float = 352800.06, duration_s: float = 26.0,
+                          t0_gps: float = 352800.06, duration_s: float = 30.0,
                           fs: float = 11.0e6, n_sats: int = 4,
                           cn0_dbhz: float = 50.0) -> Scenario:
     """GPS L5I signal-level scenario with CNAV (6 s messages, 100 sps).
@@ -125,7 +125,10 @@ def build_gps_l5_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
     The 10.23 Mcps L5 code needs fs > 10.23 MHz; 11 MHz keeps sampling
     incommensurate with the chip rate (no flat-peak DLL bias). CNAV cycles
     message types 10/11/30 so the ephemeris completes within 18 s of frame
-    sync (reference: gps_l5_telemetry_decoder_gs.cc timing).
+    sync (reference: gps_l5_telemetry_decoder_gs.cc timing). The worst-case
+    budget is ~2 s tracking start + ~6 s to the next message anchor + 18 s
+    for a full 10/11/30 cycle = 26 s; 30 s leaves margin for the
+    last-acquired channel.
     """
     from gnss_sdr_tpu.models.nav import gps_cnav
 

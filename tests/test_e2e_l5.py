@@ -14,7 +14,7 @@ from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
 from gnss_sdr_tpu.io.sources import ArraySignalSource
 from gnss_sdr_tpu.utils import fixture_cache, scenario as scen
 
-DUR = 26.0
+DUR = 30.0
 FS = 11.0e6
 
 
