@@ -423,3 +423,43 @@ def test_galileo_e5a_signal_level_chain():
     tlm = rx.groups[0].channels[0].telemetry
     assert tlm.__class__.__name__ == "GalileoE5aTelemetry"
     assert tlm.bit_phase is not None           # CS20 symbol sync achieved
+
+
+def test_pull_in_capture_range():
+    """Acquisition->tracking pull-in capture range (reference
+    tracking_pull-in_test.cc): the FLL pull-in must recover Doppler errors
+    up to ~half the acquisition bin (125 Hz at 250 Hz steps) and the scan
+    must lock from each start; a far-out error must NOT converge (honest
+    capture boundary, not a tautology)."""
+    from gnss_sdr_tpu.receiver import tracking as trk
+
+    spec = constants.GPS_L1_CA
+    fs = 2.046e6
+    prn, fd_true = 7, 830.0
+    x = generator.generate(
+        spec, [generator.SatParams(prn=prn, cn0_dbhz=47.0,
+                                   doppler_hz=fd_true)],
+        fs, 1.0, seed=51)
+    cfg = trk.default_config(spec, fs, chunk_ms=100)
+    table = codes.gps_l1ca_code(prn).astype(np.float32)[None]
+
+    def run(err_hz: float) -> float:
+        state = trk.init_state(1, cfg.n_taps)
+        state = trk.start_channel(state, 0, code_freq=1.023e6,
+                                  doppler_hz=fd_true + err_hz,
+                                  sample_offset=0)
+        n = cfg.chunk_len
+        for k in range(9):
+            chunk = iq.split(x[k * n: (k + 1) * n + cfg.n_max])
+            state, _ = trk.track_chunk(cfg, chunk, state, table)
+            import jax as _jax
+            state = _jax.tree.map(np.asarray, state)
+        return float(state.carrier_freq[0]) - fd_true
+
+    # inside the capture range: converge to within a few Hz
+    for err in (0.0, 60.0, 125.0, -125.0, 200.0):
+        resid = run(err)
+        assert abs(resid) < 8.0, f"start error {err:+.0f} Hz -> {resid:.1f} Hz"
+    # far outside: must NOT have pulled in (several kHz off)
+    resid = run(1500.0)
+    assert abs(resid) > 100.0, f"impossible pull-in from +1500 Hz ({resid})"
