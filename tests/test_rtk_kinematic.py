@@ -290,3 +290,42 @@ def test_rtk_engine_kinematic_mode_from_rtcm(world):
     # MSM phase quantization (~0.1 mm) + 1019 ephemeris quantization leave
     # cm-level agreement
     assert max(errs[3:]) < 0.06, f"max {max(errs[3:])*100:.1f} cm"
+
+
+def test_rtk_filter_drops_and_readds_satellites(world):
+    """Satellites leaving the common view drop their ambiguity states
+    (with correct index remapping); re-appearing satellites re-initialize
+    and the filter keeps producing valid fixed solutions throughout."""
+    ephs, base_ecef, prns = world
+    rng = np.random.default_rng(71)
+    n_rov = {p: int(rng.integers(-5000, 5000)) for p in prns}
+    n_bas = {p: int(rng.integers(-5000, 5000)) for p in prns}
+    p0 = base_ecef + 8.0
+
+    filt = RtkFilter(base_ecef, ephs,
+                     RtkFilterConfig(mode="static", sigma_pr_m=0.1,
+                                     fix_and_hold=True))
+    n_all = len(prns)
+    for k in range(24):
+        t = T0 + 1.0 * k
+        if k < 8:
+            use = prns                   # full set
+        elif k < 16:
+            use = prns[:6]               # some satellites set
+        else:
+            use = prns                   # and return
+        rover = _obs_at(ephs, use, p0, t, n_rov, rng, pr_sigma=0.1)
+        basev = _obs_at(ephs, use, base_ecef, t, n_bas, rng, pr_sigma=0.1)
+        sol = filt.update(rover, basev, t)
+        assert sol.valid
+        if k == 9:
+            # states shrank: 3 pos + 6 ambiguities
+            assert len(filt.x) == 3 + 6
+            assert set(filt.sat_index) == {("G", p) for p in prns[:6]}
+            # covariance stayed consistent with the state vector
+            assert filt.p.shape == (len(filt.x), len(filt.x))
+        if k == 23:
+            assert len(filt.x) == 3 + n_all
+            assert sol.fixed
+            err = np.linalg.norm(sol.rover_ecef - p0)
+            assert err < 0.03, f"{err*100:.1f} cm after drop/re-add"
