@@ -168,6 +168,22 @@ def attach_outputs(rx, conf) -> OutputSet:
         log.info("RTK rover mode (%s): base %s:%s%s", mode, base_host, port,
                  f" /{mount}" if mount else "")
 
+    ppp_mode_key = str(prop("PVT.positioning_mode", "Single"))
+    if not base_host and ppp_mode_key in ("PPP_Static", "PPP_Kinematic"):
+        # PPP modes (rtklib PMODE_PPP_*): dual-frequency iono-free filter
+        # over the receiver's own observables, seeded from the first
+        # single-point fix
+        from gnss_sdr_tpu.receiver.pvt.ppp_engine import PppEngine
+        engine = PppEngine(
+            rx.ephemerides, x0_ecef=(0.0, 0.0, 0.0),
+            mode=("kinematic" if ppp_mode_key == "PPP_Kinematic"
+                  else "static"),
+            ambiguity_resolution=bool(prop("PVT.ppp_ar", True)))
+        rx.obs_sinks.append(engine.push_epoch)
+        rx.fix_sinks.append(lambda sol: engine.seed_position(sol.pos_ecef))
+        out.ppp_engine = engine
+        log.info("PPP mode: %s", ppp_mode_key)
+
     def _addr_list(addr_key, port_key, default_port):
         addrs = str(prop(addr_key, "")).strip()
         if not addrs:

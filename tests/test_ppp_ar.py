@@ -141,3 +141,62 @@ def test_ppp_ar_slip_resets_mw(world):
             filt.update(obs)
     # MW average restarted after the slip
     assert filt._mw[slip_key][0] <= 10
+
+
+def test_ppp_engine_from_dual_freq_observables(world):
+    """PppEngine: receiver-style dual-frequency ChannelObservables (L1+L5)
+    -> iono-free PPP-AR, seeded from a single-point fix (reference
+    PVT.positioning_mode=PPP_Static path)."""
+    from gnss_sdr_tpu.receiver.observables import ChannelObservable
+    from gnss_sdr_tpu.receiver.pvt.ppp_engine import PppEngine
+
+    ephs, rcv, prns = world
+    f5 = 1_176_450_000.0
+    lam5 = C.SPEED_OF_LIGHT_M_S / f5
+    rng = np.random.default_rng(53)
+    n1 = {p: int(rng.integers(-1000, 1000)) for p in prns}
+    n5 = {p: int(rng.integers(-1000, 1000)) for p in prns}
+    iono1 = {p: float(rng.uniform(1.0, 6.0)) for p in prns}
+    g15 = (F1 / f5) ** 2
+
+    engine = PppEngine(ephs, x0_ecef=(0.0, 0.0, 0.0), mode="static",
+                       sigma_pr_m=1.0, sigma_phase_m=0.012)
+    # unseeded epochs are ignored
+    engine.push_epoch(0, [])
+    assert not engine.solutions
+    engine.seed_position(rcv + np.array([12.0, -9.0, 20.0]))
+
+    for k in range(260):
+        t = T0 + 1.0 * k
+        chans = []
+        for p in prns:
+            eph = ephs[("G", p)]
+            o = constellation.simulate_observation(eph, rcv, t,
+                                                   rcv_clock_bias_s=1e-4)
+            o2 = constellation.simulate_observation(eph, rcv, t + 1.0,
+                                                    rcv_clock_bias_s=1e-4)
+            rate = o2.pseudorange_m - o.pseudorange_m     # d(rho)/dt
+            az, el = geodesy.az_el(rcv, eph.position_velocity(o.t_tx_sv)[0])
+            trop = ZTD * ppp.tropo_mapping(el)
+            rho = o.pseudorange_m + trop
+            i1 = iono1[p]
+            # receiver-convention observables on both carriers (RINEX
+            # Doppler sign: D = -d(rho)/dt / lambda)
+            chans.append(ChannelObservable(
+                prn=p, signal="1C", t_tx_sv=o.t_tx_sv,
+                pseudorange_m=rho + i1 + rng.normal(0, 0.3),
+                carrier_phase_cycles=((rho - i1) / LAM1 + n1[p]
+                                      + rng.normal(0, 0.02)),
+                doppler_hz=-rate / LAM1, cn0_dbhz=45.0))
+            chans.append(ChannelObservable(
+                prn=p, signal="L5", t_tx_sv=o.t_tx_sv,
+                pseudorange_m=rho + g15 * i1 + rng.normal(0, 0.3),
+                carrier_phase_cycles=((rho - g15 * i1) / lam5 + n5[p]
+                                      + rng.normal(0, 0.02)),
+                doppler_hz=-rate / lam5, cn0_dbhz=45.0))
+        engine.push_epoch(k, chans)
+    assert engine.solutions, "no PPP solutions"
+    assert engine.filter.n_fixed_epochs > 0, \
+        f"AR never fixed (ratio {engine.filter.last_ratio:.2f})"
+    err = np.linalg.norm(engine.solutions[-1].pos_ecef - rcv)
+    assert err < 0.08, f"engine PPP-AR error {err:.3f} m"
