@@ -169,6 +169,12 @@ def receiver_config_from_ini(conf: Configuration):
         dump_mat=bool(conf.property("GNSS-SDR.dump_mat",
                                     conf.property(f"{trk}.dump_mat", False))),
     )
+    chunk_ms = conf.property("GNSS-SDR.chunk_ms", 0)
+    if chunk_ms > 0:
+        # larger chunks amortize the per-dispatch host<->device round trips
+        # (remote-TPU tunnels charge fixed per-RPC latency) at the cost of
+        # coarser channel-management cadence
+        cfg = _dc.replace(cfg, chunk_ms=int(chunk_ms))
     return _dc.replace(cfg, **name_overrides) if name_overrides else cfg
 
 

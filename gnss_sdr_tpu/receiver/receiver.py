@@ -334,7 +334,8 @@ class Receiver:
             out.append(fd + g.if_freq_for(p) - self.cfg.if_freq_hz)
         return out
 
-    def _run_acquisition(self, g: SignalGroup, chunk: np.ndarray) -> None:
+    def _run_acquisition(self, g: SignalGroup, chunk: np.ndarray,
+                         chunk_dev=None) -> None:
         idle = [ch for ch in g.channels if ch.state == "idle"]
         if not idle:
             return
@@ -349,6 +350,9 @@ class Receiver:
         slab = 2 * g.spc if g.rx_cfg.acq_bit_transition else g.spc
         if len(chunk) < nc * slab:
             return
+        # device-side slice of the shared uploaded chunk (no re-upload)
+        head_dev = (chunk_dev[: nc * slab] if chunk_dev is not None
+                    else iq.split(chunk[: nc * slab]))
         cf = np.stack([self._code_fft(g, p) for p in candidates])
         dopplers = acq_ops.make_doppler_grid(
             g.rx_cfg.acq_doppler_max_hz, g.rx_cfg.acq_doppler_step_hz)
@@ -365,12 +369,13 @@ class Receiver:
                     doppler_center=predicted[i])
                 for i in range(len(candidates))])
             res = acq_ops.pcps_search_grids(
-                iq.split(chunk[: nc * slab]), cf, grids,
+                head_dev, cf, grids,
                 fs=self.cfg.fs, samples_per_code=g.spc,
                 samples_per_chip=spchip, noncoherent=nc)
+            res = jax.device_get(res)        # ONE d2h RPC for all leaves
             cfar = np.asarray(res.test_cfar)
-            code_phases = [int(v) for v in np.asarray(res.code_phase)]
-            doppler_hz = [float(v) for v in np.asarray(res.doppler_hz)]
+            code_phases = [int(v) for v in res.code_phase]
+            doppler_hz = [float(v) for v in res.doppler_hz]
         elif g.spec.fdma_step_hz > 0.0:
             # FDMA: each candidate sits at its own slot IF — fold the slot
             # offset into a per-candidate grid center (equivalent to the
@@ -380,14 +385,15 @@ class Receiver:
                                np.float32)
             grids = centers[:, None] + dopplers[None, :]
             res = acq_ops.pcps_search_grids(
-                iq.split(chunk[: nc * slab]), cf, grids,
+                head_dev, cf, grids,
                 fs=self.cfg.fs, samples_per_code=g.spc,
                 samples_per_chip=spchip, noncoherent=nc)
+            res = jax.device_get(res)
             cfar = np.asarray(res.test_cfar)
-            code_phases = [int(v) for v in np.asarray(res.code_phase)]
+            code_phases = [int(v) for v in res.code_phase]
             # report residual Doppler relative to each slot's IF
             doppler_hz = [float(v) - float(c) for v, c in
-                          zip(np.asarray(res.doppler_hz), centers)]
+                          zip(res.doppler_hz, centers)]
         else:
             if self.mesh is not None:
                 # signal axis sharded: pad the code-FFT stack to a multiple
@@ -398,18 +404,19 @@ class Receiver:
                     [cf, np.repeat(cf[-1:], s_pad - n_sig, axis=0)])
                     if s_pad > n_sig else cf)
                 res = self._shd.pcps_search_sharded(
-                    self.mesh, iq.split(chunk[: nc * slab]), cf_p, dopplers,
+                    self.mesh, head_dev, cf_p, dopplers,
                     fs=self.cfg.fs, samples_per_code=g.spc,
                     samples_per_chip=spchip, noncoherent=nc)
-                res = jax.tree.map(lambda a: np.asarray(a)[:n_sig], res)
+                res = jax.tree.map(lambda a: a[:n_sig],
+                                   jax.device_get(res))
             else:
-                res = acq_ops.pcps_search(
-                    iq.split(chunk[: nc * slab]), cf, dopplers,
+                res = jax.device_get(acq_ops.pcps_search(
+                    head_dev, cf, dopplers,
                     fs=self.cfg.fs, samples_per_code=g.spc,
-                    samples_per_chip=spchip, noncoherent=nc)
+                    samples_per_chip=spchip, noncoherent=nc))
             cfar = np.asarray(res.test_cfar)
-            code_phases = [int(v) for v in np.asarray(res.code_phase)]
-            doppler_hz = [float(v) for v in np.asarray(res.doppler_hz)]
+            code_phases = [int(v) for v in res.code_phase]
+            doppler_hz = [float(v) for v in res.doppler_hz]
         order = np.argsort(-cfar)
         for idx in order:
             if not idle:
@@ -450,6 +457,7 @@ class Receiver:
             g.code_tables[ch.ch_id, 1] = data_table
         else:
             g.code_tables[ch.ch_id] = data_table
+        g.tables_rev = getattr(g, "tables_rev", 0) + 1
         g.trk_state = trk.start_channel(
             g.trk_state, ch.ch_id, code_freq=code_freq, doppler_hz=doppler,
             sample_offset=int(delay), if_freq_hz=g.if_freq_for(prn))
@@ -472,10 +480,10 @@ class Receiver:
         ch.records = []
 
     # ------------------------------------------------------------ tracking
-    def _run_tracking(self, g: SignalGroup, chunk_with_halo: np.ndarray) -> None:
+    def _run_tracking(self, g: SignalGroup, chunk_dev) -> None:
         if not any(ch.state == "tracking" for ch in g.channels):
             return
-        chunk2 = iq.split(chunk_with_halo[: self.chunk_len + g.n_max])
+        chunk2 = chunk_dev[: self.chunk_len + g.n_max]
         state, tables, sec = g.trk_state, g.code_tables, g.sec_tables
         if self.mesh is not None:
             # channel axis sharded across devices, sample chunk replicated
@@ -484,19 +492,32 @@ class Receiver:
             tables = self._shd.shard_channel_array(tables, self.mesh)
             sec = self._shd.shard_channel_array(sec, self.mesh)
             chunk2 = self._shd.replicate(chunk2, self.mesh)
+        if self.mesh is None:
+            # cache the (rarely-changing) code/secondary tables on device:
+            # re-uploading them every chunk costs tunnel RPCs
+            if getattr(g, "_tables_rev", -1) != getattr(g, "tables_rev", 0):
+                g._tables_dev = jax.device_put(g.code_tables)
+                g._sec_dev = jax.device_put(g.sec_tables)
+                g._tables_rev = getattr(g, "tables_rev", 0)
+            tables, sec = g._tables_dev, g._sec_dev
         g.trk_state, out = trk.track_chunk(
             g.trk_cfg, chunk2, state, tables, sec)
-        valid = np.asarray(out.valid)
-        prompt = iq.combine(np.asarray(out.prompt))   # [S, C] complex (host)
-        eidx = np.asarray(out.epoch_index)
-        start = np.asarray(out.start_offset)
-        rem = np.asarray(out.rem_code_phase)
-        codef = np.asarray(out.code_freq)
-        carrf = np.asarray(out.carrier_freq)
-        cyc = np.asarray(out.carr_phase_cycles)
-        frac = np.asarray(out.carr_phase_frac)
-        cn0 = np.asarray(out.cn0_dbhz)
-        lol = np.asarray(g.trk_state.loss_of_lock)
+        # pack the host-consumed fields on device and fetch in 3 RPCs (the
+        # per-RPC tunnel latency dominated the chunk loop when the ~16
+        # leaves were fetched one by one)
+        f32p, i32p, lol = jax.device_get(
+            trk.pack_host_outputs(out, g.trk_state.loss_of_lock))
+        prompt = (f32p[..., 0] + 1j * f32p[..., 1]).astype(np.complex64)
+        rem = f32p[..., 2]
+        codef = f32p[..., 3]
+        carrf = f32p[..., 4]
+        frac = f32p[..., 5]
+        cn0 = f32p[..., 6]
+        lock_all = f32p[..., 7]
+        valid = f32p[..., 8] > 0.5
+        eidx = i32p[..., 0]
+        start = i32p[..., 1]
+        cyc = i32p[..., 2]
 
         for ch in g.channels:
             if ch.state != "tracking":
@@ -528,13 +549,14 @@ class Receiver:
                     chips = np.array([int(b) for b in g.spec.secondary_code])
                     g.trk_state = trk.set_secondary(
                         g.trk_state, g.sec_tables, i, chips, anchor)
+                    g.tables_rev = getattr(g, "tables_rev", 0) + 1
                 g.trk_state = trk.set_extension(
                     g.trk_state, i, g.extend_symbols, anchor)
                 ch.ext_configured = True
                 log.info("ch %d [%s]: extended integration %d epochs",
                          ch.global_id, g.signal, g.extend_symbols)
             if v.any() and self._dumps is not None:
-                lock = np.asarray(out.carrier_lock)
+                lock = lock_all
                 self._dumps["tracking"].push_epochs(
                     ch.global_id, ch.prn, self._sample_base + start[v, i],
                     eidx[v, i], prompt[v, i], cn0[v, i], carrf[v, i],
@@ -635,9 +657,14 @@ class Receiver:
             chunk = self._buf[: self.chunk_len + self.n_max]
             self._dispatch_commands()
             if not self.standby:
+                # ONE host->device upload per chunk; acquisition and every
+                # group's tracking scan slice the same device array (the
+                # axon tunnel's per-RPC cost makes repeated implicit
+                # uploads the receiver's main overhead)
+                chunk_dev = jax.device_put(iq.split(chunk))
                 for g in self.groups:
-                    self._run_acquisition(g, chunk)
-                    self._run_tracking(g, chunk)
+                    self._run_acquisition(g, chunk, chunk_dev)
+                    self._run_tracking(g, chunk_dev)
                 self._run_observables()
             self._buf = self._buf[self.chunk_len:]
             self._sample_base += self.chunk_len

@@ -182,6 +182,25 @@ class TrackingOutput(NamedTuple):
     epoch_index: jax.Array      # int32 running epoch number (at epoch START)
 
 
+@jax.jit
+def pack_host_outputs(out: TrackingOutput, loss_of_lock: jax.Array):
+    """Pack the host-consumed output fields into two dense arrays.
+
+    The axon tunnel charges a fixed RPC latency per fetched array; packing
+    the ~12 per-epoch leaves into one float32 [S, C, 9] + one int32
+    [S, C, 3] cube (plus the [C] loss flags) makes the per-chunk download
+    3 RPCs instead of ~16 (see Receiver._run_tracking).
+    """
+    f32 = jnp.stack([
+        out.prompt[..., 0], out.prompt[..., 1],
+        out.rem_code_phase, out.code_freq, out.carrier_freq,
+        out.carr_phase_frac, out.cn0_dbhz, out.carrier_lock,
+        out.valid.astype(jnp.float32)], axis=-1)
+    i32 = jnp.stack([out.epoch_index, out.start_offset,
+                     out.carr_phase_cycles], axis=-1)
+    return f32, i32, loss_of_lock
+
+
 def init_state(n_channels: int, n_taps: int = 3) -> TrackingState:
     """Host-side (numpy) state construction — the carry lives on host between
     chunks so the control plane can edit it without eager device ops (some
