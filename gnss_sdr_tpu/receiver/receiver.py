@@ -157,6 +157,14 @@ class SignalGroup:
             (self.c_pad, self.trk_cfg.sec_table_len), np.float32)
         self.extend_symbols = max(1, int(cfg.extend_symbols))
         self.spc = int(round(cfg.fs * self.spec.code_period_s))
+        # secondary-code overlays (NH/CS) flip the symbol sign at EVERY code
+        # boundary, splitting the plain PCPS peak to +-1/(2*T_code) Doppler
+        # sidebands (observed: a 500 Hz-off handoff false-locking the
+        # Costas/FLL at exactly half a cycle per epoch, amplitude 2/pi);
+        # the doubled-FFT transition-tolerant mode is therefore the default
+        # for these signals (reference bit_transition_flag)
+        self.acq_double = bool(cfg.acq_bit_transition
+                               or self.spec.secondary_code)
         self.acq_reps: dict[int, np.ndarray] = {}
         self.acq_pool = list(prns)
         self.acq_backoff: dict[int, int] = {}
@@ -278,7 +286,7 @@ class Receiver:
             rep = codes.sample_code(
                 codes.code_chips(g.signal, prn), self.cfg.fs,
                 g.spec.code_rate_cps, g.spc, boc_rate=boc)
-            if g.rx_cfg.acq_bit_transition:
+            if g.acq_double:
                 # doubled-FFT mode (reference bit_transition_flag,
                 # pcps_acquisition.cc:101): zero-pad the code to 2 periods so
                 # every code-phase hypothesis correlates over an uninterrupted
@@ -347,7 +355,7 @@ class Receiver:
         if not candidates:
             return
         nc = g.rx_cfg.acq_noncoherent
-        slab = 2 * g.spc if g.rx_cfg.acq_bit_transition else g.spc
+        slab = 2 * g.spc if g.acq_double else g.spc
         if len(chunk) < nc * slab:
             return
         # device-side slice of the shared uploaded chunk (no re-upload)
@@ -561,7 +569,7 @@ class Receiver:
                     ch.global_id, ch.prn, self._sample_base + start[v, i],
                     eidx[v, i], prompt[v, i], cn0[v, i], carrf[v, i],
                     codef[v, i], rem[v, i], lock[v, i])
-            if lol[i]:
+            if lol[i] or getattr(ch.telemetry, "sync_failed", False):
                 self._drop_channel(g, ch)
 
     # --------------------------------------------------------- observables

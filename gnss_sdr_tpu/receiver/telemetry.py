@@ -30,6 +30,39 @@ class TowReference:
     polarity: int         # +1/-1 data polarity
 
 
+def _overlay_phase_sync(p: np.ndarray, e0: int, seq_pm: np.ndarray,
+                        skip: int = 100, min_blocks: int = 8,
+                        margin: float = 1.5) -> int | None:
+    """Estimate the secondary-code (NH/CS overlay) phase of a 1 ms prompt
+    stream, robustly:
+
+    - the first ``skip`` prompts are excluded (the FLL pull-in transient
+      flips prompt signs and can push the correlation onto an overlay
+      autocorrelation sidelobe — observed as an exactly-8-epoch transmit
+      time bias on a re-acquired E5a channel);
+    - the winning phase must beat the runner-up by ``margin`` (clean-signal
+      main-to-sidelobe ratio is 5:1 for NH10/NH20/CS20), else return None
+      and let the caller retry when more prompts have accumulated.
+    """
+    n = len(seq_pm)
+    if len(p) <= skip + (min_blocks + 1) * n:
+        return None
+    p = p[skip:]
+    e0 = e0 + skip
+    mags = np.full(n, -1.0)
+    for phase in range(n):
+        off = (phase - e0) % n
+        n_b = (len(p) - off) // n
+        if n_b < min_blocks:
+            continue
+        seg = p[off: off + n_b * n].reshape(n_b, n)
+        mags[phase] = float(np.abs(seg @ seq_pm).sum() / n_b)
+    order = np.argsort(-mags)
+    if mags[order[0]] <= 0 or mags[order[1]] * margin > mags[order[0]]:
+        return None
+    return int(order[0])
+
+
 class GpsL1CaTelemetry:
     """GPS L1 C/A LNAV telemetry decoder for one channel.
 
@@ -366,19 +399,9 @@ class GpsL5ITelemetry:
         e0 = int(self._epochs[0])
         n_nh = self.NH_EPOCHS
         if self.bit_phase is None:
-            if len(p) < 12 * n_nh:
+            self.bit_phase = _overlay_phase_sync(p, e0, nh_pm)
+            if self.bit_phase is None:
                 return None, None
-            best_phase, best_mag = None, 0.0
-            for phase in range(n_nh):
-                off = (phase - e0) % n_nh
-                n_b = (len(p) - off) // n_nh
-                if n_b < 8:
-                    continue
-                seg = p[off: off + n_b * n_nh].reshape(n_b, n_nh)
-                corr = np.abs(seg @ nh_pm).sum()
-                if corr > best_mag:
-                    best_mag, best_phase = corr, phase
-            self.bit_phase = best_phase
         off = (self.bit_phase - e0) % n_nh
         n_b = (len(p) - off) // n_nh
         if n_b <= 0:
@@ -429,6 +452,13 @@ class GpsL5ITelemetry:
     @property
     def have_tow(self) -> bool:
         return self.tow_ref is not None
+
+    @property
+    def sync_failed(self) -> bool:
+        """Overlay sync watchdog: no NH phase after ~6 s of prompts means
+        the channel is mistracking (e.g. the half-cycle-per-epoch carrier
+        false lock) — signal the receiver to drop and reacquire."""
+        return self.bit_phase is None and len(self._prompts) > 6000
 
     def transmit_time(self, epoch: int, chips: float, code_len: int = 10230,
                       code_rate: float = 10.23e6) -> float | None:
@@ -577,22 +607,9 @@ class BeidouB1ITelemetry:
         p = self._prompts
         e0 = int(self._epochs[0])
         if self.bit_phase is None:
-            # correlate 20-ms windows against NH at each phase
-            n_win = (len(p) - 20) // 20
-            if n_win < 10:
+            self.bit_phase = _overlay_phase_sync(p, e0, nh_pm)
+            if self.bit_phase is None:
                 return None, None
-            best_phase, best_mag = None, 0.0
-            for phase in range(20):
-                off = (phase - e0) % 20
-                n_b = (len(p) - off) // 20
-                if n_b < 8:
-                    continue
-                seg = p[off: off + n_b * 20].reshape(n_b, 20)
-                corr = np.abs(seg @ nh_pm).sum()
-                if corr > best_mag:
-                    best_mag, best_phase = corr, phase
-            # require NH correlation clearly above the average alternative
-            self.bit_phase = best_phase
         off = (self.bit_phase - e0) % 20
         n_b = (len(p) - off) // 20
         if n_b <= 0:
@@ -640,6 +657,10 @@ class BeidouB1ITelemetry:
     @property
     def have_tow(self) -> bool:
         return self.tow_ref is not None
+
+    @property
+    def sync_failed(self) -> bool:
+        return self.bit_phase is None and len(self._prompts) > 6000
 
     def transmit_time(self, epoch: int, chips: float, code_len: int = 2046,
                       code_rate: float = 2.046e6) -> float | None:
@@ -697,19 +718,9 @@ class GalileoE5aTelemetry:
         p = self._prompts
         e0 = int(self._epochs[0])
         if self.bit_phase is None:
-            if len(p) < 240:
+            self.bit_phase = _overlay_phase_sync(p, e0, cs_pm)
+            if self.bit_phase is None:
                 return None, None
-            best_phase, best_mag = None, 0.0
-            for phase in range(20):
-                off = (phase - e0) % 20
-                n_b = (len(p) - off) // 20
-                if n_b < 8:
-                    continue
-                seg = p[off: off + n_b * 20].reshape(n_b, 20)
-                corr = np.abs(seg @ cs_pm).sum()
-                if corr > best_mag:
-                    best_mag, best_phase = corr, phase
-            self.bit_phase = best_phase
         off = (self.bit_phase - e0) % 20
         n_b = (len(p) - off) // 20
         if n_b <= 0:
@@ -748,6 +759,10 @@ class GalileoE5aTelemetry:
     @property
     def have_tow(self) -> bool:
         return self.tow_ref is not None
+
+    @property
+    def sync_failed(self) -> bool:
+        return self.bit_phase is None and len(self._prompts) > 6000
 
     def transmit_time(self, epoch: int, chips: float, code_len: int = 10230,
                       code_rate: float = 10.23e6) -> float | None:
