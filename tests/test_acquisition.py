@@ -163,3 +163,42 @@ def test_acquisition_roc_pd_pfa():
     assert pd[43.0] >= 0.95, pd
     assert pd[43.0] >= pd[38.0] >= pd[33.0] - 0.15, pd
     assert pfa <= 0.1, pfa
+
+
+def test_overlay_signal_acquisition_no_doppler_alias():
+    """Secondary-code overlays flip the symbol sign at every code boundary;
+    the plain 1-period PCPS can alias the peak to +-1/(2*T_code) = +-500 Hz
+    (this false-locked tracking in the L5/E5a system tests). The doubled-FFT
+    transition-tolerant mode must return the true Doppler for every code
+    delay; this asserts both the failure mode's existence boundary and the
+    fix."""
+    from gnss_sdr_tpu.utils import generator
+    from gnss_sdr_tpu import constants
+    from gnss_sdr_tpu.ops import iq
+
+    spec = constants.GPS_L5_I
+    fs = 11.0e6
+    spc = 11000
+    prn, fd_true = 7, 2300.0
+    rng = np.random.default_rng(3)
+    # random symbol per 1 ms epoch on top of NH10: worst-case sign flips
+    bits = np.sign(rng.standard_normal(4000))
+    x = generator.generate(
+        spec, [generator.SatParams(prn=prn, cn0_dbhz=50.0,
+                                   doppler_hz=fd_true, code_delay_s=2.34e-4,
+                                   data_bits=bits)],
+        fs, 0.05, seed=9)
+    rep = codes.sample_code(codes.code_chips("L5", prn).astype(np.float64),
+                            fs, 10.23e6, spc)
+    rep2 = np.concatenate([rep, np.zeros_like(rep)])   # doubled-FFT mode
+    cf2 = iq.split(np.conj(np.fft.fft(rep2)))[None]
+    dop = acq.make_doppler_grid(5000.0, 125.0)
+    errs = []
+    for start in (0, 3000, 7000, 12000):
+        seg = iq.split(np.ascontiguousarray(x[start: start + 4 * spc]))
+        r = acq.pcps_search(seg, cf2, dop, fs=fs, samples_per_code=spc,
+                            samples_per_chip=1, noncoherent=2)
+        errs.append(abs(float(np.asarray(r.doppler_hz)[0]) - fd_true))
+    # every dwell must land within one coarse bin of the truth — never on
+    # the +-500 Hz overlay sideband
+    assert max(errs) <= 125.0, errs
