@@ -170,6 +170,61 @@ def build_gps_l5_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
                     spec=spec)
 
 
+def build_beidou_b1i_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),
+                              t0_gps: float = 352800.09,
+                              duration_s: float = 30.0,
+                              fs: float = 4.0e6, n_sats: int = 4,
+                              cn0_dbhz: float = 48.0) -> Scenario:
+    """BeiDou B1I (MEO/IGSO D1) scenario: NH20 overlay + 6 s subframes.
+
+    Subframes cycle FraID (1,2,3) with per-slot SOW so the ephemeris
+    (subframes 1-3, beidou_d1.D1Assembler) completes within ~20 s of NH
+    sync. PRNs are restricted to >= 6 (GEO PRNs 1-5 transmit D2 at
+    500 sps). Reference analog: the Channels_B1 chain
+    (BEIDOU_B1I_* adapters + beidou_b1i_telemetry_decoder_gs.cc).
+    """
+    from gnss_sdr_tpu.models.nav import beidou_d1
+
+    spec = constants.BEIDOU_B1I
+    ephs = constellation.almanac_constellation()
+    for e in ephs.values():
+        e.tgd = 0.0
+        e.gm = constants.GM_EARTH_BDS
+    rcv = geodesy.geodetic_to_ecef(*rcv_llh)
+    vis = constellation.visible_sats(ephs, rcv, t0_gps, el_mask_deg=15.0)
+    chosen = [prn for prn, _, _ in vis if prn >= 6][:n_sats]
+    if len(chosen) < n_sats:
+        raise RuntimeError(f"only {len(chosen)} visible MEO sats")
+
+    fc = spec.carrier_freq_hz
+    t_tx0 = {prn: constellation.simulate_observation(
+        ephs[prn], rcv, t0_gps).t_tx_sv for prn in chosen}
+    tow_bits_start = 6.0 * np.floor(min(t_tx0.values()) / 6.0)
+    n_subframes = int(np.ceil((duration_s + 12.0) / 6.0)) + 1
+
+    sats = []
+    for prn in chosen:
+        eph = ephs[prn]
+        ts = np.array([0.0, duration_s / 2.0, duration_s])
+        tx = np.array([constellation.simulate_observation(
+            eph, rcv, t0_gps + t).t_tx_sv for t in ts])
+        a2, a1, a0 = np.polyfit(ts, tx, 2)
+        subframes = [beidou_d1.encode_subframe(
+            (k % 3) + 1, tow_bits_start + 6.0 * k, eph)
+            for k in range(n_subframes)]
+        bits = np.concatenate(subframes)
+        sats.append(generator.SatParams(
+            prn=prn, cn0_dbhz=cn0_dbhz,
+            doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
+            code_delay_s=tow_bits_start - a0,
+            data_bits=generator.lnav_bits_to_symbols(bits)))
+
+    return Scenario(rcv_ecef=rcv, rcv_llh=rcv_llh, t0_gps=t0_gps,
+                    tow_bits_start=tow_bits_start, duration_s=duration_s,
+                    fs=fs, ephemerides=ephs, sats=sats, prns=chosen,
+                    spec=spec)
+
+
 def build_galileo_e5a_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),
                                t0_gps: float = 352800.11,
                                fs: float = 12.0e6, n_sats: int = 4,
