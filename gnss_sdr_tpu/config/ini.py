@@ -161,6 +161,10 @@ def receiver_config_from_ini(conf: Configuration):
         # reference: Tracking_1C.implementation=GPS_L1_CA_KF_Tracking
         carrier_kf="KF" in str(conf.property(f"{trk}.implementation", "")),
         pvt_output_rate_ms=float(conf.property("PVT.output_rate_ms", 100)),
+        carrier_smoothing_factor=(
+            int(conf.property("Observables.smoothing_factor", 200))
+            if conf.property("Observables.enable_carrier_smoothing", False)
+            else 0),
         # multi-device channel sharding (TPU mesh); 0/absent = single-device
         n_mesh_devices=(conf.property("GNSS-SDR.num_devices", 0) or None),
         group_params=tuple(group_params),

@@ -154,15 +154,20 @@ def hamming_check(bits: np.ndarray) -> bool:
     return True
 
 
-def encode_string(string_id: int, eph: GlonassEphemeris) -> np.ndarray:
-    """One 85-bit GNAV string (transmission order, before meander/timemark)."""
+def encode_string(string_id: int, eph: GlonassEphemeris,
+                  tk_s: float | None = None) -> np.ndarray:
+    """One 85-bit GNAV string (transmission order, before meander/timemark).
+
+    ``tk_s`` overrides the string-1 frame time (ICD: tk = frame start within
+    the day, 30 s resolution); default is the ephemeris epoch tb.
+    """
     bits = np.zeros(85, np.uint8)
     _set(bits, 81, 4, string_id)
     scale_p = 2.0 ** -11 * 1e3     # position LSB [m]
     scale_v = 2.0 ** -20 * 1e3
     scale_a = 2.0 ** -30 * 1e3
     if string_id == 1:
-        tk = int(eph.tb_s)
+        tk = int(eph.tb_s if tk_s is None else tk_s)
         _set(bits, 76, 5, (tk // 3600) % 32)
         _set(bits, 70, 6, (tk % 3600) // 60)
         _set(bits, 69, 1, (tk % 60) // 30)
@@ -216,6 +221,32 @@ def decode_string(bits: np.ndarray) -> tuple[int, dict] | None:
         f["tau_n"] = _get(bits, 58, 22, sign_mag=True) * 2.0 ** -30
         f["slot"] = _get(bits, 11, 5)
     return sid, f
+
+
+def _string_symbols(bits: np.ndarray) -> np.ndarray:
+    meander = np.empty(170, np.uint8)
+    meander[0::2] = bits
+    meander[1::2] = bits ^ 1
+    return np.concatenate([meander, TIME_MARK])
+
+
+def encode_frame_stream(eph: GlonassEphemeris, tk0_s: float,
+                        n_frames: int = 2) -> np.ndarray:
+    """Timing-correct GNAV stream: full 30 s frames of 15 strings, frame f
+    starting at day time ``tk0_s + 30 f`` (string 1 carries that tk; strings
+    5-15 are valid-Hamming almanac placeholders). 100 sps symbols."""
+    out = []
+    for f in range(n_frames):
+        tk = tk0_s + 30.0 * f
+        for sid in range(1, 16):
+            if sid <= 4:
+                bits = encode_string(sid, eph, tk_s=(tk if sid == 1 else None))
+            else:
+                b = np.zeros(85, np.uint8)
+                _set(b, 81, 4, sid)
+                bits = hamming_encode(b)
+            out.append(_string_symbols(bits))
+    return np.concatenate(out)
 
 
 def encode_symbol_stream(eph: GlonassEphemeris, n_frames: int = 1) -> np.ndarray:

@@ -90,6 +90,9 @@ class ReceiverConfig:
         -2, -7, 0, -1, 4, -3, 3, 2, 4, -3, 3, 2)
     # observables / pvt
     obs_interval_ms: float = 20.0
+    # Hatch-filter carrier smoothing window M (reference
+    # Observables.enable_carrier_smoothing + smoothing_factor); <=1 = off
+    carrier_smoothing_factor: int = 0
     pvt_output_rate_ms: float = 100.0
     pvt_apply_tropo: bool = True
     pvt_apply_iono: bool = True
@@ -226,7 +229,9 @@ class Receiver:
         self.n_max = max(g.n_max for g in self.groups)
         self.spc = g0.spc
 
-        self.observables = ObservablesEngine(config.fs, config.obs_interval_ms)
+        self.observables = ObservablesEngine(
+            config.fs, config.obs_interval_ms,
+            carrier_smoothing_factor=config.carrier_smoothing_factor)
         self.ephemerides = {}           # keyed (system, prn)
         self.iono = None
         self.fixes: list[pvt_solver.PvtSolution] = []

@@ -514,25 +514,42 @@ class GlonassL1CaTelemetry:
         gn = self._gn
         mark_pm = 1.0 - 2.0 * gn.TIME_MARK.astype(np.float64)
         if self._anchor is None:
-            best = None
+            # slot (10 ms) phase FIRST, by integration energy: a time-mark
+            # pattern still sign-matches at a few-ms phase error, so taking
+            # the first matching phase anchored transmit time up to 9 ms
+            # off (integer-ms pseudorange biases); the correct phase
+            # maximizes the mean |10 ms sum| sharply. The pull-in transient
+            # is excluded like _overlay_phase_sync.
+            if len(self._prompts) < 2400:
+                return
+            skip = 100
+            energies = np.full(10, -1.0)
             for phase in range(10):
-                slots = self._slots(phase)
-                if len(slots) < 230:
+                e0 = int(self._epochs[0])
+                start = (phase - (e0 + skip)) % 10 + skip
+                n_slots = (len(self._prompts) - start) // 10
+                if n_slots < 200:
                     continue
-                s = np.sign(slots)
-                for i in range(len(slots) - 30):
-                    c = float(np.dot(s[i: i + 30], mark_pm))
-                    if abs(c) >= 28:
-                        pol = 1.0 if c > 0 else -1.0
-                        # string data begins right after the time mark
-                        e0 = int(self._epochs[0])
-                        start_ep = e0 + ((phase - e0) % 10) + (i + 30) * 10
-                        self._anchor = (start_ep, pol)
-                        self._phase = phase
-                        self._decoded_upto = i + 30
-                        best = True
-                        break
-                if best:
+                seg = self._prompts[start: start + n_slots * 10]
+                energies[phase] = float(np.mean(np.abs(
+                    seg.reshape(n_slots, 10).sum(axis=1))))
+            order = np.argsort(-energies)
+            if (energies[order[0]] <= 0
+                    or energies[order[1]] * 1.1 > energies[order[0]]):
+                return                    # ambiguous: wait for more prompts
+            phase = int(order[0])
+            slots = self._slots(phase)
+            s = np.sign(slots)
+            for i in range(len(slots) - 30):
+                c = float(np.dot(s[i: i + 30], mark_pm))
+                if abs(c) >= 28:
+                    pol = 1.0 if c > 0 else -1.0
+                    # string data begins right after the time mark
+                    e0 = int(self._epochs[0])
+                    start_ep = e0 + ((phase - e0) % 10) + (i + 30) * 10
+                    self._anchor = (start_ep, pol)
+                    self._phase = phase
+                    self._decoded_upto = i + 30
                     break
             if self._anchor is None:
                 return

@@ -92,8 +92,9 @@ def simulate_observation(eph: KeplerEphemeris, rcv_ecef: np.ndarray,
     t_tx_sv = t_tx + dts
     # receiver-clock timestamps
     pr = C.SPEED_OF_LIGHT_M_S * ((t_reception_gps + rcv_clock_bias_s) - t_tx_sv)
-    # TGD applies to L1 single-frequency pseudoranges (IS-GPS-200 20.3.3.3.3.2)
-    pr += C.SPEED_OF_LIGHT_M_S * eph.tgd
+    # TGD applies to L1 single-frequency pseudoranges (IS-GPS-200
+    # 20.3.3.3.3.2); GLONASS state-vector ephemerides carry none
+    pr += C.SPEED_OF_LIGHT_M_S * getattr(eph, "tgd", 0.0)
 
     # Doppler: range-rate in the reception-epoch ECEF frame (broadcast-model
     # velocity is already expressed in the rotating ECEF frame)
@@ -102,10 +103,12 @@ def simulate_observation(eph: KeplerEphemeris, rcv_ecef: np.ndarray,
                       vel[2]])
     los = (pos_r - rcv_ecef) / np.linalg.norm(pos_r - rcv_ecef)
     rr = los @ (vel_r - rcv_vel_ecef)
-    ddts = eph.af1 + 2.0 * eph.af2 * (t_tx_sv - eph.toc)
+    ddts = (eph.af1 + 2.0 * eph.af2 * (t_tx_sv - eph.toc)
+            if hasattr(eph, "af1") else getattr(eph, "gamma_n", 0.0))
     lam = C.SPEED_OF_LIGHT_M_S / carrier_freq_hz
     doppler = -(rr - C.SPEED_OF_LIGHT_M_S * ddts) / lam
 
-    return ObsInput(prn=eph.prn, pseudorange_m=float(pr), doppler_hz=float(doppler),
+    return ObsInput(prn=getattr(eph, "prn", getattr(eph, "slot", 0)),
+                    pseudorange_m=float(pr), doppler_hz=float(doppler),
                     carrier_freq_hz=carrier_freq_hz, t_tx_sv=float(t_tx_sv),
                     cn0_dbhz=cn0_dbhz)

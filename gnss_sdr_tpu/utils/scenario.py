@@ -170,6 +170,107 @@ def build_gps_l5_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
                     spec=spec)
 
 
+def build_glonass_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),
+                              t0_day: float = 40000.12,
+                              fs: float = 8.0e6, n_sats: int = 4,
+                              cn0_dbhz: float = 48.0,
+                              margin_s: float = 7.0,
+                              freq_slots: tuple = (
+                                  1, -4, 5, 6, 1, -4, 5, 6, -2, -7, 0, -1,
+                                  -2, -7, 0, -1, 4, -3, 3, 2, 4, -3, 3, 2)
+                              ) -> Scenario:
+    """GLONASS L1 C/A FDMA scenario: state-vector (PZ-90-style) truth +
+    timing-correct GNAV frames, each satellite at its slot IF.
+
+    Truth ephemerides are GlonassEphemeris state vectors sampled from the
+    Kepler almanac orbits and then propagated with the SAME RK4 model the
+    receiver uses — fully self-consistent. Slots are restricted to
+    |k| <= 5 so all carriers fit inside ``fs`` (|IF| <= 2.81 MHz + code
+    bandwidth < 4 MHz Nyquist at 8 Msps). The stream origin is
+    chosen so the receiver's first full frame starts ~2 s in (ephemeris
+    strings 1-4 arrive within ~10 s). Reference analog: the Channels_1G
+    chain (GLONASS_L1_CA_* adapters, glonass_l1_ca_telemetry_decoder_gs).
+    """
+    from gnss_sdr_tpu.models.nav import glonass_gnav
+
+    spec = constants.GLONASS_L1_CA
+    rcv = geodesy.geodetic_to_ecef(*rcv_llh)
+    # sample visible Kepler-almanac orbits into state vectors
+    kep = constellation.almanac_constellation()
+    t_kref = 352800.0
+    vis = constellation.visible_sats(kep, rcv, t_kref, el_mask_deg=20.0)
+    chosen = [prn for prn, _, _ in vis
+              if prn <= len(freq_slots) and abs(freq_slots[prn - 1]) <= 5]
+    chosen = chosen[:n_sats]
+    if len(chosen) < n_sats:
+        raise RuntimeError(f"only {len(chosen)} usable slots visible")
+
+    # ephemeris epoch tb: the 900 s boundary covering the scenario
+    tb = 900.0 * round(t0_day / 900.0)
+    ephs: dict = {}
+    for prn in chosen:
+        p, v = kep[prn].position_velocity(t_kref + (tb - t0_day))
+        ephs[("R", prn)] = glonass_gnav.GlonassEphemeris(
+            slot=prn, freq_slot=freq_slots[prn - 1], tb_s=tb,
+            pos_m=tuple(p), vel_m_s=tuple(v), acc_m_s2=(0.0, 0.0, 0.0),
+            gamma_n=0.0, tau_n=0.0)
+
+    t_tx0 = {prn: constellation.simulate_observation(
+        ephs[("R", prn)], rcv, t0_day).t_tx_sv for prn in chosen}
+    # frame origin: receiver t=0 lands ~2 s BEFORE a frame boundary, so the
+    # first fully-received frame carries strings 1-4 right after pull-in
+    tk0 = 30.0 * np.floor(min(t_tx0.values()) / 30.0 + 1.0)
+    if tk0 - min(t_tx0.values()) < 3.0:      # leave pull-in time before it
+        tk0 += 30.0
+    duration_s = float((tk0 - min(t_tx0.values())) + 10.0 + margin_s)
+    n_frames = int(np.ceil(duration_s / 30.0)) + 2
+    stream_t0 = tk0 - 30.0       # include one leading frame for sync
+
+    sats_by_if: list[tuple[float, generator.SatParams]] = []
+    for prn in chosen:
+        eph = ephs[("R", prn)]
+        ts = np.array([0.0, duration_s / 2.0, duration_s])
+        tx = np.array([constellation.simulate_observation(
+            eph, rcv, t0_day + t).t_tx_sv for t in ts])
+        a2, a1, a0 = np.polyfit(ts, tx, 2)
+        k = freq_slots[prn - 1]
+        # the generator couples code rate to doppler/f_center, and the
+        # receiver's velocity model also uses the band-center carrier, so
+        # the sim doppler must be band-center-consistent: using the slot
+        # carrier here would leak a k-proportional code-rate error
+        # (~0.05 chips over 40 s at k=4 = tens of meters of drift)
+        fc = spec.carrier_freq_hz
+        symbols = glonass_gnav.encode_frame_stream(eph, stream_t0,
+                                                   n_frames + 1)
+        sats_by_if.append((k * spec.fdma_step_hz, generator.SatParams(
+            prn=prn, cn0_dbhz=cn0_dbhz,
+            doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
+            code_delay_s=stream_t0 - a0,
+            data_bits=generator.lnav_bits_to_symbols(symbols))))
+
+    sc = Scenario(rcv_ecef=rcv, rcv_llh=rcv_llh, t0_gps=t0_day,
+                  tow_bits_start=stream_t0, duration_s=duration_s,
+                  fs=fs, ephemerides=ephs, sats=[s for _, s in sats_by_if],
+                  prns=chosen, spec=spec)
+
+    def _generate(seed: int = 0, noise: bool = True) -> np.ndarray:
+        # each satellite at its own slot IF: per-sat clean generation + one
+        # shared noise floor (the generator's if_freq is global)
+        n = int(round(fs * duration_s))
+        x = np.zeros(n, np.complex64)
+        for f_if, sp in sats_by_if:
+            x = x + generator.generate(spec, [sp], fs, duration_s,
+                                       if_freq_hz=f_if, noise=False)
+        if noise:
+            rng = np.random.default_rng(seed)
+            x = (x + (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+                 / np.sqrt(2.0)).astype(np.complex64)
+        return x.astype(np.complex64)
+
+    sc.generate = _generate
+    return sc
+
+
 def build_beidou_b1i_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),
                               t0_gps: float = 352800.09,
                               duration_s: float = 30.0,
