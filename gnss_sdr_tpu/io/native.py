@@ -44,6 +44,12 @@ def get_lib():
         if not build():
             return None
     lib = ctypes.CDLL(str(_LIB))
+    if not hasattr(lib, "decode_labsat_2bit"):
+        # stale binary (mtime newer than the source, e.g. after a checkout)
+        # missing newer entry points: rebuild once
+        if not build():
+            return None
+        lib = ctypes.CDLL(str(_LIB))
     lib.reader_open.restype = ctypes.c_void_p
     lib.reader_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.reader_read.restype = ctypes.c_int64
