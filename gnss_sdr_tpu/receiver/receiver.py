@@ -366,7 +366,13 @@ class Receiver:
         # device-side slice of the shared uploaded chunk (no re-upload)
         head_dev = (chunk_dev[: nc * slab] if chunk_dev is not None
                     else iq.split(chunk[: nc * slab]))
-        cf = np.stack([self._code_fft(g, p) for p in candidates])
+        # pad the candidate batch to a bucket size so the jitted search
+        # compiles once per bucket instead of once per distinct pool size
+        # (the pool shrinks/grows every chunk as satellites are assigned)
+        n_cand = len(candidates)
+        bucket = 4 if n_cand <= 4 else ((n_cand + 7) // 8) * 8
+        padded = candidates + [candidates[-1]] * (bucket - n_cand)
+        cf = np.stack([self._code_fft(g, p) for p in padded])
         dopplers = acq_ops.make_doppler_grid(
             g.rx_cfg.acq_doppler_max_hz, g.rx_cfg.acq_doppler_step_hz)
         spchip = max(1, int(self.cfg.fs / g.spec.code_rate_cps))
@@ -379,8 +385,8 @@ class Receiver:
                 acq_ops.make_doppler_grid(
                     g.rx_cfg.acq_assisted_doppler_max_hz,
                     g.rx_cfg.acq_doppler_step_hz,
-                    doppler_center=predicted[i])
-                for i in range(len(candidates))])
+                    doppler_center=predicted[min(i, n_cand - 1)])
+                for i in range(bucket)])
             res = acq_ops.pcps_search_grids(
                 head_dev, cf, grids,
                 fs=self.cfg.fs, samples_per_code=g.spc,
@@ -394,7 +400,7 @@ class Receiver:
             # offset into a per-candidate grid center (equivalent to the
             # reference's per-channel Freq_Xlating conditioning, but one
             # batched device call for all slots)
-            centers = np.array([g.if_freq_for(p) for p in candidates],
+            centers = np.array([g.if_freq_for(p) for p in padded],
                                np.float32)
             grids = centers[:, None] + dopplers[None, :]
             res = acq_ops.pcps_search_grids(
@@ -411,7 +417,7 @@ class Receiver:
             if self.mesh is not None:
                 # signal axis sharded: pad the code-FFT stack to a multiple
                 # of the mesh size, search per-device, slice the results
-                n_sig = len(candidates)
+                n_sig = len(padded)
                 s_pad = -(-n_sig // self._n_dev) * self._n_dev
                 cf_p = (np.concatenate(
                     [cf, np.repeat(cf[-1:], s_pad - n_sig, axis=0)])
@@ -430,6 +436,9 @@ class Receiver:
             cfar = np.asarray(res.test_cfar)
             code_phases = [int(v) for v in res.code_phase]
             doppler_hz = [float(v) for v in res.doppler_hz]
+        cfar = np.asarray(cfar)[:n_cand]
+        code_phases = code_phases[:n_cand]
+        doppler_hz = doppler_hz[:n_cand]
         order = np.argsort(-cfar)
         for idx in order:
             if not idle:
