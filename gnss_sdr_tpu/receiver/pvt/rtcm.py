@@ -663,6 +663,144 @@ def decode_legacy_obs(bits: np.ndarray) -> tuple[dict, list[LegacyObservation]]:
 
 
 # ---------------------------------------------------------------------------
+# SSR corrections: 1057 (GPS orbit) / 1058 (GPS clock)
+# (reference rtklib_rtcm3.cc decode_ssr1/decode_ssr2 field layouts)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SsrOrbitCorrection:
+    prn: int
+    iode: int
+    radial_m: float              # delta-orbit in the radial direction
+    along_m: float
+    cross_m: float
+    dot_radial_m_s: float = 0.0
+    dot_along_m_s: float = 0.0
+    dot_cross_m_s: float = 0.0
+
+
+@dataclasses.dataclass
+class SsrClockCorrection:
+    prn: int
+    c0_m: float                  # delta-clock polynomial (meters)
+    c1_m_s: float = 0.0
+    c2_m_s2: float = 0.0
+
+
+def _ssr_head(w: BitWriter, msg: int, tow_s: int, iod: int, nsat: int,
+              refd: bool | None) -> None:
+    w.u(msg, 12)
+    w.u(int(tow_s) % 604800, 20)
+    w.u(2, 4)                   # update interval index (10 s)
+    w.u(0, 1)                   # sync
+    if refd is not None:
+        w.u(1 if refd else 0, 1)    # satellite reference datum (orbit only)
+    w.u(iod & 15, 4)
+    w.u(0, 16)                  # provider id
+    w.u(0, 4)                   # solution id
+    w.u(nsat, 6)
+
+
+def encode_ssr_orbit_gps(tow_s: float, corrections: list[SsrOrbitCorrection],
+                         iod: int = 0) -> np.ndarray:
+    """RTCM 1057: GPS SSR orbit corrections."""
+    w = BitWriter()
+    _ssr_head(w, 1057, int(tow_s), iod, len(corrections), refd=False)
+    for c in corrections:
+        w.u(c.prn, 6)
+        w.u(c.iode & 255, 8)
+        w.sq(c.radial_m, 1e-4, 22)
+        w.sq(c.along_m, 4e-4, 20)
+        w.sq(c.cross_m, 4e-4, 20)
+        w.sq(c.dot_radial_m_s, 1e-6, 21)
+        w.sq(c.dot_along_m_s, 4e-6, 19)
+        w.sq(c.dot_cross_m_s, 4e-6, 19)
+    return w.array()
+
+
+def decode_ssr_orbit_gps(bits: np.ndarray
+                         ) -> tuple[dict, list[SsrOrbitCorrection]]:
+    r = BitReader(bits)
+    msg = r.u(12)
+    tow = r.u(20)
+    r.u(4 + 1 + 1)              # udi, sync, refd
+    iod = r.u(4)
+    r.u(16 + 4)
+    nsat = r.u(6)
+    out = []
+    for _ in range(nsat):
+        prn = r.u(6)
+        iode = r.u(8)
+        out.append(SsrOrbitCorrection(
+            prn=prn, iode=iode,
+            radial_m=r.sq(1e-4, 22), along_m=r.sq(4e-4, 20),
+            cross_m=r.sq(4e-4, 20), dot_radial_m_s=r.sq(1e-6, 21),
+            dot_along_m_s=r.sq(4e-6, 19), dot_cross_m_s=r.sq(4e-6, 19)))
+    return dict(msg=msg, tow_s=float(tow), iod=iod), out
+
+
+def encode_ssr_clock_gps(tow_s: float, corrections: list[SsrClockCorrection],
+                         iod: int = 0) -> np.ndarray:
+    """RTCM 1058: GPS SSR clock corrections."""
+    w = BitWriter()
+    _ssr_head(w, 1058, int(tow_s), iod, len(corrections), refd=None)
+    for c in corrections:
+        w.u(c.prn, 6)
+        w.sq(c.c0_m, 1e-4, 22)
+        w.sq(c.c1_m_s, 1e-6, 21)
+        w.sq(c.c2_m_s2, 2e-8, 27)
+    return w.array()
+
+
+def decode_ssr_clock_gps(bits: np.ndarray
+                         ) -> tuple[dict, list[SsrClockCorrection]]:
+    r = BitReader(bits)
+    msg = r.u(12)
+    tow = r.u(20)
+    r.u(4 + 1)
+    iod = r.u(4)
+    r.u(16 + 4)
+    nsat = r.u(6)
+    out = []
+    for _ in range(nsat):
+        prn = r.u(6)
+        out.append(SsrClockCorrection(
+            prn=prn, c0_m=r.sq(1e-4, 22), c1_m_s=r.sq(1e-6, 21),
+            c2_m_s2=r.sq(2e-8, 27)))
+    return dict(msg=msg, tow_s=float(tow), iod=iod), out
+
+
+def apply_ssr_orbit(pos_ecef: np.ndarray, vel_ecef: np.ndarray,
+                    corr: SsrOrbitCorrection, dt_s: float = 0.0
+                    ) -> np.ndarray:
+    """Apply an SSR orbit correction to a broadcast satellite position.
+
+    IGS SSR convention (reference rtklib_sbas/ssr application): the
+    correction is expressed in the radial/along-track/cross-track frame
+    built from the broadcast position and velocity, and the PRECISE
+    position is broadcast MINUS the rotated correction.
+    """
+    r = np.asarray(pos_ecef, float)
+    v = np.asarray(vel_ecef, float)
+    ea = v / np.linalg.norm(v)
+    ec = np.cross(r, v)
+    ec = ec / np.linalg.norm(ec)
+    er = np.cross(ea, ec)
+    d = np.array([corr.radial_m + corr.dot_radial_m_s * dt_s,
+                  corr.along_m + corr.dot_along_m_s * dt_s,
+                  corr.cross_m + corr.dot_cross_m_s * dt_s])
+    return r - (er * d[0] + ea * d[1] + ec * d[2])
+
+
+def apply_ssr_clock(dts_s: float, corr: SsrClockCorrection,
+                    dt_s: float = 0.0) -> float:
+    """Broadcast SV clock (s) + SSR delta-clock polynomial (meters -> s)."""
+    dc = corr.c0_m + corr.c1_m_s * dt_s + corr.c2_m_s2 * dt_s * dt_s
+    return dts_s + dc / SPEED_OF_LIGHT
+
+
+# ---------------------------------------------------------------------------
 # TCP broadcast server (reference: Rtcm_Printer's TCP server / NTRIP-less)
 # ---------------------------------------------------------------------------
 

@@ -290,3 +290,60 @@ def test_ntrip_client_rejects_bad_mountpoint():
     cli.close()
     th.join(timeout=2.0)
     srv.close()
+
+
+def test_ssr_orbit_clock_roundtrip():
+    """SSR 1057/1058 (GPS orbit/clock corrections) encode -> frame ->
+    decode round-trip within quantization (reference rtklib_rtcm3.cc
+    decode_ssr1/decode_ssr2 field layouts)."""
+    orb = [rtcm.SsrOrbitCorrection(prn=7, iode=33, radial_m=1.2345,
+                                   along_m=-0.5678, cross_m=0.0912,
+                                   dot_radial_m_s=0.0005,
+                                   dot_along_m_s=-0.0012),
+           rtcm.SsrOrbitCorrection(prn=21, iode=101, radial_m=-2.01,
+                                   along_m=1.5, cross_m=-0.75)]
+    clk = [rtcm.SsrClockCorrection(prn=7, c0_m=0.8421, c1_m_s=0.0031),
+           rtcm.SsrClockCorrection(prn=21, c0_m=-1.204)]
+
+    bits_o = rtcm.encode_ssr_orbit_gps(345600.0, orb, iod=3)
+    hdr, dec_o = rtcm.decode_ssr_orbit_gps(rtcm.deframe(rtcm.frame(bits_o))[0])
+    assert hdr["msg"] == 1057 and hdr["iod"] == 3
+    assert hdr["tow_s"] == 345600.0
+    for o, d in zip(orb, dec_o):
+        assert (d.prn, d.iode) == (o.prn, o.iode)
+        assert abs(d.radial_m - o.radial_m) < 1e-4
+        assert abs(d.along_m - o.along_m) < 4e-4
+        assert abs(d.cross_m - o.cross_m) < 4e-4
+        assert abs(d.dot_radial_m_s - o.dot_radial_m_s) < 1e-6
+
+    bits_c = rtcm.encode_ssr_clock_gps(345600.0, clk, iod=3)
+    hdr2, dec_c = rtcm.decode_ssr_clock_gps(
+        rtcm.deframe(rtcm.frame(bits_c))[0])
+    assert hdr2["msg"] == 1058
+    for o, d in zip(clk, dec_c):
+        assert d.prn == o.prn
+        assert abs(d.c0_m - o.c0_m) < 1e-4
+        assert abs(d.c1_m_s - o.c1_m_s) < 1e-6
+
+
+def test_ssr_application_recovers_precise_orbit():
+    """apply_ssr_orbit/clock: broadcast state + SSR correction recovers the
+    'precise' state the corrections were derived from."""
+    rng = np.random.default_rng(3)
+    pos = np.array([15e6, -12e6, 18e6])
+    vel = np.array([1200.0, 2400.0, 900.0])
+    # derive corrections from a known precise offset, expressed in RAC
+    ea = vel / np.linalg.norm(vel)
+    ec = np.cross(pos, vel); ec /= np.linalg.norm(ec)
+    er = np.cross(ea, ec)
+    d_rac = np.array([0.85, -1.42, 0.33])
+    precise = pos - (er * d_rac[0] + ea * d_rac[1] + ec * d_rac[2])
+    corr = rtcm.SsrOrbitCorrection(prn=5, iode=17, radial_m=d_rac[0],
+                                   along_m=d_rac[1], cross_m=d_rac[2])
+    got = rtcm.apply_ssr_orbit(pos, vel, corr)
+    np.testing.assert_allclose(got, precise, atol=1e-9)
+
+    dts = 1.2e-4
+    c = rtcm.SsrClockCorrection(prn=5, c0_m=0.9, c1_m_s=0.001)
+    t = rtcm.apply_ssr_clock(dts, c, dt_s=10.0)
+    assert abs(t - (dts + (0.9 + 0.01) / 299_792_458.0)) < 1e-15
