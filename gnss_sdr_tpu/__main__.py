@@ -57,6 +57,29 @@ def main(argv=None) -> int:
     if args.pll_bw_hz is not None:
         conf.set_property("Tracking_1C.pll_bw_hz", args.pll_bw_hz)
 
+    multi = ini.multisource_from_ini(conf)
+    if multi is not None:
+        # reference multi-source flowgraph (Receiver.sources_count>1):
+        # one Receiver branch per SignalSourceK, merged observables + PVT
+        from gnss_sdr_tpu.receiver.multisource import MultiSourceReceiver
+        branches, base_cfg = multi
+        if args.devices is not None:
+            branches = [dataclasses.replace(
+                b, receiver=dataclasses.replace(
+                    b.receiver, n_mesh_devices=args.devices))
+                for b in branches]
+        rx = MultiSourceReceiver(branches, pvt_template=base_cfg)
+        rx.run()
+        n = len(rx.fixes)
+        print(f"processed {len(branches)} sources, {n} PVT fixes")
+        if n:
+            f = rx.fixes[-1]
+            print(f"last fix: lat={f.lat_rad*57.29577951308232:.6f} "
+                  f"lon={f.lon_rad*57.29577951308232:.6f} "
+                  f"h={f.height_m:.1f} m "
+                  f"({f.n_sats} sats, pdop {f.pdop:.2f})")
+        return 0
+
     rcfg = ini.receiver_config_from_ini(conf)
     if args.devices is not None:
         rcfg = dataclasses.replace(rcfg, n_mesh_devices=args.devices)

@@ -182,7 +182,7 @@ def receiver_config_from_ini(conf: Configuration):
     return _dc.replace(cfg, **name_overrides) if name_overrides else cfg
 
 
-def input_filter_from_ini(conf: Configuration):
+def input_filter_from_ini(conf: Configuration, role: str = "InputFilter"):
     """Build the InputFilter stage of the signal conditioner from config.
 
     Reference analog: the config-selectable input-filter adapters
@@ -196,7 +196,7 @@ def input_filter_from_ini(conf: Configuration):
     """
     import numpy as np
 
-    impl = conf.property("InputFilter.implementation", "Pass_Through")
+    impl = conf.property(f"{role}.implementation", "Pass_Through")
     if impl in ("Pass_Through", "", "Fir_Filter"):
         # plain Fir_Filter band-limiting is already performed by the
         # decimating conditioner in Receiver.run_file_source
@@ -204,9 +204,9 @@ def input_filter_from_ini(conf: Configuration):
     if impl == "Pulse_Blanking_Filter":
         from gnss_sdr_tpu.ops import iq
         from gnss_sdr_tpu.ops.interference import pulse_blanking
-        thr = float(conf.property("InputFilter.threshold", 10.0))
-        window = int(conf.property("InputFilter.segments_est",
-                                   conf.property("InputFilter.length", 64)))
+        thr = float(conf.property(f"{role}.threshold", 10.0))
+        window = int(conf.property(f"{role}.segments_est",
+                                   conf.property(f"{role}.length", 64)))
 
         def _blank(x):
             return np.asarray(iq.combine(np.asarray(
@@ -216,7 +216,7 @@ def input_filter_from_ini(conf: Configuration):
     if impl in ("Notch_Filter", "Notch_Filter_Lite"):
         from gnss_sdr_tpu.ops import iq
         from gnss_sdr_tpu.ops.interference import notch_excision
-        thr_db = float(conf.property("InputFilter.threshold_db", 12.0))
+        thr_db = float(conf.property(f"{role}.threshold_db", 12.0))
 
         def _notch(x):
             return np.asarray(iq.combine(np.asarray(
@@ -226,8 +226,8 @@ def input_filter_from_ini(conf: Configuration):
     if impl == "Freq_Xlating_Fir_Filter":
         from gnss_sdr_tpu.ops import iq
         from gnss_sdr_tpu.ops.fir import freq_translate
-        f_if = float(conf.property("InputFilter.IF", 0.0))
-        fs = float(conf.property("InputFilter.sampling_frequency",
+        f_if = float(conf.property(f"{role}.IF", 0.0))
+        fs = float(conf.property(f"{role}.sampling_frequency",
                                  conf.property("SignalSource.sampling_frequency",
                                                4_000_000)))
         if f_if == 0.0:
@@ -245,10 +245,10 @@ def input_filter_from_ini(conf: Configuration):
     if impl == "Beamformer_Filter":
         from gnss_sdr_tpu.ops import iq
         from gnss_sdr_tpu.ops.beamformer import beamform, ula_steering_weights
-        n_el = int(conf.property("InputFilter.n_elements",
+        n_el = int(conf.property(f"{role}.n_elements",
                                  conf.property("SignalSource.RF_channels", 4)))
-        theta = np.deg2rad(float(conf.property("InputFilter.theta_deg", 0.0)))
-        spacing = float(conf.property("InputFilter.spacing_wavelengths", 0.5))
+        theta = np.deg2rad(float(conf.property(f"{role}.theta_deg", 0.0)))
+        spacing = float(conf.property(f"{role}.spacing_wavelengths", 0.5))
         w2 = iq.split(ula_steering_weights(n_el, theta, spacing))
 
         def _beam(x_nt):
@@ -259,21 +259,21 @@ def input_filter_from_ini(conf: Configuration):
     raise NotImplementedError(f"input filter {impl} not supported")
 
 
-def source_from_ini(conf: Configuration):
+def source_from_ini(conf: Configuration, role: str = "SignalSource"):
     """Build the signal source + conversion/resampling plan from config."""
     from gnss_sdr_tpu.io import sources
 
-    impl = conf.property("SignalSource.implementation", "File_Signal_Source")
-    fs = float(conf.property("SignalSource.sampling_frequency", 4_000_000))
+    impl = conf.property(f"{role}.implementation", "File_Signal_Source")
+    fs = float(conf.property(f"{role}.sampling_frequency", 4_000_000))
     if impl == "Raw_Array_Signal_Source":
         # N-element antenna-array file capture (reference raw_array via
         # Array_Signal_Conditioner + Beamformer_Filter)
         return sources.ArrayFileSignalSource(
-            conf.property("SignalSource.filename", ""),
-            n_elements=int(conf.property("SignalSource.RF_channels", 4)),
-            item_type=conf.property("SignalSource.item_type", "gr_complex"),
+            conf.property(f"{role}.filename", ""),
+            n_elements=int(conf.property(f"{role}.RF_channels", 4)),
+            item_type=conf.property(f"{role}.item_type", "gr_complex"),
             sampling_frequency=fs,
-            samples=conf.property("SignalSource.samples", 0))
+            samples=conf.property(f"{role}.samples", 0))
     if impl in ("Nsr_File_Signal_Source", "Two_Bit_Packed_File_Signal_Source",
                 "Two_Bit_Cpx_File_Signal_Source"):
         # 2-bit packed capture formats (reference unpack_byte_2bit_samples /
@@ -283,48 +283,116 @@ def source_from_ini(conf: Configuration):
         kind = ("2bit_real" if impl != "Two_Bit_Cpx_File_Signal_Source"
                 else "2bit_cpx")
         if impl == "Two_Bit_Packed_File_Signal_Source":
-            st = conf.property("SignalSource.sample_type", "real")
+            st = conf.property(f"{role}.sample_type", "real")
             kind = "2bit_real" if st == "real" else "2bit_cpx"
         return native.NativeFileSource(
-            conf.property("SignalSource.filename", ""),
+            conf.property(f"{role}.filename", ""),
             item_type=kind, sampling_frequency=fs)
     if impl == "Spir_File_Signal_Source":
         return sources.SpirSignalSource(
-            conf.property("SignalSource.filename", ""), fmt="int1",
+            conf.property(f"{role}.filename", ""), fmt="int1",
             sampling_frequency=fs,
-            channel=int(conf.property("SignalSource.sel_ch", 1)),
-            samples=conf.property("SignalSource.samples", 0))
+            channel=int(conf.property(f"{role}.sel_ch", 1)),
+            samples=conf.property(f"{role}.samples", 0))
     if impl == "Spir_GSS6450_File_Signal_Source":
         return sources.SpirSignalSource(
-            conf.property("SignalSource.filename", ""), fmt="gss6450",
+            conf.property(f"{role}.filename", ""), fmt="gss6450",
             sampling_frequency=fs,
-            adc_bits=int(conf.property("SignalSource.adc_bits", 4)),
-            samples=conf.property("SignalSource.samples", 0))
+            adc_bits=int(conf.property(f"{role}.adc_bits", 4)),
+            samples=conf.property(f"{role}.samples", 0))
     if impl == "Labsat_Signal_Source":
         return sources.LabsatSignalSource(
-            conf.property("SignalSource.filename", ""),
-            channel=int(conf.property("SignalSource.selected_channel", 1)),
+            conf.property(f"{role}.filename", ""),
+            channel=int(conf.property(f"{role}.selected_channel", 1)),
             sampling_frequency=fs)
     if impl == "File_Signal_Source":
         return sources.FileSignalSource(
-            conf.property("SignalSource.filename", ""),
-            item_type=conf.property("SignalSource.item_type", "gr_complex"),
+            conf.property(f"{role}.filename", ""),
+            item_type=conf.property(f"{role}.item_type", "gr_complex"),
             sampling_frequency=fs,
-            samples=conf.property("SignalSource.samples", 0),
-            repeat=conf.property("SignalSource.repeat", False),
+            samples=conf.property(f"{role}.samples", 0),
+            repeat=conf.property(f"{role}.repeat", False),
         )
     if impl == "Custom_UDP_Signal_Source":
         return sources.UdpSignalSource(
-            host=conf.property("SignalSource.origin_address", "0.0.0.0"),
-            port=int(conf.property("SignalSource.port", 1234)),
-            item_type=conf.property("SignalSource.item_type", "ishort"),
+            host=conf.property(f"{role}.origin_address", "0.0.0.0"),
+            port=int(conf.property(f"{role}.port", 1234)),
+            item_type=conf.property(f"{role}.item_type", "ishort"),
             sampling_frequency=fs)
     if impl == "RtlTcp_Signal_Source":
         return sources.RtlTcpSignalSource(
-            host=conf.property("SignalSource.address", "127.0.0.1"),
-            port=int(conf.property("SignalSource.port", 1234)),
-            frequency_hz=float(conf.property("SignalSource.freq",
+            host=conf.property(f"{role}.address", "127.0.0.1"),
+            port=int(conf.property(f"{role}.port", 1234)),
+            frequency_hz=float(conf.property(f"{role}.freq",
                                              1_575_420_000)),
             sampling_frequency=fs,
-            agc=conf.property("SignalSource.AGC_enabled", True))
+            agc=conf.property(f"{role}.AGC_enabled", True))
     raise NotImplementedError(f"signal source {impl} not supported yet")
+
+
+def multisource_from_ini(conf: Configuration):
+    """Build a MultiSourceReceiver setup from a reference-style
+    multi-source configuration, or return None for single-source configs.
+
+    Reference format (``conf/gnss-sdr_multisource_Hybrid_ishort.conf``;
+    ``gnss_flowgraph.cc:126-737``): ``Receiver.sources_count=N``, one
+    ``SignalSourceK.*`` (+ optional ``InputFilterK.*`` / ``ResamplerK.*``)
+    section per source, and ``ChannelN.RF_channel_ID=K`` binding each
+    channel to a source. Channels are numbered across the signal groups in
+    plan order, and every channel of one signal group must bind to the same
+    source (a signal family lives in one band of one capture).
+
+    Per-source internal rate: ``ResamplerK.sample_freq_out``, falling back
+    to ``GNSS-SDR.internal_fs_spsK`` then the global internal_fs_sps —
+    this is what makes real multi-RATE processing (L1 at 2 MSps + L5 at
+    12 MSps) expressible.
+
+    Returns ``(branches, base_cfg)`` with ``branches`` a list of
+    ``SourceBranchConfig``.
+    """
+    import dataclasses as _dc
+
+    from gnss_sdr_tpu.receiver.multisource import SourceBranchConfig
+
+    n_src = int(conf.property("Receiver.sources_count", 1))
+    if n_src <= 1:
+        return None
+    base_cfg = receiver_config_from_ini(conf)
+    plan = [(e[0], e[1]) for e in base_cfg.signal_plan]
+
+    # bind each signal group to its source via the group's first channel
+    src_of_sig: dict[str, int] = {}
+    gidx = 0
+    for sig, cnt in plan:
+        rf = int(conf.property(f"Channel{gidx}.RF_channel_ID", 0))
+        rf = int(conf.property(f"Channels_{sig}.RF_channel_ID", rf))
+        # consistency: all channels of the group on one source
+        for c in range(gidx, gidx + cnt):
+            rc = int(conf.property(f"Channel{c}.RF_channel_ID", rf))
+            if rc != rf:
+                raise ValueError(
+                    f"Channel{c}.RF_channel_ID={rc} splits signal group "
+                    f"{sig} across sources (group is bound to {rf})")
+        src_of_sig[sig] = rf
+        gidx += cnt
+
+    fs_global = base_cfg.fs
+    branches = []
+    for k in range(n_src):
+        sigs = [(s, c) for s, c in plan if src_of_sig[s] == k]
+        if not sigs:
+            continue
+        fs_k = float(conf.property(
+            f"Resampler{k}.sample_freq_out",
+            conf.property(f"GNSS-SDR.internal_fs_sps{k}", fs_global)))
+        rcfg = _dc.replace(
+            base_cfg, signal=sigs[0][0], n_channels=sigs[0][1],
+            signal_plan=tuple(sigs), fs=fs_k)
+        source = source_from_ini(conf, role=f"SignalSource{k}")
+        filt = input_filter_from_ini(conf, role=f"InputFilter{k}")
+        branches.append(SourceBranchConfig(
+            receiver=rcfg, source=source, input_filter=filt))
+    if not branches:
+        raise ValueError("sources_count>1 but no signal group bound "
+                         "to any source")
+    return branches, base_cfg

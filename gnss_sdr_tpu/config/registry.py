@@ -170,4 +170,19 @@ def validate_conf(conf, plan: list) -> dict:
     cond = conf.property("SignalConditioner.implementation", "")
     if cond:
         _check("SignalConditioner", cond, CONDITIONERS)
+    # multi-source configs: per-source SignalSourceK / conditioner chains
+    # (reference gnss_block_factory instantiating blocks per source index)
+    for k in range(int(conf.property("Receiver.sources_count", 1))):
+        for role, table in ((f"SignalSource{k}", SOURCES),
+                            (f"InputFilter{k}", INPUT_FILTERS),
+                            (f"DataTypeAdapter{k}", DATA_TYPE_ADAPTERS),
+                            (f"Resampler{k}", RESAMPLERS),
+                            (f"SignalConditioner{k}", CONDITIONERS)):
+            name = conf.property(f"{role}.implementation", "")
+            if name:
+                if table is SOURCES and name in HARDWARE_SOURCES:
+                    raise UnknownBlockError(
+                        f"{role}.implementation={name} needs an RF "
+                        "front-end driver not present in this build")
+                _check(role, name, table)
     return overrides

@@ -119,6 +119,7 @@ class LabsatSignalSource:
         self._f = open(self._filename(), "rb")
         self._parse_header()
         self.total_samples = -1          # streaming; unknown up front
+        self._tail = np.zeros(0, np.complex64)
 
     def _filename(self) -> str:
         if self.base.lower().endswith(".ls2"):
@@ -152,10 +153,16 @@ class LabsatSignalSource:
             raise ValueError(
                 f"unsupported LabSat bits/sample {self.bits_per_sample}")
         self.channel_layout = head[p]; p += 1
-        if self.channel_layout == 0:
-            raise ValueError("dual-channel LabSat files not supported")
+        # order matters: the config-inconsistency error (channel 2 requested
+        # from a single-channel file) must be reachable — the reference
+        # reports the same two cases in this order (labsat23_source.cc:340,
+        # :346 "todo: Add support for dual channel")
         if self.channel == 2 and self.channel_layout != 0:
             raise ValueError("channel 2 requested but file is single-channel")
+        if self.channel_layout == 0:
+            raise ValueError(
+                "dual-channel LabSat files not supported (the reference "
+                "labsat23_source has the same limitation)")
         self.quantization = head[p]; p += 1
         self.constellation_a = head[p]; p += 1
         self.constellation_b = head[p]; p += 1
@@ -168,8 +175,12 @@ class LabsatSignalSource:
     def read(self, n: int) -> np.ndarray:
         from gnss_sdr_tpu.io import native
         per = self.samples_per_word
-        out: list[np.ndarray] = []
-        need_words = -(-n // per)
+        # decoded-but-unreturned samples of the last word from the previous
+        # read(): words decode whole, so an unaligned n must not discard the
+        # remainder (the file position has already advanced past it)
+        out: list[np.ndarray] = [self._tail] if len(self._tail) else []
+        have = len(self._tail)
+        need_words = -(-(n - have) // per) if n > have else 0
         while need_words > 0:
             raw = np.fromfile(self._f, dtype="<u2", count=need_words)
             if len(raw):
@@ -187,7 +198,8 @@ class LabsatSignalSource:
             self._f = nxt                  # data files have no header
         if not out:
             return np.zeros(0, np.complex64)
-        x = np.concatenate(out)
+        x = np.concatenate(out) if len(out) > 1 else out[0]
+        self._tail = x[n:]
         return x[:n]
 
     def close(self) -> None:

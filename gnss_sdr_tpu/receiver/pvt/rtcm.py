@@ -357,11 +357,48 @@ class MsmObservation:
     phase_rate_m_s: float = 0.0
     cn0_dbhz: float = 45.0
     lock_time_s: float = 0.0
+    # False when the source message carries no phase rate (MSM4, legacy
+    # 1002/1004/1012): consumers must not treat phase_rate_m_s=0 as a
+    # measured Doppler (rtk_filter falls back to non-Doppler slip checks)
+    has_rate: bool = True
 
 
 MSM4_GPS, MSM5_GPS, MSM7_GPS = 1074, 1075, 1077
 MSM4_GLO, MSM5_GLO, MSM7_GLO = 1084, 1085, 1087
 MSM4_GAL, MSM5_GAL, MSM7_GAL = 1094, 1095, 1097
+
+# GPS-UTC leap seconds used for GLONASS<->GPS time-scale conversion in the
+# codec (DF416/DF034 epochs are GLONASS time = UTC(SU) + 3 h). Current value;
+# override for historical data.
+GPS_UTC_LEAP_S = 18
+_WEEK_MS = 7 * 24 * 3600 * 1000
+_DAY_MS = 24 * 3600 * 1000
+
+
+def gps_tow_ms_to_glonass_epoch(tow_ms: int,
+                                leap_s: int = None) -> int:
+    """30-bit GLONASS MSM epoch (DF416 day-of-week << 27 | DF034 time-of-day
+    ms) from GPS time-of-week ms. GLONASS time = GPS - leap + 3 h."""
+    leap = GPS_UTC_LEAP_S if leap_s is None else leap_s
+    t = (int(tow_ms) - leap * 1000 + 10800 * 1000) % _WEEK_MS
+    return ((t // _DAY_MS) << 27) | (t % _DAY_MS)
+
+
+def glonass_epoch_to_gps_tow_ms(epoch30: int, leap_s: int = None) -> int:
+    """Inverse of :func:`gps_tow_ms_to_glonass_epoch`."""
+    leap = GPS_UTC_LEAP_S if leap_s is None else leap_s
+    dow = epoch30 >> 27
+    tod = epoch30 & ((1 << 27) - 1)
+    return (dow * _DAY_MS + tod - 10800 * 1000 + leap * 1000) % _WEEK_MS
+
+
+def glonass_tod_ms_to_gps_sod_ms(tod_ms: int, leap_s: int = None) -> int:
+    """GPS second-of-day (ms) from a GLONASS 27-bit time-of-day (1012 epoch,
+    UTC+3h). The day is NOT recoverable from the message; callers resolve it
+    against a nearby known epoch (rtklib adjday_glot role)."""
+    leap = GPS_UTC_LEAP_S if leap_s is None else leap_s
+    return (int(tod_ms) - 10800 * 1000 + leap * 1000) % _DAY_MS
+
 
 # msm level by message number: {msg: (level, system)}
 MSM_MESSAGES = {
@@ -385,7 +422,7 @@ def encode_msm(msg_num: int, station_id: int, epoch_ms: int,
 
     The level and system come from ``msg_num`` (MSM_MESSAGES table).
     """
-    level, _system = MSM_MESSAGES[msg_num]
+    level, system = MSM_MESSAGES[msg_num]
     (pr_bits, pr_scale), (ph_bits, ph_scale), lock_bits, \
         (cnr_bits, cnr_scale), has_rate = _MSM_LAYOUT[level]
     sats = sorted({o.prn for o in obs})
@@ -395,7 +432,12 @@ def encode_msm(msg_num: int, station_id: int, epoch_ms: int,
     w = BitWriter()
     w.u(msg_num, 12)
     w.u(station_id, 12)
-    w.u(epoch_ms % (7 * 24 * 3600 * 1000), 30)
+    if system == "R":
+        # GLONASS MSM epoch is DF416 dow + DF034 tod (GLONASS time), not
+        # GPS TOW (reference rtklib_rtcm3.cc encode/decode_msm_head)
+        w.u(gps_tow_ms_to_glonass_epoch(epoch_ms), 30)
+    else:
+        w.u(epoch_ms % _WEEK_MS, 30)
     w.u(0, 1)                  # multiple message bit
     w.u(0, 3)                  # IODS
     w.u(0, 7)                  # reserved
@@ -461,11 +503,15 @@ def decode_msm(bits: np.ndarray) -> tuple[dict, list[MsmObservation]]:
     """Decode any MSM4/5/7 message from MSM_MESSAGES."""
     r = BitReader(bits)
     msg = r.u(12)
-    level, _system = MSM_MESSAGES[msg]
+    level, system = MSM_MESSAGES[msg]
     (pr_bits, pr_scale), (ph_bits, ph_scale), lock_bits, \
         (cnr_bits, cnr_scale), has_rate = _MSM_LAYOUT[level]
     station = r.u(12)
-    epoch_ms = r.u(30)
+    raw_epoch = r.u(30)
+    # report epoch_ms in GPS TOW for every system so downstream epoch
+    # matching is time-scale-consistent; the raw GLONASS field is preserved
+    epoch_ms = (glonass_epoch_to_gps_tow_ms(raw_epoch) if system == "R"
+                else raw_epoch)
     r.u(1 + 3 + 7 + 2 + 2 + 1 + 3)
     sats = [s for s in range(1, 65) if r.u(1)]
     sigs = [s for s in range(1, 33) if r.u(1)]
@@ -496,8 +542,10 @@ def decode_msm(bits: np.ndarray) -> tuple[dict, list[MsmObservation]]:
             pseudorange_m=rough[p] + fine_pr[k],
             phase_range_m=rough[p] + fine_ph[k],
             phase_rate_m_s=rate[p] + fine_rate[k],
-            cn0_dbhz=cnr[k], lock_time_s=float(lock[k])))
-    return dict(msg=msg, station_id=station, epoch_ms=epoch_ms), out
+            cn0_dbhz=cnr[k], lock_time_s=float(lock[k]),
+            has_rate=bool(has_rate)))
+    return dict(msg=msg, station_id=station, epoch_ms=epoch_ms,
+                raw_epoch=raw_epoch), out
 
 
 def encode_msm7(msg_num: int, station_id: int, epoch_ms: int,
@@ -530,8 +578,32 @@ class LegacyObservation:
     freq_slot: int = 0           # GLONASS FDMA k in [-7, 6] (1012 only)
 
 
+# DF013/DF019 lock-time indicator: piecewise nonlinear seconds->indicator
+# mapping (RTCM 10403 Table 3.4-2; reference rtcm.cc lock_time_indicator).
+# Each row: (indicator range start, seconds at that start, seconds per step).
+_DF013_SEGMENTS = (
+    (0, 0, 1), (24, 24, 2), (48, 72, 4), (72, 168, 8),
+    (96, 360, 16), (120, 744, 32),
+)
+
+
 def _lock_indicator(lock_s: float) -> int:
-    return min(int(lock_s), 127)
+    if lock_s >= 937:
+        return 127
+    for i0, s0, step in reversed(_DF013_SEGMENTS):
+        if lock_s >= s0:
+            return i0 + int((lock_s - s0) // step)
+    return 0
+
+
+def _lock_seconds(indicator: int) -> float:
+    """Inverse of DF013: minimum lock seconds for an indicator value."""
+    if indicator >= 127:
+        return 937.0
+    for i0, s0, step in reversed(_DF013_SEGMENTS):
+        if indicator >= i0:
+            return float(s0 + (indicator - i0) * step)
+    return 0.0
 
 
 def _legacy_l1_block(w: BitWriter, o: LegacyObservation, glonass: bool):
@@ -626,7 +698,8 @@ def _decode_legacy_l1(r: BitReader, glonass: bool):
     cnr = r.uq(0.25, 8)
     pr = amb * RANGE_MS + pr_mod
     return dict(pseudorange_m=pr, phase_range_m=pr + dph,
-                lock_time_s=float(lock), cn0_dbhz=cnr, freq_slot=freq_slot)
+                lock_time_s=_lock_seconds(lock), cn0_dbhz=cnr,
+                freq_slot=freq_slot)
 
 
 def _decode_legacy_l2(r: BitReader, l1: dict):

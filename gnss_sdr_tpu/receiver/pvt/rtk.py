@@ -36,6 +36,10 @@ class RtkObs:
     system: str = "G"
     t_tx_sv: float = 0.0
     doppler_hz: float = 0.0     # used by RtkFilter slip detection
+    # False when the observation source had no phase-rate field (base obs
+    # from MSM4 / legacy 1002/1004/1012); RtkFilter then uses the
+    # code-minus-carrier divergence slip test instead of Doppler prediction
+    has_doppler: bool = True
 
 
 @dataclasses.dataclass

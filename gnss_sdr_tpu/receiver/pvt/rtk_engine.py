@@ -37,7 +37,13 @@ class RtcmBaseStation:
     def __init__(self, max_epochs: int = 20):
         self.base_ecef: np.ndarray | None = None
         self.ephemerides: dict = {}
-        self.epochs: list[tuple[float, str, list[rtcm.MsmObservation]]] = []
+        # (time_s, system, observations, day_known): time_s is GPS
+        # time-of-week EXCEPT for legacy 1012 epochs, whose 27-bit field is
+        # GLONASS time-of-day only — those store GPS second-of-day with
+        # day_known=False and the day is resolved against the rover epoch
+        # (rtklib adjday_glot role)
+        self.epochs: list[tuple[float, str,
+                                list[rtcm.MsmObservation], bool]] = []
         self._max_epochs = max_epochs
         self._buf = b""
         self._lock = threading.Lock()
@@ -66,12 +72,16 @@ class RtcmBaseStation:
         elif msg in rtcm.MSM_MESSAGES:
             hdr, obs = rtcm.decode_msm(payload_bits)
             _level, system = rtcm.MSM_MESSAGES[msg]
+            # decode_msm already reports epoch_ms as GPS TOW for all
+            # systems (GLONASS dow/tod converted by the codec)
             tow = hdr["epoch_ms"] * 1e-3
-            self.epochs.append((tow, system, obs))
+            self.epochs.append((tow, system, obs, True))
             if len(self.epochs) > self._max_epochs:
                 self.epochs.pop(0)
         elif msg in (1002, 1004, 1012):
             # legacy extended observables -> the same MSM-shaped epochs
+            # (no phase-rate field: has_rate=False so slip detection does
+            # not mistake 0 for a measured Doppler)
             hdr, legacy = rtcm.decode_legacy_obs(payload_bits)
             system = "R" if msg == 1012 else "G"
             obs = []
@@ -80,23 +90,39 @@ class RtcmBaseStation:
                     prn=lo.prn, signal_id=2,
                     pseudorange_m=lo.pseudorange_m,
                     phase_range_m=lo.phase_range_m,
-                    cn0_dbhz=lo.cn0_dbhz, lock_time_s=lo.lock_time_s))
+                    cn0_dbhz=lo.cn0_dbhz, lock_time_s=lo.lock_time_s,
+                    has_rate=False))
                 if lo.pseudorange_l2_m is not None:
                     obs.append(rtcm.MsmObservation(
                         prn=lo.prn, signal_id=15 if system == "G" else 8,
                         pseudorange_m=lo.pseudorange_l2_m,
                         phase_range_m=lo.phase_range_l2_m,
-                        cn0_dbhz=lo.cn0_l2_dbhz, lock_time_s=lo.lock_time_s))
-            tow = hdr["epoch_ms"] * 1e-3
-            self.epochs.append((tow, system, obs))
+                        cn0_dbhz=lo.cn0_l2_dbhz, lock_time_s=lo.lock_time_s,
+                        has_rate=False))
+            if msg == 1012:
+                # 1012 epoch is GLONASS time-of-day (UTC+3h): only the GPS
+                # second-of-day is recoverable from the message
+                t = rtcm.glonass_tod_ms_to_gps_sod_ms(hdr["epoch_ms"]) * 1e-3
+                day_known = False
+            else:
+                t = hdr["epoch_ms"] * 1e-3
+                day_known = True
+            self.epochs.append((t, system, obs, day_known))
             if len(self.epochs) > self._max_epochs:
                 self.epochs.pop(0)
 
     def epoch_near(self, tow: float, tol_s: float = 0.05
                    ) -> list[rtcm.MsmObservation] | None:
-        """All MSM observations (any system) within tol of the rover epoch."""
+        """All MSM observations (any system) within tol of the rover epoch.
+
+        Epochs stored with an unknown day (legacy 1012) are matched on
+        second-of-day, resolving the day from the rover TOW itself.
+        """
         best: list[rtcm.MsmObservation] = []
-        for t, system, obs in self.epochs:
+        for t, system, obs, day_known in self.epochs:
+            if not day_known:
+                # place t on the rover's day (nearest-day fold)
+                t = t + round((tow - t) / 86400.0) * 86400.0
             if abs(t - tow) <= tol_s:
                 best.extend(
                     _tag(o, system) for o in obs)
@@ -197,8 +223,13 @@ class RtkEngine:
                 carrier_phase_cycles=b.phase_range_m / lam,
                 carrier_freq_hz=spec.carrier_freq_hz,
                 cn0_dbhz=b.cn0_dbhz, system=spec.system,
-                # MSM phase rate is d(range)/dt; RINEX D = -d(rho)/dt/lam
-                doppler_hz=-b.phase_rate_m_s / lam)
+                # MSM phase rate is d(range)/dt; RINEX D = -d(rho)/dt/lam.
+                # MSM4/legacy messages carry no rate: flag it so the slip
+                # detector falls back to non-Doppler tests instead of
+                # treating the base's full range rate as a phase jump
+                doppler_hz=(-b.phase_rate_m_s / lam
+                            if getattr(b, "has_rate", True) else 0.0),
+                has_doppler=bool(getattr(b, "has_rate", True)))
         seen_sat = set()
         for o in observables:
             spec = constants.SIGNALS[o.signal]

@@ -44,6 +44,9 @@ class RtkFilterConfig:
     var_amb_init: float = 100.0 ** 2   # new/slipped ambiguity variance (cyc^2)
     ratio_threshold: float = 3.0
     slip_doppler_cycles: float = 1.0   # |dphi - doppler*dt| slip threshold
+    # fallback when no base Doppler is available (MSM4/legacy base): SD
+    # code-minus-carrier jump threshold, coarse because code noise enters
+    slip_code_carrier_cycles: float = 15.0
     fix_and_hold: bool = False         # RTKLIB "fix and hold" mode
     hold_var_cyc2: float = 0.1 ** 2    # pseudo-measurement variance for hold
     min_common: int = 5
@@ -62,7 +65,8 @@ class RtkFilter:
                           np.float64).copy()          # pos(3) + ambiguities
         self.p = np.eye(3) * 100.0 ** 2
         self.sat_index: dict[tuple, int] = {}          # (sys, prn) -> state i
-        self._prev: dict[tuple, tuple] = {}  # key -> (tow, phase_sd, dop_sd)
+        # key -> (tow, phase_sd, dop_sd | None, code_sd)
+        self._prev: dict[tuple, tuple] = {}
         self.epoch = 0
         self.n_slips = 0
 
@@ -132,19 +136,37 @@ class RtkFilter:
             self.p[:3, :3] = np.eye(3) * cfg.var_pos_kinematic
 
         # --- cycle-slip detection + ambiguity bookkeeping
+        # Doppler prediction needs a measured phase rate on BOTH receivers;
+        # base obs from MSM4/legacy messages carry none (has_doppler=False)
+        # and would bias the prediction by the base's full range rate
+        dop_ok = {k: (getattr(rov[k], "has_doppler", True)
+                      and getattr(bas[k], "has_doppler", True))
+                  for k in common}
         for k in common:
             slipped = lli is not None and k in lli
             prev = self._prev.get(k)
             if prev is not None and not slipped:
-                t0, cp0, dop0 = prev
+                t0, cp0, dop0, pr0 = prev
                 dt = tow - t0
                 if 0.0 < dt <= 10.0:
-                    # Doppler-predicted SD phase advance (detslp_dop):
-                    # RINEX convention D = -d(rho)/dt / lambda and
-                    # L ~ rho/lambda + N, so dL/dt = -D
-                    pred = -0.5 * (sd_dop[k] + dop0) * dt
-                    if abs(sd_cp[k] - cp0 - pred) > cfg.slip_doppler_cycles:
-                        slipped = True
+                    if dop_ok[k] and dop0 is not None:
+                        # Doppler-predicted SD phase advance (detslp_dop):
+                        # RINEX convention D = -d(rho)/dt / lambda and
+                        # L ~ rho/lambda + N, so dL/dt = -D
+                        pred = -0.5 * (sd_dop[k] + dop0) * dt
+                        if (abs(sd_cp[k] - cp0 - pred)
+                                > cfg.slip_doppler_cycles):
+                            slipped = True
+                    else:
+                        # code-minus-carrier divergence fallback (rtklib
+                        # detslp_gf role on single-frequency data): the SD
+                        # geometry cancels between code and carrier, so a
+                        # jump in (carrier - code) is a slip. Code noise
+                        # forces a coarser threshold than the Doppler test.
+                        div = ((sd_cp[k] - cp0)
+                               - (sd_pr[k] - pr0) / lam[k])
+                        if abs(div) > cfg.slip_code_carrier_cycles:
+                            slipped = True
             if k not in self.sat_index:
                 init = sd_cp[k] - sd_pr[k] / lam[k]
                 self.sat_index[k] = self._add_state(init, cfg.var_amb_init)
@@ -152,7 +174,8 @@ class RtkFilter:
                 init = sd_cp[k] - sd_pr[k] / lam[k]
                 self._reset_state(self.sat_index[k], init, cfg.var_amb_init)
                 self.n_slips += 1
-            self._prev[k] = (tow, sd_cp[k], sd_dop[k])
+            self._prev[k] = (tow, sd_cp[k],
+                             sd_dop[k] if dop_ok[k] else None, sd_pr[k])
 
         # --- geometry at the current state
         sat = {}

@@ -208,7 +208,14 @@ def solve_pvt(obs: list[ObsInput], ephemerides: dict,
             if it >= 2 and np.isfinite(hgt) and -1e3 < hgt < 2e4:
                 az, el = geodesy.az_el(x[:3], sp)
                 used[i] = el > el_mask_rad
-                w[i] = np.sin(el) ** 2 if el > 0 else 1e-4
+                # RTKLIB error model (rtklib_pntpos.cc varerr): pseudorange
+                # variance ~ eratio^2*(a^2 + b^2/sin(el)) with a=b; the
+                # common scale cancels in WLS so weight = 1/(1 + 1/sin el).
+                # Validated against the reference's real-data oracle
+                # (tests/test_real_data_pvt.py) where sin^2(el) weighting
+                # missed the 0.2 m budget and this model meets it.
+                s_el = max(np.sin(el), 1e-3)
+                w[i] = s_el / (s_el + 1.0)
                 if (iono is not None and iono.valid
                         and not usable[i].iono_free):
                     d_l1 = atmosphere.klobuchar_delay(

@@ -96,6 +96,10 @@ class ReceiverConfig:
     pvt_output_rate_ms: float = 100.0
     pvt_apply_tropo: bool = True
     pvt_apply_iono: bool = True
+    # False for the per-source sub-receivers of a MultiSourceReceiver: the
+    # branch still forms observables (and harvests nav data into the SHARED
+    # ephemeris store) but the merged cross-source PVT runs upstream
+    pvt_enabled: bool = True
     # apply SBAS fast corrections (PR + PRC) from tracked SBAS channels
     pvt_apply_sbas: bool = True
     # tracing dumps (reference: per-block dump=true -> .dat/.mat)
@@ -614,7 +618,24 @@ class Receiver:
                 self._run_pvt(obs)
 
     def _run_pvt(self, obs: list[ChannelObservable]) -> None:
-        # harvest ephemerides/iono from telemetry
+        self.harvest_nav()
+        if not self.cfg.pvt_enabled:
+            return
+        inputs = pvt_solver.combine_iono_free(self.pvt_inputs(obs))
+        sol = pvt_solver.solve_pvt(
+            inputs, self.ephemerides,
+            iono=self.iono if self.cfg.pvt_apply_iono else None,
+            apply_tropo=self.cfg.pvt_apply_tropo)
+        if sol.valid:
+            # week is set by the solver from the ephemeris that anchors
+            # tow_s (rollover-corrected); no back-fill needed here
+            self.fixes.append(sol)
+            for sink in self.fix_sinks:
+                sink(sol)
+
+    def harvest_nav(self) -> None:
+        """Pull decoded ephemerides / iono from the telemetry channels into
+        the receiver's (possibly shared) stores."""
         for g in self.groups:
             for ch in g.channels:
                 if ch.state == "tracking" and ch.telemetry is not None:
@@ -624,6 +645,12 @@ class Receiver:
                     iono = getattr(ch.telemetry.assembler, "iono", None)
                     if iono is not None and iono.valid:
                         self.iono = iono
+
+    def pvt_inputs(self, obs: list[ChannelObservable]) -> list:
+        """Solver inputs for this receiver's observables (SBAS corrections
+        + per-group carrier frequencies applied). Exposed so a
+        MultiSourceReceiver can merge inputs across source branches before
+        the (single) solve."""
         # SBAS fast corrections: slot -> PRN via the type-1 mask (DO-229;
         # PR_corrected = PR + PRC), applied to matching GPS observables
         sbas_prc: dict[tuple, float] = {}
@@ -648,18 +675,7 @@ class Receiver:
                              constants.SIGNALS[o.signal].carrier_freq_hz),
             t_tx_sv=o.t_tx_sv, cn0_dbhz=o.cn0_dbhz,
             system=constants.SIGNALS[o.signal].system) for o in obs]
-        # dual-frequency satellites: first-order iono-free combination
-        inputs = pvt_solver.combine_iono_free(inputs)
-        sol = pvt_solver.solve_pvt(
-            inputs, self.ephemerides,
-            iono=self.iono if self.cfg.pvt_apply_iono else None,
-            apply_tropo=self.cfg.pvt_apply_tropo)
-        if sol.valid:
-            # week is set by the solver from the ephemeris that anchors
-            # tow_s (rollover-corrected); no back-fill needed here
-            self.fixes.append(sol)
-            for sink in self.fix_sinks:
-                sink(sol)
+        return inputs
 
     # ------------------------------------------------------------- pipeline
     def process(self, samples: np.ndarray) -> None:
@@ -747,6 +763,23 @@ class Receiver:
         if iono is not None:
             self.iono = iono
 
+    def step_source(self, source, cond=None, block_len: int | None = None,
+                    input_filter=None) -> bool:
+        """Pull ONE block from ``source``, condition it, and process it.
+        Returns False when the source is exhausted. The pull-based twin of
+        :meth:`run_file_source` used by the multi-source receiver to
+        interleave several streams in time order (reference: the flowgraph
+        scheduler servicing N source->conditioner chains,
+        gnss_flowgraph.cc:126-737)."""
+        block = source.read(block_len if block_len is not None
+                            else self.chunk_len)
+        if input_filter is not None and len(block):
+            block = input_filter(block)
+        if len(block) < (2 if cond is not None else 1):
+            return False
+        self.process(np.asarray(cond(block)) if cond is not None else block)
+        return True
+
     def run_source(self, source, max_chunks: int | None = None,
                    input_filter=None) -> None:
         n = 0
@@ -768,32 +801,11 @@ class Receiver:
         config.ini.input_filter_from_ini) applied at the source rate first
         (reference: SignalConditioner = DataTypeAdapter -> InputFilter ->
         Resampler)."""
-        from gnss_sdr_tpu.ops.fir import (StreamingFir,
-                                          StreamingFractionalResampler,
-                                          design_lowpass)
-
-        ratio = source.fs / self.cfg.fs
-        if abs(ratio - 1.0) < 1e-9:
+        cond, block_len = make_rate_conditioner(source.fs, self.cfg.fs,
+                                                self.chunk_len)
+        if cond is None:
             return self.run_source(source, max_chunks,
                                    input_filter=input_filter)
-        decim = int(round(ratio))
-        if abs(ratio - decim) < 1e-9:
-            taps = design_lowpass(decim * 16 + 1, 0.8 / decim)
-            cond = StreamingFir(taps, decim=decim)
-            block_len = self.chunk_len * decim
-        elif ratio > 1.0:
-            # downsampling: anti-alias at the output Nyquist, then
-            # fractional interpolation
-            lp = StreamingFir(design_lowpass(33, 0.8 / ratio))
-            frac = StreamingFractionalResampler(source.fs, self.cfg.fs)
-            cond = lambda x: frac(lp(x))
-            block_len = int(round(self.chunk_len * ratio))
-        else:
-            # upsampling: no anti-alias filter needed (the input band is
-            # already inside the output Nyquist)
-            frac = StreamingFractionalResampler(source.fs, self.cfg.fs)
-            cond = frac
-            block_len = max(2, int(round(self.chunk_len * ratio)))
         n = 0
         while max_chunks is None or n < max_chunks:
             block = source.read(block_len)
@@ -811,3 +823,38 @@ class Receiver:
 
     def latest_fix(self):
         return self.fixes[-1] if self.fixes else None
+
+
+def make_rate_conditioner(source_fs: float, target_fs: float,
+                          chunk_len: int):
+    """Rate-bridging conditioner from source rate to the internal rate.
+
+    Returns ``(cond, block_len)``: ``cond`` maps a source-rate block to a
+    target-rate block (None when the rates already match) and ``block_len``
+    is the source-rate read size that conditions to ~one chunk. Shared by
+    ``Receiver.run_file_source`` and the per-source chains of the
+    multi-source receiver (reference: the per-source SignalConditioner =
+    DataTypeAdapter -> InputFilter -> Resampler instantiated once per
+    SignalSourceK, gnss_flowgraph.cc:126-737).
+    """
+    from gnss_sdr_tpu.ops.fir import (StreamingFir,
+                                      StreamingFractionalResampler,
+                                      design_lowpass)
+
+    ratio = source_fs / target_fs
+    if abs(ratio - 1.0) < 1e-9:
+        return None, chunk_len
+    decim = int(round(ratio))
+    if abs(ratio - decim) < 1e-9:
+        taps = design_lowpass(decim * 16 + 1, 0.8 / decim)
+        return StreamingFir(taps, decim=decim), chunk_len * decim
+    if ratio > 1.0:
+        # downsampling: anti-alias at the output Nyquist, then
+        # fractional interpolation
+        lp = StreamingFir(design_lowpass(33, 0.8 / ratio))
+        frac = StreamingFractionalResampler(source_fs, target_fs)
+        return (lambda x: frac(lp(x))), int(round(chunk_len * ratio))
+    # upsampling: no anti-alias filter needed (the input band is
+    # already inside the output Nyquist)
+    frac = StreamingFractionalResampler(source_fs, target_fs)
+    return frac, max(2, int(round(chunk_len * ratio)))

@@ -127,6 +127,31 @@ def test_labsat3_source_roundtrip(tmp_path):
     src.close()
 
 
+def test_labsat3_unaligned_reads_lose_no_samples(tmp_path):
+    """Reads that are not a multiple of samples-per-word (8 for 2-bit) must
+    buffer the decoded remainder of the last word, not drop it: the sample
+    stream has to be contiguous for any chunk size (e.g. odd chunk_ms or a
+    fractional-resampler ratio)."""
+    from gnss_sdr_tpu.io.sources import LabsatSignalSource
+
+    rng = np.random.default_rng(11)
+    iq = (np.sign(rng.standard_normal(512))
+          + 1j * np.sign(rng.standard_normal(512))).astype(np.complex64)
+    words = _encode_labsat_2bit(iq)
+    base = tmp_path / "capture"
+    with open(f"{base}_0000.LS3", "wb") as f:
+        f.write(_labsat_header(2))
+        words.astype("<u2").tofile(f)
+
+    src = LabsatSignalSource(str(base), sampling_frequency=16.368e6)
+    got = []
+    for n in (100, 156, 1, 7, 200, 48):   # deliberately word-unaligned
+        got.append(src.read(n))
+    got = np.concatenate(got)
+    np.testing.assert_array_equal(got, iq[: len(got)])
+    src.close()
+
+
 def test_labsat_4bit_decode_matches_reference_map():
     """4-bit sign/magnitude map: 00->+1, 01->+2, 10->-2, 11->-1 per
     component (labsat23_source.cc decode_samples_one_channel case 4)."""

@@ -41,7 +41,11 @@ def test_pvt_noise_free(world):
     sol = solver.solve_pvt(obs, ephs, iono=None, apply_tropo=False)
     assert sol.valid
     err = np.linalg.norm(sol.pos_ecef - rcv)
-    assert err < 0.01, f"noise-free position error {err} m"
+    # the simulator builds pr = c*(t_rx - t_tx_sv) from seconds-of-week
+    # float64 times, whose representational granularity at t~3.5e5 s is
+    # c*eps*t ~ 1.7 cm per observation — a ~2 cm noise floor, not a solver
+    # error (RTKLIB splits time into int+frac for exactly this reason)
+    assert err < 0.03, f"noise-free position error {err} m"
     assert abs(sol.clock_bias_s - bias) < 1e-10
     assert np.linalg.norm(sol.vel_ecef) < 0.01
     assert sol.pdop < 5.0

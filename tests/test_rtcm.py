@@ -207,12 +207,17 @@ def test_base_station_ingests_legacy_and_msm45():
     bs.push_bytes(stream[:17])
     bs.push_bytes(stream[17:])
     assert len(bs.epochs) == 3
-    (t1, s1, o1), (t2, s2, o2), (t3, s3, o3) = bs.epochs
+    (t1, s1, o1, d1), (t2, s2, o2, d2), (t3, s3, o3, d3) = bs.epochs
     assert (s1, s2, s3) == ("G", "R", "G")
     assert {o.signal_id for o in o1} == {2, 15}      # L1 + L2 from 1004
     assert o2[0].prn == 9 and s2 == "R"
     assert o3[0].prn == 11
     assert abs(t1 - 100.0) < 1e-9
+    # 1012's epoch is GLONASS time-of-day: stored as GPS second-of-day
+    # with the day unresolved; messages without a rate field say so
+    assert d1 and d3 and not d2
+    assert abs(t2 - ((50.0 - 10800.0 + rtcm.GPS_UTC_LEAP_S) % 86400)) < 1e-9
+    assert all(not o.has_rate for o in o1 + o2 + o3)
 
 
 def test_ntrip_client_against_fake_caster():
@@ -347,3 +352,90 @@ def test_ssr_application_recovers_precise_orbit():
     c = rtcm.SsrClockCorrection(prn=5, c0_m=0.9, c1_m_s=0.001)
     t = rtcm.apply_ssr_clock(dts, c, dt_s=10.0)
     assert abs(t - (dts + (0.9 + 0.01) / 299_792_458.0)) < 1e-15
+
+
+def test_df013_lock_time_nonlinear_mapping():
+    """DF013/DF019 is a piecewise seconds->indicator map (RTCM 10403 Table
+    3.4-2), linear only below 24 s: indicators for longer locks step by
+    2/4/8/16/32 s; 127 means >= 937 s. A linear min(int(s),127) encoding is
+    wrong against real receivers for locks over 24 s."""
+    from gnss_sdr_tpu.receiver.pvt.rtcm import _lock_indicator, _lock_seconds
+
+    # exact table anchors
+    assert _lock_indicator(0) == 0
+    assert _lock_indicator(23) == 23
+    assert _lock_indicator(24) == 24
+    assert _lock_indicator(70) == 47       # 24 + (70-24)//2
+    assert _lock_indicator(72) == 48
+    assert _lock_indicator(168) == 72
+    assert _lock_indicator(360) == 96
+    assert _lock_indicator(744) == 120
+    assert _lock_indicator(936) == 126
+    assert _lock_indicator(937) == 127
+    assert _lock_indicator(100000) == 127
+    # inverse consistency: decode(encode(s)) lower-bounds s within its step
+    for s in [0, 5, 23, 24, 30, 100, 200, 500, 800, 936, 937, 2000]:
+        ind = _lock_indicator(s)
+        lo = _lock_seconds(ind)
+        assert lo <= s
+        if ind < 127:
+            assert s - lo < 32          # within one step of the segment
+    # round-trip through a legacy message preserves the piecewise decode
+    obs = [rtcm.LegacyObservation(prn=7, pseudorange_m=21e6,
+                                  phase_range_m=21e6 + 0.1,
+                                  lock_time_s=500.0)]
+    dec = rtcm.decode_legacy_obs(rtcm.encode_1002(1, 1000, obs))[1][0]
+    assert dec.lock_time_s == _lock_seconds(_lock_indicator(500.0))
+    assert 480 <= dec.lock_time_s <= 500
+
+
+def test_glonass_msm_epoch_is_dow_tod():
+    """GLONASS MSM epochs are DF416 day-of-week + DF034 time-of-day in
+    GLONASS time (UTC+3h), hours away from GPS TOW; the codec must convert
+    both directions so epoch matching against a genuine caster works
+    (reference rtklib_rtcm3.cc decode_msm_head GLONASS branch)."""
+    tow_ms = 208_800_000            # GPS TOW: day 2, 10:00:00
+    epoch = rtcm.gps_tow_ms_to_glonass_epoch(tow_ms)
+    dow, tod = epoch >> 27, epoch & ((1 << 27) - 1)
+    # GLONASS time = GPS - 18 s leap + 3 h
+    assert tod == (10 * 3600 + 3 * 3600 - 18) * 1000
+    assert dow == 2
+    assert rtcm.glonass_epoch_to_gps_tow_ms(epoch) == tow_ms
+
+    # encode/decode a GLONASS MSM: the wire field is GLONASS-format, the
+    # decoded header reports GPS TOW
+    obs = [rtcm.MsmObservation(prn=4, signal_id=2, pseudorange_m=20e6,
+                               phase_range_m=20e6 + 0.2,
+                               phase_rate_m_s=120.0)]
+    bits = rtcm.encode_msm(rtcm.MSM7_GLO, 9, tow_ms, obs)
+    hdr, dec = rtcm.decode_msm(bits)
+    assert hdr["epoch_ms"] == tow_ms
+    assert hdr["raw_epoch"] == epoch
+    assert dec[0].prn == 4 and dec[0].has_rate
+
+    # day-boundary behaviour: GPS 01:00 falls on the PREVIOUS GLONASS day
+    # only when 3h-18s pushes past midnight the other way — check wrap at
+    # GPS 22:30 (GLONASS 01:30 next day)
+    tow2 = (1 * 86400 + 22 * 3600 + 1800) * 1000
+    e2 = rtcm.gps_tow_ms_to_glonass_epoch(tow2)
+    assert (e2 >> 27) == 2
+    assert rtcm.glonass_epoch_to_gps_tow_ms(e2) == tow2
+
+
+def test_1012_day_resolution_against_rover_tow():
+    """1012 epochs (time-of-day only) must match a rover TOW on any day of
+    the week via nearest-day folding in epoch_near."""
+    from gnss_sdr_tpu.receiver.pvt.rtk_engine import RtcmBaseStation
+
+    bs = RtcmBaseStation()
+    glo = [rtcm.LegacyObservation(prn=3, pseudorange_m=20e6,
+                                  phase_range_m=20e6 - 0.1, freq_slot=1)]
+    # base epoch at GPS 10:00:00.000 (second-of-day 36000):
+    # GLONASS TOD = 36000 + 10800 - 18 = 46782 s
+    bs.push_bytes(rtcm.frame(rtcm.encode_1012(7, 46_782_000, glo)))
+    assert len(bs.epochs) == 1 and not bs.epochs[0][3]
+    # rover on day 4 at the same second-of-day
+    rover_tow = 4 * 86400 + 36000.0
+    got = bs.epoch_near(rover_tow)
+    assert got is not None and got[0].prn == 3
+    assert bs.epoch_near(rover_tow + 1.0) is None

@@ -292,6 +292,61 @@ def test_rtk_engine_kinematic_mode_from_rtcm(world):
     assert max(errs[3:]) < 0.06, f"max {max(errs[3:])*100:.1f} cm"
 
 
+def test_rtk_engine_kinematic_from_msm4_base(world):
+    """MSM4 base epochs carry NO phase rate: the filter must fall back to
+    the code-minus-carrier slip test instead of treating the missing base
+    Doppler as a phase jump (which reset every ambiguity every epoch and
+    made AR impossible). Fixes must still accumulate and no spurious slips
+    may fire."""
+    from gnss_sdr_tpu.receiver.observables import ChannelObservable
+    from gnss_sdr_tpu.receiver.pvt import rtcm
+    from gnss_sdr_tpu.receiver.pvt.rtk_engine import (RtcmBaseStation,
+                                                      RtkEngine)
+
+    ephs, base_ecef, prns = world
+    lat, lon, _ = TRUE_LLH
+    p0 = base_ecef + geodesy.enu_to_ecef_offset(
+        np.array([25.0, -8.0, 0.3]), lat, lon)
+    rng = np.random.default_rng(77)
+    n_rov = {p: int(rng.integers(-5000, 5000)) for p in prns}
+    # base ambiguities small enough for the MSM4 fine-phase field (+-1171 m
+    # around the code-derived rough range): real receivers export
+    # phase-range aligned to the pseudorange, not offset by km
+    n_bas = {p: int(rng.integers(-300, 300)) for p in prns}
+
+    station = RtcmBaseStation()
+    station.push_bytes(b"".join(
+        [rtcm.frame(rtcm.encode_1005(55, base_ecef))]
+        + [rtcm.frame(rtcm.encode_1019(ephs[("G", p)])) for p in prns]))
+    engine = RtkEngine(station, sigma_pr_m=0.1, mode="kinematic")
+
+    errs = []
+    for k in range(25):
+        t = T0 + 1.0 * k
+        basev = _obs_at(ephs, prns, base_ecef, t, n_bas, rng, pr_sigma=0.1)
+        tow_base = (basev[0].t_tx_sv
+                    + basev[0].pseudorange_m / C.SPEED_OF_LIGHT_M_S)
+        msm = [rtcm.MsmObservation(
+            prn=o.prn, signal_id=2, pseudorange_m=o.pseudorange_m,
+            phase_range_m=o.carrier_phase_cycles * LAM, cn0_dbhz=44.0)
+            for o in basev]
+        station.push_bytes(rtcm.frame(rtcm.encode_msm(
+            rtcm.MSM4_GPS, 55, int(round(tow_base * 1e3)), msm)))
+
+        rover = _obs_at(ephs, prns, p0, t, n_rov, rng, pr_sigma=0.1)
+        engine.push_rover_epoch(0, [ChannelObservable(
+            prn=o.prn, signal="1C", t_tx_sv=o.t_tx_sv,
+            pseudorange_m=o.pseudorange_m,
+            carrier_phase_cycles=o.carrier_phase_cycles,
+            doppler_hz=o.doppler_hz, cn0_dbhz=45.0) for o in rover])
+        if engine.solutions and engine.solutions[-1].fixed:
+            errs.append(np.linalg.norm(engine.solutions[-1].rover_ecef - p0))
+    assert engine._filter is not None
+    assert engine._filter.n_slips == 0, "no-Doppler base caused slip resets"
+    assert len(errs) >= 10, f"only {len(errs)} fixed epochs with MSM4 base"
+    assert max(errs[3:]) < 0.06
+
+
 def test_rtk_filter_drops_and_readds_satellites(world):
     """Satellites leaving the common view drop their ambiguity states
     (with correct index remapping); re-appearing satellites re-initialize
