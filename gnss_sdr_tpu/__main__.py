@@ -90,12 +90,20 @@ def main(argv=None) -> int:
             "conditioning %.0f sps -> %.0f sps", source.fs, rcfg.fs)
     input_filter = ini.input_filter_from_ini(conf)
     rx = Receiver(rcfg)
+    # warm/hot-start state (ephemerides + almanac + last position/time),
+    # reloaded at start and refreshed at exit (reference: ControlThread
+    # assist_GNSS + the agnss_ref/XML persistence set)
+    assist = str(conf.property("GNSS-SDR.assistance_file", "")).strip()
+    if assist:
+        rx.restore(assist)
     from gnss_sdr_tpu.receiver.outputs import attach_outputs
     outputs = attach_outputs(rx, conf)
     try:
         rx.run_file_source(source, max_chunks=args.max_chunks,
                            input_filter=input_filter)
     finally:
+        if assist:
+            rx.checkpoint(assist)
         outputs.close()
         rx.close_dumps()
 

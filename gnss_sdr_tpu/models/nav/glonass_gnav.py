@@ -191,6 +191,35 @@ def encode_string(string_id: int, eph: GlonassEphemeris,
     return hamming_encode(bits)
 
 
+_PI = 3.141592653589793
+
+
+def encode_almanac_pair(even_sid: int, alm) -> tuple[np.ndarray, np.ndarray]:
+    """Encode one GNAV almanac (GlonassAlmanac) into its even/odd string
+    pair (ICD 4.5: strings 6/8/10/12/14 carry part 1 for slot n_A, the
+    following odd string carries part 2)."""
+    b1 = np.zeros(85, np.uint8)
+    _set(b1, 81, 4, even_sid)
+    _set(b1, 80, 1, 0 if alm.health else 1)          # C_n: 0 = unhealthy
+    _set(b1, 73, 5, alm.slot & 31)
+    _set(b1, 63, 10, int(round(alm.tau_n / 2.0 ** -18)), sign_mag=True)
+    _set(b1, 42, 21, int(round(alm.lambda_n / _PI / 2.0 ** -20)),
+         sign_mag=True)
+    _set(b1, 24, 18, int(round(alm.delta_i / _PI / 2.0 ** -20)),
+         sign_mag=True)
+    _set(b1, 9, 15, int(round(alm.ecc / 2.0 ** -20)))
+    b2 = np.zeros(85, np.uint8)
+    _set(b2, 81, 4, even_sid + 1)
+    _set(b2, 65, 16, int(round(alm.omega_n / _PI / 2.0 ** -15)),
+         sign_mag=True)
+    _set(b2, 44, 21, int(round(alm.t_lambda / 2.0 ** -5)))
+    _set(b2, 22, 22, int(round(alm.delta_t / 2.0 ** -9)), sign_mag=True)
+    _set(b2, 15, 7, int(round(alm.delta_t_dot / 2.0 ** -14)), sign_mag=True)
+    h = alm.freq_slot if alm.freq_slot >= 0 else alm.freq_slot + 32
+    _set(b2, 10, 5, h & 31)
+    return hamming_encode(b1), hamming_encode(b2)
+
+
 def decode_string(bits: np.ndarray) -> tuple[int, dict] | None:
     """85 bits (transmission order) -> (string_id, fields) or None."""
     if not hamming_check(bits):
@@ -220,6 +249,22 @@ def decode_string(bits: np.ndarray) -> tuple[int, dict] | None:
     elif sid == 4:
         f["tau_n"] = _get(bits, 58, 22, sign_mag=True) * 2.0 ** -30
         f["slot"] = _get(bits, 11, 5)
+    elif sid in (6, 8, 10, 12, 14):
+        # almanac part 1 for slot n_A (ICD 4.5)
+        f["alm_healthy"] = 1 - _get(bits, 80, 1)
+        f["alm_slot"] = _get(bits, 73, 5)
+        f["alm_tau"] = _get(bits, 63, 10, sign_mag=True) * 2.0 ** -18
+        f["alm_lambda"] = _get(bits, 42, 21, sign_mag=True) * 2.0 ** -20 * _PI
+        f["alm_delta_i"] = _get(bits, 24, 18, sign_mag=True) * 2.0 ** -20 * _PI
+        f["alm_ecc"] = _get(bits, 9, 15) * 2.0 ** -20
+    elif sid in (7, 9, 11, 13, 15):
+        # almanac part 2 (pairs with the preceding even string)
+        f["alm_omega"] = _get(bits, 65, 16, sign_mag=True) * 2.0 ** -15 * _PI
+        f["alm_t_lambda"] = _get(bits, 44, 21) * 2.0 ** -5
+        f["alm_delta_t"] = _get(bits, 22, 22, sign_mag=True) * 2.0 ** -9
+        f["alm_delta_t_dot"] = _get(bits, 15, 7, sign_mag=True) * 2.0 ** -14
+        h = _get(bits, 10, 5)
+        f["alm_freq_slot"] = h if h < 16 else h - 32
     return sid, f
 
 
@@ -231,21 +276,37 @@ def _string_symbols(bits: np.ndarray) -> np.ndarray:
 
 
 def encode_frame_stream(eph: GlonassEphemeris, tk0_s: float,
-                        n_frames: int = 2) -> np.ndarray:
+                        n_frames: int = 2,
+                        almanacs: list | None = None) -> np.ndarray:
     """Timing-correct GNAV stream: full 30 s frames of 15 strings, frame f
-    starting at day time ``tk0_s + 30 f`` (string 1 carries that tk; strings
-    5-15 are valid-Hamming almanac placeholders). 100 sps symbols."""
+    starting at day time ``tk0_s + 30 f`` (string 1 carries that tk).
+    Strings 6-15 carry up to 5 almanac pairs per frame round-robin from
+    ``almanacs`` (GlonassAlmanac list; the real superframe pages 24 slots
+    over 5 frames); without almanacs they are valid-Hamming placeholders.
+    100 sps symbols."""
     out = []
+    alm_idx = 0
     for f in range(n_frames):
         tk = tk0_s + 30.0 * f
-        for sid in range(1, 16):
+        sid = 1
+        while sid <= 15:
             if sid <= 4:
                 bits = encode_string(sid, eph, tk_s=(tk if sid == 1 else None))
+                out.append(_string_symbols(bits))
+                sid += 1
+            elif sid >= 6 and sid % 2 == 0 and almanacs:
+                b1, b2 = encode_almanac_pair(
+                    sid, almanacs[alm_idx % len(almanacs)])
+                alm_idx += 1
+                out.append(_string_symbols(b1))
+                out.append(_string_symbols(b2))
+                sid += 2
             else:
                 b = np.zeros(85, np.uint8)
                 _set(b, 81, 4, sid)
                 bits = hamming_encode(b)
-            out.append(_string_symbols(bits))
+                out.append(_string_symbols(bits))
+                sid += 1
     return np.concatenate(out)
 
 
@@ -268,9 +329,29 @@ class GnavAssembler:
     def __init__(self, slot: int = 0):
         self.strings: dict[int, dict] = {}
         self.slot = slot
+        # constellation almanac from string pairs 6/7..14/15, keyed by slot
+        # (reference glonass_gnav_navigation_message almanac branches)
+        self.almanacs: dict[int, object] = {}
+        self._alm_part1: dict[int, dict] = {}
 
     def push(self, sid: int, fields: dict) -> None:
         self.strings[sid] = fields
+        if "alm_slot" in fields:
+            self._alm_part1[sid] = fields
+        elif "alm_omega" in fields and (sid - 1) in self._alm_part1:
+            from gnss_sdr_tpu.models.almanac import GlonassAlmanac
+            p1 = self._alm_part1.pop(sid - 1)
+            if p1["alm_slot"] == 0:
+                return                      # empty almanac slot
+            self.almanacs[p1["alm_slot"]] = GlonassAlmanac(
+                slot=p1["alm_slot"], health=p1["alm_healthy"],
+                tau_n=p1["alm_tau"], lambda_n=p1["alm_lambda"],
+                delta_i=p1["alm_delta_i"], ecc=p1["alm_ecc"],
+                omega_n=fields["alm_omega"],
+                t_lambda=fields["alm_t_lambda"],
+                delta_t=fields["alm_delta_t"],
+                delta_t_dot=fields["alm_delta_t_dot"],
+                freq_slot=fields["alm_freq_slot"])
 
     def ephemeris(self) -> GlonassEphemeris | None:
         if not all(k in self.strings for k in (1, 2, 3, 4)):

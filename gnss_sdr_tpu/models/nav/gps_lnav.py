@@ -131,13 +131,76 @@ def _how_word(tow_next_s: float, subframe_id: int) -> np.ndarray:
     return d
 
 
+def encode_almanac_page(sfid: int, tow_this_s: float, alm) -> np.ndarray:
+    """Encode one SF4/SF5 almanac page for ``alm`` (a GpsAlmanac).
+
+    IS-GPS-200 20.3.3.5.1.2 / Figure 20-1 sheet 4: SF5 pages 1-24 carry
+    almanacs for PRN 1-24 (SV ID = PRN), SF4 pages carry PRN 25-32.
+    Reference decode analog: ``Gps_Navigation_Message`` subframe 4/5
+    almanac branches (gps_navigation_message.cc).
+    """
+    sc = PI
+    words_data = [np.zeros(24, dtype=np.uint8) for _ in range(10)]
+    words_data[0] = _tlm_word()
+    words_data[1] = _how_word(tow_this_s + 6.0, sfid)
+    w3 = words_data[2]
+    w3[:2] = _u2b(1, 2)                        # data ID
+    w3[2:8] = _u2b(alm.prn & 0x3F, 6)          # SV ID = PRN
+    w3[8:24] = _q(alm.e, 2.0 ** -21, 16, signed=False)
+    w4 = words_data[3]
+    w4[:8] = _q(alm.toa, 2.0 ** 12, 8, signed=False)
+    w4[8:24] = _q(alm.delta_i / sc, 2.0 ** -19, 16)
+    w5 = words_data[4]
+    w5[:16] = _q(alm.omega_dot / sc, 2.0 ** -38, 16)
+    w5[16:24] = _u2b(alm.health & 0xFF, 8)
+    words_data[5][:24] = _q(alm.sqrt_a, 2.0 ** -11, 24, signed=False)
+    words_data[6][:24] = _q(alm.omega0 / sc, 2.0 ** -23, 24)
+    words_data[7][:24] = _q(alm.omega / sc, 2.0 ** -23, 24)
+    words_data[8][:24] = _q(alm.m0 / sc, 2.0 ** -23, 24)
+    w10 = words_data[9]
+    # af0 is 11 bits split MSB(8)+LSB(3) around the 11 af1 bits
+    af0_bits = _q(alm.af0, 2.0 ** -20, 11)
+    w10[:8] = af0_bits[:8]
+    w10[8:19] = _q(alm.af1, 2.0 ** -38, 11)
+    w10[19:22] = af0_bits[8:]
+    return _seal_subframe(words_data)
+
+
+def encode_almanac_reference_page(tow_this_s: float, toa: float,
+                                  wna: int) -> np.ndarray:
+    """SF5 page 25 (SV ID 51): almanac reference time toa + WNa."""
+    words_data = [np.zeros(24, dtype=np.uint8) for _ in range(10)]
+    words_data[0] = _tlm_word()
+    words_data[1] = _how_word(tow_this_s + 6.0, 5)
+    w3 = words_data[2]
+    w3[:2] = _u2b(1, 2)
+    w3[2:8] = _u2b(51, 6)
+    w3[8:16] = _q(toa, 2.0 ** 12, 8, signed=False)
+    w3[16:24] = _u2b(wna & 0xFF, 8)
+    return _seal_subframe(words_data)
+
+
+def _seal_subframe(words_data: list[np.ndarray]) -> np.ndarray:
+    """Chain parity through 10 prepared 24-bit words into a 300-bit
+    subframe (words 2 and 10 tail-solved so D29*=D30*=0)."""
+    tx = np.zeros(300, dtype=np.uint8)
+    d29s, d30s = 0, 0
+    for wi in range(10):
+        solve = wi in (1, 9)
+        word = encode_word(words_data[wi], d29s, d30s, solve_tail=solve)
+        tx[wi * 30:(wi + 1) * 30] = word
+        d29s, d30s = int(word[28]), int(word[29])
+    return tx
+
+
 def encode_subframe(sfid: int, tow_this_s: float, eph: KeplerEphemeris,
                     iono: IonoParams | None = None,
                     utc: UtcParams | None = None) -> np.ndarray:
     """Encode one 300-bit subframe starting at time tow_this_s.
 
     Subframes 1-3 carry ``eph``; subframe 4 carries iono/UTC (page 18);
-    subframe 5 is a parity-valid filler (almanac not modeled yet).
+    bare subframe 5 is a parity-valid filler (use
+    :func:`encode_almanac_page` for almanac-bearing SF4/5 pages).
     """
     words_data = [np.zeros(24, dtype=np.uint8) for _ in range(10)]
     words_data[0] = _tlm_word()
@@ -228,35 +291,43 @@ def encode_subframe(sfid: int, tow_this_s: float, eph: KeplerEphemeris,
         w[:2] = _u2b(1, 2)
         w[2:8] = _u2b(1, 6)
 
-    # chain parity through the subframe; subframes start with D29*=D30*=0
-    # because words 2 and 10 are tail-solved.
-    tx = np.zeros(300, dtype=np.uint8)
-    d29s, d30s = 0, 0
-    for wi in range(10):
-        solve = wi in (1, 9)
-        word = encode_word(words_data[wi], d29s, d30s, solve_tail=solve)
-        tx[wi * 30:(wi + 1) * 30] = word
-        d29s, d30s = int(word[28]), int(word[29])
-    return tx
+    return _seal_subframe(words_data)
 
 
 def encode_frames(eph: KeplerEphemeris, tow_start_s: float, n_subframes: int,
                   iono: IonoParams | None = None,
                   utc: UtcParams | None = None,
-                  sfid_cycle: tuple | None = None) -> np.ndarray:
+                  sfid_cycle: tuple | None = None,
+                  almanacs: list | None = None,
+                  alm_start: int = 0) -> np.ndarray:
     """Encode a continuous LNAV bit stream of n_subframes starting at
     tow_start_s (a multiple of 6 s). By default the subframe id follows the
     standard TOW grid (1..5 over 30 s); ``sfid_cycle`` overrides the id
     sequence (e.g. (1, 2, 3) to broadcast ephemeris continuously — useful for
-    short simulation runs; decoders key off the HOW sfid, not the grid)."""
+    short simulation runs; decoders key off the HOW sfid, not the grid).
+
+    ``almanacs`` (GpsAlmanac list): subframe-4/5 slots then broadcast the
+    constellation almanac round-robin, with the toa/WNa reference page
+    (SF5 page 25) interleaved — the real SF4/5 paging role."""
     bits = []
     tow = tow_start_s
+    alm_idx = alm_start        # page-sequence offset (per-SV stagger)
     for k in range(n_subframes):
         if sfid_cycle is not None:
             sfid = sfid_cycle[k % len(sfid_cycle)]
         else:
             sfid = int(tow / 6.0) % 5 + 1
-        bits.append(encode_subframe(sfid, tow, eph, iono, utc))
+        if sfid in (4, 5) and almanacs:
+            cycle = len(almanacs) + 1
+            if alm_idx % cycle == len(almanacs):
+                bits.append(encode_almanac_reference_page(
+                    tow, almanacs[0].toa, almanacs[0].wna))
+            else:
+                bits.append(encode_almanac_page(
+                    sfid, tow, almanacs[alm_idx % cycle]))
+            alm_idx += 1
+        else:
+            bits.append(encode_subframe(sfid, tow, eph, iono, utc))
         tow += 6.0
     return np.concatenate(bits)
 
@@ -335,11 +406,33 @@ def decode_subframe(tx300: np.ndarray) -> Subframe | None:
         f["omega_dot"] = _b2s(w9[:24]) * 2.0 ** -43 * sc
         f["iode3"] = _b2u(w10[:8])
         f["idot"] = _b2s(w10[8:22]) * 2.0 ** -43 * sc
-    elif sfid == 4:
+    elif sfid in (4, 5):
         w3 = words[2]
         page_id = _b2u(w3[2:8])
         f["page_id"] = page_id
-        if page_id == 56:
+        if 1 <= page_id <= 32:
+            # almanac page (IS-GPS-200 20.3.3.5.1.2): SV ID = PRN
+            w4, w5 = words[3], words[4]
+            w10 = words[9]
+            af0 = _b2s(np.concatenate([w10[:8], w10[19:22]])) * 2.0 ** -20
+            f["almanac"] = dict(
+                prn=page_id,
+                e=_b2u(w3[8:24]) * 2.0 ** -21,
+                toa=_b2u(w4[:8]) * 2.0 ** 12,
+                delta_i=_b2s(w4[8:24]) * 2.0 ** -19 * sc,
+                omega_dot=_b2s(w5[:16]) * 2.0 ** -38 * sc,
+                health=_b2u(w5[16:24]),
+                sqrt_a=_b2u(words[5][:24]) * 2.0 ** -11,
+                omega0=_b2s(words[6][:24]) * 2.0 ** -23 * sc,
+                omega=_b2s(words[7][:24]) * 2.0 ** -23 * sc,
+                m0=_b2s(words[8][:24]) * 2.0 ** -23 * sc,
+                af0=af0,
+                af1=_b2s(w10[8:19]) * 2.0 ** -38)
+        elif page_id == 51:
+            # SF5 page 25: toa / WNa reference
+            f["alm_toa"] = _b2u(w3[8:16]) * 2.0 ** 12
+            f["alm_wna"] = _b2u(w3[16:24])
+        if sfid == 4 and page_id == 56:
             w4, w5 = words[3], words[4]
             f["iono_alpha"] = (
                 _b2s(w3[8:16]) * 2.0 ** -30, _b2s(w3[16:24]) * 2.0 ** -27,
@@ -368,9 +461,25 @@ class LnavAssembler:
         self._sf: dict[int, Subframe] = {}
         self.iono = IonoParams()
         self.utc = UtcParams()
+        # constellation almanac collected from SF4/5 pages, keyed by PRN
+        # (reference Gps_Navigation_Message almanac maps + WNa/toa page)
+        self.almanacs: dict[int, "GpsAlmanac"] = {}
+        self.alm_toa: float | None = None
+        self.alm_wna: int | None = None
 
     def push(self, sf: Subframe) -> None:
         self._sf[sf.sfid] = sf
+        if "almanac" in sf.fields:
+            from gnss_sdr_tpu.models.almanac import GpsAlmanac
+            alm = GpsAlmanac(**sf.fields["almanac"])
+            if self.alm_wna is not None:
+                alm.wna = self.alm_wna
+            self.almanacs[alm.prn] = alm
+        if "alm_toa" in sf.fields:
+            self.alm_toa = sf.fields["alm_toa"]
+            self.alm_wna = sf.fields["alm_wna"]
+            for alm in self.almanacs.values():
+                alm.wna = self.alm_wna
         if sf.sfid == 4 and sf.fields.get("page_id") == 56:
             self.iono = IonoParams(alpha=sf.fields["iono_alpha"],
                                    beta=sf.fields["iono_beta"], valid=True)

@@ -146,31 +146,46 @@ def _eph_key_parse(s: str):
 
 def save_assistance(path, ephemerides: dict,
                     iono: IonoParams | None = None,
-                    utc: UtcParams | None = None) -> None:
+                    utc: UtcParams | None = None,
+                    almanacs: dict | None = None,
+                    position_ecef=None, tow_s: float | None = None) -> None:
     """Ephemerides keyed by (system, prn) (bare int prn also accepted);
     values are KeplerEphemeris or GlonassEphemeris dataclasses, tagged with
     their class for reload (reference analog: PVT block XML serialization,
-    control_thread.cc read_assistance_from_XML)."""
+    control_thread.cc read_assistance_from_XML). Almanacs (weeks-valid),
+    the last position and its receiver time persist alongside — together
+    they are the classic warm-start state (reference almanac XML set,
+    control_thread.h:189-202)."""
     ser = {}
     for key, e in ephemerides.items():
         d = dataclasses.asdict(e)
         d["__cls__"] = type(e).__name__
         ser[_eph_key_str(key)] = d
+    alm_ser = {}
+    for key, a in (almanacs or {}).items():
+        d = dataclasses.asdict(a)
+        d["__cls__"] = type(a).__name__
+        alm_ser[_eph_key_str(key)] = d
     data = {
         "ephemerides": ser,
+        "almanacs": alm_ser,
         "iono": dataclasses.asdict(iono) if iono else None,
         "utc": dataclasses.asdict(utc) if utc else None,
+        "position_ecef": (list(map(float, position_ecef))
+                          if position_ecef is not None else None),
+        "tow_s": tow_s,
     }
     pathlib.Path(path).write_text(json.dumps(data, indent=1))
 
 
 def load_assistance(path):
-    """Returns (ephemerides, iono, utc); missing file -> empty assistance.
-    Ephemerides come back keyed by (system, prn)."""
+    """Returns an Assistance record; missing file -> empty assistance.
+    Ephemerides/almanacs come back keyed by (system, prn)."""
+    from gnss_sdr_tpu.models.almanac import GlonassAlmanac, GpsAlmanac
     from gnss_sdr_tpu.models.nav.glonass_gnav import GlonassEphemeris
     p = pathlib.Path(path)
     if not p.exists():
-        return {}, None, None
+        return Assistance()
     data = json.loads(p.read_text())
     ephs = {}
     for key, d in data.get("ephemerides", {}).items():
@@ -183,6 +198,11 @@ def load_assistance(path):
         else:
             eph = KeplerEphemeris(**d)
         ephs[_eph_key_parse(key)] = eph
+    alms = {}
+    for key, d in data.get("almanacs", {}).items():
+        cls_name = d.pop("__cls__", "GpsAlmanac")
+        cls = GlonassAlmanac if cls_name == "GlonassAlmanac" else GpsAlmanac
+        alms[_eph_key_parse(key)] = cls(**d)
     iono = None
     if data.get("iono"):
         d = data["iono"]
@@ -191,7 +211,23 @@ def load_assistance(path):
     utc = None
     if data.get("utc"):
         utc = UtcParams(**data["utc"])
-    return ephs, iono, utc
+    pos = data.get("position_ecef")
+    return Assistance(
+        ephemerides=ephs, almanacs=alms, iono=iono, utc=utc,
+        position_ecef=(np.array(pos, float) if pos else None),
+        tow_s=data.get("tow_s"))
+
+
+@dataclasses.dataclass
+class Assistance:
+    """Warm/hot-start state bundle (the JSON checkpoint's contents)."""
+
+    ephemerides: dict = dataclasses.field(default_factory=dict)
+    almanacs: dict = dataclasses.field(default_factory=dict)
+    iono: IonoParams | None = None
+    utc: UtcParams | None = None
+    position_ecef: object = None       # np.ndarray [3] or None
+    tow_s: float | None = None
 
 
 def predicted_doppler(eph: KeplerEphemeris, rcv_ecef: np.ndarray,

@@ -44,6 +44,10 @@ class ChannelObservable:
     carrier_phase_cycles: float
     doppler_hz: float
     cn0_dbhz: float
+    # actual RF carrier of the tracked signal; 0 = look up the nominal in
+    # constants.SIGNALS. Distinct from nominal for GLONASS FDMA slots,
+    # where the per-slot wavelength decides differential processing
+    carrier_freq_hz: float = 0.0
 
 
 class ObservablesEngine:
@@ -140,7 +144,8 @@ class ObservablesEngine:
                 prn=ch["prn"], signal=ch["signal"], t_tx_sv=t_tx,
                 pseudorange_m=pr, carrier_phase_cycles=phase,
                 doppler_hz=ch["record"].carrier_freq - ch["if_freq"],
-                cn0_dbhz=ch["record"].cn0_dbhz))
+                cn0_dbhz=ch["record"].cn0_dbhz,
+                carrier_freq_hz=ch.get("carrier_freq", 0.0)))
         return out
 
     @property

@@ -141,13 +141,21 @@ def _eph_lookup(ephemerides: dict, o: ObsInput):
 def solve_pvt(obs: list[ObsInput], ephemerides: dict,
               iono: IonoParams | None = None,
               apply_tropo: bool = True, n_iter: int = 8,
-              el_mask_rad: float = np.deg2rad(5.0)) -> PvtSolution:
+              el_mask_rad: float = np.deg2rad(5.0),
+              sbas_lt: dict | None = None,
+              sbas_iono=None) -> PvtSolution:
     """Iterated WLS single-point solution at one receiver epoch.
 
     Multi-constellation: one receiver-clock state per system present
     (x = [p, c*dt_sys0, c*dt_sys1, ...]); each system's inter-system bias
     (incl. GGTO / BDT offsets) is absorbed by its own clock column, matching
     the reference's rtklib pntpos state layout (rtklib_pntpos.cc NX=3+NSYS).
+
+    SBAS corrections (reference rtklib_sbas.cc sbssatcorr/sbsioncorr):
+    ``sbas_lt`` maps (system, prn) -> LongTermCorrection applied to the
+    broadcast satellite position/clock; ``sbas_iono`` is a SbasIonoGrid
+    whose slant delay is PREFERRED over the Klobuchar model wherever the
+    pierce point is covered (DO-229 precedence).
     """
     usable = [o for o in obs if _eph_lookup(ephemerides, o) is not None]
     systems = sorted({o.system for o in usable})
@@ -167,6 +175,12 @@ def solve_pvt(obs: list[ObsInput], ephemerides: dict,
         dt_sv = eph.clock_offset(o.t_tx_sv)
         t_gps = o.t_tx_sv - dt_sv
         p, v = eph.position_velocity(t_gps)
+        if sbas_lt:
+            corr = sbas_lt.get((o.system, o.prn))
+            if corr is not None:
+                dp, ddt = corr.at(o.t_tx_sv)
+                p = p + dp
+                dt_sv += ddt
         sat_pos[i] = p
         sat_vel[i] = v
         dts[i] = dt_sv
@@ -216,13 +230,21 @@ def solve_pvt(obs: list[ObsInput], ephemerides: dict,
                 # missed the 0.2 m budget and this model meets it.
                 s_el = max(np.sin(el), 1e-3)
                 w[i] = s_el / (s_el + 1.0)
-                if (iono is not None and iono.valid
-                        and not usable[i].iono_free):
-                    d_l1 = atmosphere.klobuchar_delay(
-                        iono.alpha, iono.beta, lat, lon, az, el,
-                        usable[i].t_tx_sv)
-                    corr += atmosphere.iono_delay_scaled(
-                        d_l1, usable[i].carrier_freq_hz)
+                if not usable[i].iono_free:
+                    d_l1 = None
+                    if sbas_iono is not None:
+                        # SBAS grid preferred over Klobuchar (DO-229);
+                        # grid delays are meters, the scaler wants seconds
+                        s_m = sbas_iono.slant_delay(lat, lon, az, el)
+                        if s_m is not None:
+                            d_l1 = s_m / C.SPEED_OF_LIGHT_M_S
+                    if d_l1 is None and iono is not None and iono.valid:
+                        d_l1 = atmosphere.klobuchar_delay(
+                            iono.alpha, iono.beta, lat, lon, az, el,
+                            usable[i].t_tx_sv)
+                    if d_l1 is not None:
+                        corr += atmosphere.iono_delay_scaled(
+                            d_l1, usable[i].carrier_freq_hz)
                 if apply_tropo:
                     corr += atmosphere.saastamoinen_delay(el, hgt, lat)
             h[i, :3] = -los

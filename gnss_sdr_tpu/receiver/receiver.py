@@ -237,7 +237,13 @@ class Receiver:
             config.fs, config.obs_interval_ms,
             carrier_smoothing_factor=config.carrier_smoothing_factor)
         self.ephemerides = {}           # keyed (system, prn)
+        self.almanacs = {}              # keyed (system, prn), weeks-valid
         self.iono = None
+        # assisted-start prior: position + receiver TOW at sample 0, loaded
+        # from a checkpoint (reference ControlThread assist_GNSS position/
+        # time injection); used when no fix exists yet
+        self.assist_pos = None
+        self.assist_tow = None
         self.fixes: list[pvt_solver.PvtSolution] = []
         self.obs_log: list[tuple[int, list[ChannelObservable]]] = []
         self._sample_base = 0           # absolute sample index of chunk start
@@ -339,15 +345,31 @@ class Receiver:
         if not g.rx_cfg.acq_assisted:
             return None
         fix = self.latest_fix()
-        if fix is None or not self.ephemerides:
+        if fix is not None:
+            pos, tow = fix.pos_ecef, fix.tow_s
+        elif self.assist_pos is not None and self.assist_tow is not None:
+            # warm start before any fix: checkpointed position + time,
+            # advanced by the stream time processed so far (reference
+            # ControlThread::get_visible_sats from stored almanac + ref
+            # position/time, control_thread.cc:163)
+            pos = self.assist_pos
+            tow = self.assist_tow + self._sample_base / self.cfg.fs
+        else:
+            return None
+        if not self.ephemerides and not self.almanacs:
             return None
         out = []
         for p in candidates:
+            # ephemeris preferred; the weeks-valid almanac covers the
+            # common warm-start case where no ephemeris is stored
             eph = self.ephemerides.get((g.spec.system, p))
             if eph is None:
-                return None
+                alm = self.almanacs.get((g.spec.system, p))
+                if alm is None:
+                    return None
+                eph = alm.to_ephemeris()
             fd = self._control_mod.predicted_doppler(
-                eph, fix.pos_ecef, fix.tow_s, g.carrier_freq_for(p))
+                eph, pos, tow, g.carrier_freq_for(p))
             out.append(fd + g.if_freq_for(p) - self.cfg.if_freq_hz)
         return out
 
@@ -607,6 +629,7 @@ class Receiver:
                                       code_len=g.spec.code_length_chips,
                                       code_rate=g.spec.code_rate_cps,
                                       if_freq=g.if_freq_for(ch.prn),
+                                      carrier_freq=g.carrier_freq_for(ch.prn),
                                       record=rec, telemetry=ch.telemetry))
             obs = self.observables.compute(t, chans)
             if obs:
@@ -622,10 +645,13 @@ class Receiver:
         if not self.cfg.pvt_enabled:
             return
         inputs = pvt_solver.combine_iono_free(self.pvt_inputs(obs))
+        sbas_lt, sbas_iono = self.sbas_corrections()
         sol = pvt_solver.solve_pvt(
             inputs, self.ephemerides,
             iono=self.iono if self.cfg.pvt_apply_iono else None,
-            apply_tropo=self.cfg.pvt_apply_tropo)
+            apply_tropo=self.cfg.pvt_apply_tropo,
+            sbas_lt=sbas_lt,
+            sbas_iono=sbas_iono if self.cfg.pvt_apply_iono else None)
         if sol.valid:
             # week is set by the solver from the ephemeris that anchors
             # tow_s (rollover-corrected); no back-fill needed here
@@ -645,6 +671,36 @@ class Receiver:
                     iono = getattr(ch.telemetry.assembler, "iono", None)
                     if iono is not None and iono.valid:
                         self.iono = iono
+                    # constellation almanac from SF4/5 (or GNAV) pages:
+                    # pages name OTHER satellites, so key by the almanac's
+                    # own PRN, not the broadcasting channel's
+                    alms = getattr(ch.telemetry.assembler, "almanacs", None)
+                    if alms:
+                        for prn, alm in alms.items():
+                            self.almanacs[(g.spec.system, prn)] = alm
+
+    def sbas_corrections(self):
+        """(long-term corrections keyed (system, prn), iono grid) from the
+        tracked SBAS channels (reference rtklib sbssatcorr/sbsioncorr
+        inputs); (None, None) when SBAS is off or nothing is decoded."""
+        if not self.cfg.pvt_apply_sbas:
+            return None, None
+        lt: dict = {}
+        grid = None
+        for g in self.groups:
+            for ch in g.channels:
+                tlm = ch.telemetry
+                if ch.state != "tracking" or tlm is None:
+                    continue
+                mask = getattr(tlm, "prn_mask", None)
+                for slot, corr in getattr(tlm, "long_term", {}).items():
+                    # MT25 slots are 1-based mask positions
+                    if mask and 0 < slot <= len(mask):
+                        lt[("G", mask[slot - 1])] = corr
+                ig = getattr(tlm, "iono_grid", None)
+                if ig is not None and ig.n_points and grid is None:
+                    grid = ig
+        return (lt or None), grid
 
     def pvt_inputs(self, obs: list[ChannelObservable]) -> list:
         """Solver inputs for this receiver's observables (SBAS corrections
@@ -754,14 +810,25 @@ class Receiver:
                 d.close()
 
     def checkpoint(self, path) -> None:
-        """Persist assistance data (ephemeris/iono) for warm/hot start."""
-        self._control_mod.save_assistance(path, self.ephemerides, self.iono)
+        """Persist assistance data (ephemeris/almanac/iono + last position
+        and time) for warm/hot start."""
+        fix = self.latest_fix()
+        self._control_mod.save_assistance(
+            path, self.ephemerides, self.iono,
+            almanacs=self.almanacs,
+            position_ecef=(fix.pos_ecef if fix is not None
+                           else self.assist_pos),
+            tow_s=(fix.tow_s if fix is not None else self.assist_tow))
 
     def restore(self, path) -> None:
-        ephs, iono, _ = self._control_mod.load_assistance(path)
-        self.ephemerides.update(ephs)
-        if iono is not None:
-            self.iono = iono
+        a = self._control_mod.load_assistance(path)
+        self.ephemerides.update(a.ephemerides)
+        self.almanacs.update(a.almanacs)
+        if a.iono is not None:
+            self.iono = a.iono
+        if a.position_ecef is not None:
+            self.assist_pos = a.position_ecef
+            self.assist_tow = a.tow_s
 
     def step_source(self, source, cond=None, block_len: int | None = None,
                     input_filter=None) -> bool:
@@ -781,7 +848,10 @@ class Receiver:
         return True
 
     def run_source(self, source, max_chunks: int | None = None,
-                   input_filter=None) -> None:
+                   input_filter=None, double_buffer: bool = True) -> None:
+        if double_buffer:
+            return self._run_pipelined(source, None, self.chunk_len,
+                                       input_filter, max_chunks)
         n = 0
         while max_chunks is None or n < max_chunks:
             block = source.read(self.chunk_len)
@@ -792,28 +862,81 @@ class Receiver:
             self.process(block)
             n += 1
 
+    def _run_pipelined(self, source, cond, block_len: int, input_filter,
+                       max_chunks: int | None) -> None:
+        """Double-buffered chunk loop: a producer thread reads, filters and
+        rate-conditions chunk k+1 while the device processes chunk k
+        (SURVEY §2.4 pipeline-parallelism row — the reference overlaps its
+        source/conditioner blocks with the channel chain through GNU
+        Radio's per-block threads; here one prefetch thread suffices
+        because the whole channel chain is a single device program).
+        """
+        import queue as queue_mod
+        import threading
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def producer():
+            n = 0
+            try:
+                while ((max_chunks is None or n < max_chunks)
+                       and not stop.is_set()):
+                    block = source.read(block_len)
+                    if input_filter is not None and len(block):
+                        block = input_filter(block)
+                    if len(block) < (2 if cond is not None else 1):
+                        break
+                    if cond is not None:
+                        block = np.asarray(cond(block))
+                    q.put(block)
+                    n += 1
+            finally:
+                q.put(None)                  # end-of-stream sentinel
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                block = q.get()
+                if block is None:
+                    break
+                self.process(block)
+        finally:
+            stop.set()
+            # drain so a blocked producer can observe the stop flag
+            try:
+                while q.get_nowait() is not None:
+                    pass
+            except queue_mod.Empty:
+                pass
+            t.join(timeout=5.0)
+
     def run_file_source(self, source, max_chunks: int | None = None,
-                        input_filter=None) -> None:
+                        input_filter=None, double_buffer: bool = True
+                        ) -> None:
         """Run from a source whose rate may exceed the internal rate; a
         decimating FIR (integer ratios) or polyphase fractional resampler
         (reference Mmse_Resampler) bridges the rates, with an optional
         ``input_filter`` (notch / pulse blanking / beamformer, see
         config.ini.input_filter_from_ini) applied at the source rate first
         (reference: SignalConditioner = DataTypeAdapter -> InputFilter ->
-        Resampler)."""
+        Resampler). ``double_buffer`` overlaps the host-side
+        read/filter/condition of the next chunk with device processing."""
         cond, block_len = make_rate_conditioner(source.fs, self.cfg.fs,
                                                 self.chunk_len)
-        if cond is None:
-            return self.run_source(source, max_chunks,
-                                   input_filter=input_filter)
+        if double_buffer:
+            return self._run_pipelined(source, cond, block_len,
+                                       input_filter, max_chunks)
         n = 0
         while max_chunks is None or n < max_chunks:
             block = source.read(block_len)
             if input_filter is not None and len(block):
                 block = input_filter(block)
-            if len(block) < 2:
+            if len(block) < (2 if cond is not None else 1):
                 break
-            self.process(np.asarray(cond(block)))
+            self.process(np.asarray(cond(block))
+                         if cond is not None else block)
             n += 1
 
     # ------------------------------------------------------------- queries

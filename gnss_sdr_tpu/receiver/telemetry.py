@@ -814,6 +814,11 @@ class SbasL1Telemetry:
         self.messages: list[tuple[int, np.ndarray]] = []   # (type, data212)
         self.fast_corrections: dict[int, float] = {}       # mask slot -> PRC m
         self.prn_mask: list[int] = []
+        # MT24/25 long-term corrections keyed by mask slot number and the
+        # MT18/26 ionospheric grid (reference rtklib_sbas.cc sbssat_t
+        # lcorr / sbsion_t)
+        self.long_term: dict[int, object] = {}
+        self.iono_grid = sbas.SbasIonoGrid()
         self.message_count = 0
         self._decoded_upto_sym = 0
         self._next_bit = 0              # dedup across overlapping windows
@@ -878,6 +883,23 @@ class SbasL1Telemetry:
                     for k, prc in enumerate(prcs):
                         if udrei[k] < 14:       # monitored
                             self.fast_corrections[base + k] = prc
+                elif mtype == 24:
+                    p24 = self._sbas.parse_type24(data)
+                    for k, prc in enumerate(p24["prcs"]):
+                        if p24["udrei"][k] < 14:
+                            self.fast_corrections[
+                                13 * p24["block"] + k] = prc
+                    for c in p24["long_term"]:
+                        self.long_term[c.mask_no] = c
+                elif mtype == 25:
+                    for c in self._sbas.parse_type25(data):
+                        self.long_term[c.mask_no] = c
+                elif mtype == 18:
+                    self.iono_grid.update_mask(
+                        self._sbas.parse_type18_igp_mask(data))
+                elif mtype == 26:
+                    self.iono_grid.update_delays(
+                        self._sbas.parse_type26_iono_delays(data))
             adv = len(seg) - (self._sbas.MSG_SYMBOLS + 120)
             self._decoded_upto_sym += max(2, adv - adv % 2)
 

@@ -15,6 +15,7 @@ import dataclasses
 import numpy as np
 
 from gnss_sdr_tpu import constants
+from gnss_sdr_tpu.models.almanac import GpsAlmanac
 from gnss_sdr_tpu.models.ephemeris import KeplerEphemeris
 from gnss_sdr_tpu.models.nav import gps_lnav
 from gnss_sdr_tpu.receiver.pvt import geodesy
@@ -53,7 +54,13 @@ def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
                           fs: float = 2.046e6, n_sats: int = 6,
                           cn0_dbhz: float = 47.0,
                           ephemerides: dict | None = None,
-                          vel_enu: tuple = (0.0, 0.0, 0.0)) -> Scenario:
+                          vel_enu: tuple = (0.0, 0.0, 0.0),
+                          almanac_pages: bool = False,
+                          broadcast_ephemerides: dict | None = None,
+                          extra_code_delay_s: dict | None = None,
+                          sbas_prn: int | None = None,
+                          sbas_messages: list | None = None,
+                          sbas_cn0_dbhz: float = 47.0) -> Scenario:
     """Build a GPS L1 C/A scenario (static, or constant-velocity ``vel_enu``).
 
     The LNAV streams cycle subframes (1,2,3) so ephemeris is decodable within
@@ -61,6 +68,14 @@ def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
     exact light-time solution — worst-case deviation over 30 s is millimetric
     (constant receiver velocity only bends t_tx(t) quadratically through the
     slowly-rotating line of sight, which the fit absorbs).
+
+    Degradation/augmentation knobs (SBAS system tests):
+    ``broadcast_ephemerides``: per-PRN ephemerides ENCODED into LNAV while
+    the signal geometry stays on the truth set — models broadcast errors.
+    ``extra_code_delay_s``: per-PRN additional group delay (e.g. slant
+    iono / c). ``sbas_prn`` + ``sbas_messages`` add an SBAS L1 channel
+    (C/A PRN 120-138, 500 sps MOPS stream) carrying the given (type,
+    data212) messages on a cycle.
     """
     ephs = ephemerides or constellation.almanac_constellation()
     for e in ephs.values():
@@ -90,8 +105,14 @@ def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
     tow_bits_start = 6.0 * np.floor(min(t_tx0.values()) / 6.0)
 
     n_subframes = int(np.ceil((duration_s + 12.0) / 6.0)) + 1
+    # SF4/5 almanac paging: every satellite broadcasts the constellation
+    # almanac; stagger the page sequence per satellite so a multi-channel
+    # receiver collects the full set in a fraction of the 12.5 min one
+    # channel would need (real paging differs per SV the same way)
+    almanacs = ([GpsAlmanac.from_ephemeris(ephs[p]) for p in chosen]
+                if almanac_pages else None)
     sats = []
-    for prn in chosen:
+    for si, prn in enumerate(chosen):
         eph = ephs[prn]
         # quadratic fit of t_tx_sv(t), t = receiver time since sample 0
         ts = np.array([0.0, duration_s / 2.0, duration_s])
@@ -103,17 +124,60 @@ def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
         # generator model: chip_phase(t) = R*(t - d + (fd*t + 0.5*r*t^2)/fc)
         # matching R*(t_tx_sv(t) - tow_bits_start) termwise gives d = tow - a0
         code_delay = tow_bits_start - a0
+        code_delay += (extra_code_delay_s or {}).get(prn, 0.0)
         bits = generator.lnav_bits_to_symbols(gps_lnav.encode_frames(
-            eph, tow_bits_start, n_subframes, sfid_cycle=(1, 2, 3)))
+            (broadcast_ephemerides or ephs).get(prn, eph),
+            tow_bits_start, n_subframes,
+            sfid_cycle=(1, 2, 3, 5) if almanac_pages else (1, 2, 3),
+            almanacs=almanacs, alm_start=si))
         sats.append(generator.SatParams(
             prn=prn, cn0_dbhz=cn0_dbhz, doppler_hz=doppler,
             doppler_rate_hz_s=doppler_rate, code_delay_s=code_delay,
             data_bits=bits))
 
-    return Scenario(rcv_ecef=rcv, rcv_llh=rcv_llh, t0_gps=t0_gps,
-                    tow_bits_start=tow_bits_start, duration_s=duration_s,
-                    fs=fs, ephemerides=ephs, sats=sats, prns=chosen,
-                    rcv_vel_ecef=vel_ecef)
+    sc = Scenario(rcv_ecef=rcv, rcv_llh=rcv_llh, t0_gps=t0_gps,
+                  tow_bits_start=tow_bits_start, duration_s=duration_s,
+                  fs=fs, ephemerides=ephs, sats=sats, prns=chosen,
+                  rcv_vel_ecef=vel_ecef)
+    if sbas_prn is not None:
+        _add_sbas_channel(sc, sbas_prn, sbas_messages or [], sbas_cn0_dbhz)
+    return sc
+
+
+def _add_sbas_channel(sc: Scenario, prn: int, messages: list,
+                      cn0_dbhz: float) -> None:
+    """Overlay one SBAS L1 channel (C/A PRN 120-138, 250 bps MOPS messages
+    FEC-encoded to 500 sps) on a GPS L1 scenario: per-satellite generation
+    with a 2 ms symbol period spec, summed into the composite before the
+    shared noise floor (like the GLONASS per-slot path). GEO-like channel:
+    near-zero Doppler, fixed delay. ``messages``: (type, data212) list,
+    cycled for the scenario duration."""
+    import dataclasses as _dc
+
+    from gnss_sdr_tpu.models.nav import sbas as sbas_mod
+
+    n_msgs = int(np.ceil(sc.duration_s)) + 2
+    cycle = [messages[k % len(messages)] for k in range(n_msgs)]
+    sym01 = sbas_mod.encode_stream(
+        [(t, d) for t, d in cycle])
+    # chip convention: bit b -> +-(1-2b) and the telemetry reads
+    # soft(+ == bit1) = -I, matching generator's lnav_bits_to_symbols
+    sym = generator.lnav_bits_to_symbols(sym01)
+    spec_sbas = _dc.replace(constants.GPS_L1_CA, bit_period_ms=2,
+                            prn_max=138)
+    sbas_sat = generator.SatParams(prn=prn, cn0_dbhz=cn0_dbhz,
+                                   doppler_hz=40.0, code_delay_s=0.0265,
+                                   data_bits=sym)
+    base_generate = sc.generate
+
+    def _generate(seed: int = 0, noise: bool = True) -> np.ndarray:
+        x = base_generate(seed=seed, noise=noise)
+        xs = generator.generate(spec_sbas, [sbas_sat], sc.fs, sc.duration_s,
+                                noise=False)
+        return (x + xs).astype(np.complex64)
+
+    sc.generate = _generate
+    sc.sbas_prn = prn
 
 
 def build_gps_l5_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),

@@ -50,15 +50,27 @@ def test_assistance_roundtrip(tmp_path):
     iono = IonoParams(alpha=(1e-8, 2e-8, -1e-7, 3e-8),
                       beta=(88064.0, 0.0, -196608.0, 0.0), valid=True)
     p = tmp_path / "assist.json"
-    control.save_assistance(p, {7: eph}, iono)
-    ephs, iono2, _ = control.load_assistance(p)
+    from gnss_sdr_tpu.models.almanac import GpsAlmanac
+    alm = GpsAlmanac.from_ephemeris(eph)
+    control.save_assistance(p, {7: eph}, iono,
+                            almanacs={("G", eph.prn): alm},
+                            position_ecef=np.array([4.7e6, 1.6e5, 4.1e6]),
+                            tow_s=345601.5)
+    a = control.load_assistance(p)
+    ephs, iono2 = a.ephemerides, a.iono
     assert ("G", 7) in ephs
     assert ephs[("G", 7)].sqrt_a == eph.sqrt_a
     assert ephs[("G", 7)].m0 == eph.m0
     assert iono2.valid and iono2.alpha == iono.alpha
+    # warm-start state round-trips: almanac + position + time
+    assert a.almanacs[("G", eph.prn)].sqrt_a == alm.sqrt_a
+    assert a.almanacs[("G", eph.prn)].toa == alm.toa
+    np.testing.assert_allclose(a.position_ecef, [4.7e6, 1.6e5, 4.1e6])
+    assert a.tow_s == 345601.5
     # missing file -> empty
-    ephs3, i3, u3 = control.load_assistance(tmp_path / "nope.json")
-    assert ephs3 == {} and i3 is None
+    a3 = control.load_assistance(tmp_path / "nope.json")
+    assert a3.ephemerides == {} and a3.iono is None
+    assert a3.almanacs == {} and a3.position_ecef is None
 
 
 def test_receiver_command_dispatch():

@@ -1,0 +1,121 @@
+"""System test: SBAS L1 channel correcting a degraded GPS fix.
+
+Reference analog: the SBAS chain (sbas_l1_telemetry_decoder_gs +
+rtklib_sbas.cc corrections) feeding the PVT. The scenario injects
+per-satellite broadcast CLOCK errors (the LNAV encodes perturbed af0 while
+the signal geometry stays on the truth ephemerides) and adds one SBAS
+channel (C/A PRN 120-138, 500 sps MOPS) broadcasting the PRN mask and
+MT25 long-term corrections that cancel the errors. The same capture is
+processed with SBAS application off and on: the corrected fix must meet
+the standard budget while the uncorrected one misses it.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu import constants as C
+from gnss_sdr_tpu.models.nav import sbas
+from gnss_sdr_tpu.io.sources import ArraySignalSource
+from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+from gnss_sdr_tpu.receiver.pvt import geodesy
+from gnss_sdr_tpu.utils import fixture_cache, scenario as scen
+
+DUR = 30.0
+FS = 2.046e6
+SBAS_PRN = 123
+
+
+@pytest.fixture(scope="module")
+def sbas_run():
+    rng = np.random.default_rng(17)
+    # build the truth scenario first to learn the chosen satellites
+    base = scen.build_gps_l1_scenario(duration_s=DUR, n_sats=5,
+                                      cn0_dbhz=47.0, fs=FS)
+    prns = base.prns
+    daf0_err = {p: float(rng.uniform(4e-8, 9e-8)) * (1 if i % 2 else -1)
+                for i, p in enumerate(prns)}
+    bad = {p: dataclasses.replace(base.ephemerides[p],
+                                  af0=base.ephemerides[p].af0 + daf0_err[p])
+           for p in prns}
+
+    # SBAS message cycle: type-1 PRN mask + MT25 long-term corrections
+    # (velocity code 0, two satellites per half) canceling the clock errors
+    mask_bits = np.zeros(212, np.uint8)
+    for p in prns:
+        mask_bits[p - 1] = 1               # type-1 mask bit for GPS PRN p
+    slots = {p: k + 1 for k, p in enumerate(sorted(prns))}  # 1-based
+    lt = [sbas.LongTermCorrection(mask_no=slots[p], iode=0,
+                                  dpos=(0.0, 0.0, 0.0), daf0=-daf0_err[p])
+          for p in sorted(prns)]
+    halves = []
+    for k in range(0, len(lt), 2):
+        halves.append(sbas.encode_type25_half(
+            lt[k], lt[k + 1] if k + 1 < len(lt) else None))
+    halves += [np.zeros(106, np.uint8)] * (len(halves) % 2)
+    msgs = [(1, mask_bits)]
+    for k in range(0, len(halves), 2):
+        msgs.append((25, sbas.encode_type25(halves[k], halves[k + 1])))
+
+    sc = scen.build_gps_l1_scenario(duration_s=DUR, n_sats=5,
+                                    cn0_dbhz=47.0, fs=FS,
+                                    broadcast_ephemerides=bad,
+                                    sbas_prn=SBAS_PRN, sbas_messages=msgs)
+    assert sc.prns == prns
+    x = fixture_cache.cached_iq(
+        "e2e_sbas", dict(dur=DUR, fs=FS, seed=23,
+                         errs=tuple(sorted(daf0_err.items()))),
+        lambda: sc.generate(seed=23))
+    return sc, x, daf0_err
+
+
+def _run(sc, x, apply_sbas: bool) -> Receiver:
+    rx = Receiver(ReceiverConfig(
+        signal="1C", fs=FS, n_channels=6,
+        prns=tuple(list(sc.prns) + [SBAS_PRN]), chunk_ms=100,
+        pvt_apply_tropo=False, pvt_apply_iono=False,
+        pvt_apply_sbas=apply_sbas))
+    rx.run_source(ArraySignalSource(x, FS))
+    return rx
+
+
+@pytest.fixture(scope="module")
+def corrected(sbas_run):
+    sc, x, _ = sbas_run
+    return _run(sc, x, apply_sbas=True)
+
+
+def test_sbas_channel_tracked_and_decoded(corrected, sbas_run):
+    sc, _, daf0_err = sbas_run
+    rx = corrected
+    assert SBAS_PRN in rx.tracked_prns()
+    tlm = next(ch.telemetry for g in rx.groups for ch in g.channels
+               if ch.prn == SBAS_PRN)
+    assert tlm.message_count >= 3
+    assert tlm.prn_mask == sorted(sc.prns)
+    # long-term corrections recovered for every masked satellite
+    assert len(tlm.long_term) == len(sc.prns)
+    for p in sc.prns:
+        slot = sorted(sc.prns).index(p) + 1
+        got = tlm.long_term[slot].daf0
+        assert abs(got - (-daf0_err[p])) <= 2.0 ** -31, (p, got)
+
+
+def test_sbas_corrects_degraded_fix(corrected, sbas_run):
+    sc, x, _ = sbas_run
+    rx_off = _run(sc, x, apply_sbas=False)
+    rx_on = corrected
+    assert len(rx_off.fixes) >= 3 and len(rx_on.fixes) >= 3
+    lat, lon, _h = sc.rcv_llh
+
+    def err3d(rx):
+        enu = np.stack([geodesy.ecef_to_enu(f.pos_ecef - sc.rcv_ecef,
+                                            lat, lon)
+                        for f in rx.fixes[-5:]]).mean(axis=0)
+        return float(np.linalg.norm(enu))
+
+    e_off, e_on = err3d(rx_off), err3d(rx_on)
+    assert e_off > 4.0, f"degradation too small ({e_off:.1f} m)"
+    assert e_on < 2.5, f"SBAS-corrected 3D error {e_on:.2f} m"
+    assert e_on < e_off / 3.0

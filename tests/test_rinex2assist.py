@@ -45,6 +45,6 @@ def test_rinex2assist_end_to_end(tmp_path):
     out = tmp_path / "assist.json"
     n = rinex2assist.rinex2assist(nav, out, "G")
     assert n == 1
-    ephs, _, _ = control.load_assistance(out)
+    ephs = control.load_assistance(out).ephemerides
     assert ("G", 7) in ephs
     assert abs(ephs[("G", 7)].sqrt_a - eph.sqrt_a) < 1e-6
