@@ -197,30 +197,83 @@ class RinexNavWriter:
     rejected instead of silently mis-formatted.
     """
 
-    def __init__(self, path):
+    def __init__(self, path, version: str = "3.02",
+                 iono=None, utc=None, leap_seconds: int | None = None):
+        """``version``: "3.02" (mixed) or "2.11" (GPS-only layout, the
+        reference's PVT.rinex_version=2 path, rinex_printer.cc
+        rinex_nav_header v2 builders). ``iono``/``utc``: IonoParams /
+        UtcParams for the correction header lines."""
         self.path = pathlib.Path(path)
+        self.version = str(version)
         self._f = open(self.path, "w")
         self._wrote_header = False
         self._written: set[tuple] = set()
+        self._iono = iono
+        self._utc = utc
+        self._leap = leap_seconds
 
     def _header(self) -> None:
         f = self._f
-        f.write(_hline("     3.02           N: GNSS NAV DATA    M: Mixed",
-                       "RINEX VERSION / TYPE"))
+        if self.version.startswith("2"):
+            f.write(_hline("     2.11           N: GPS NAV DATA",
+                           "RINEX VERSION / TYPE"))
+        else:
+            f.write(_hline("     3.02           N: GNSS NAV DATA    M: Mixed",
+                           "RINEX VERSION / TYPE"))
         now = datetime.datetime.now(datetime.timezone.utc)
         f.write(_hline(f"gnss_sdr_tpu        CTTC-TPU            {now:%Y%m%d %H%M%S} UTC",
                        "PGM / RUN BY / DATE"))
+        if self._iono is not None and getattr(self._iono, "valid", False):
+            if self.version.startswith("2"):
+                # v2.11: ION ALPHA / ION BETA (2X, 4D12.4)
+                a = "".join(f"{v: 12.4E}".replace("E", "D")
+                            for v in self._iono.alpha)
+                b = "".join(f"{v: 12.4E}".replace("E", "D")
+                            for v in self._iono.beta)
+                f.write(_hline(f"  {a}", "ION ALPHA"))
+                f.write(_hline(f"  {b}", "ION BETA"))
+            else:
+                a = "".join(f"{v: 12.4E}" for v in self._iono.alpha)
+                b = "".join(f"{v: 12.4E}" for v in self._iono.beta)
+                f.write(_hline(f"GPSA {a}", "IONOSPHERIC CORR"))
+                f.write(_hline(f"GPSB {b}", "IONOSPHERIC CORR"))
+        if self._utc is not None and getattr(self._utc, "valid", False):
+            if self.version.startswith("2"):
+                f.write(_hline(
+                    f"   {self._utc.a0: 19.12E}{self._utc.a1: 19.12E}"
+                    f"{int(self._utc.tot):9d}{int(self._utc.wnt):9d}"
+                    .replace("E", "D"), "DELTA-UTC: A0,A1,T,W"))
+            else:
+                f.write(_hline(
+                    f"GPUT {self._utc.a0: 17.10E}{self._utc.a1: 16.9E}"
+                    f"{int(self._utc.tot):7d}{int(self._utc.wnt):5d}",
+                    "TIME SYSTEM CORR"))
+        leap = self._leap
+        if leap is None and self._utc is not None and getattr(
+                self._utc, "valid", False):
+            leap = int(self._utc.delta_t_ls)
+        if leap is not None:
+            f.write(_hline(f"{leap:6d}", "LEAP SECONDS"))
         f.write(_hline("", "END OF HEADER"))
         self._wrote_header = True
 
     def _epoch_line(self, system: str, prn: int, t, a0, a1, a2) -> None:
+        if self.version.startswith("2"):
+            # v2.11 GPS nav: I2 PRN, 2-digit year, F5.1 seconds
+            self._f.write(
+                f"{prn:2d} {t.year % 100:02d} {t.month:2d} {t.day:2d} "
+                f"{t.hour:2d} {t.minute:2d} {t.second + t.microsecond / 1e6:4.1f}"
+                f"{_f1912(a0)}{_f1912(a1)}{_f1912(a2)}\n")
+            return
         self._f.write(
             f"{system}{prn:02d} {t.year:4d} {t.month:02d} {t.day:02d} "
             f"{t.hour:02d} {t.minute:02d} {t.second:02d}"
             f"{_f1912(a0)}{_f1912(a1)}{_f1912(a2)}\n")
 
     def _line(self, *vals) -> None:
-        self._f.write("    " + "".join(_f1912(v) for v in vals) + "\n")
+        # v2.11 orbit lines are indented 3 columns, v3 records 4
+        pad = "   " if self.version.startswith("2") else "    "
+        self._f.write(pad + "".join(_f1912(v) for v in vals) + "\n")
 
     def write_ephemeris(self, eph, system: str = "G",
                         glonass_date: datetime.date | None = None) -> None:
@@ -229,8 +282,16 @@ class RinexNavWriter:
         for R; ``glonass_date`` gives the UTC date of the geph epoch (the
         GNAV strings carry only time-of-day)."""
         if hasattr(eph, "tb_s"):                        # GLONASS geph
+            if self.version.startswith("2"):
+                raise ValueError(
+                    "RINEX 2.11 nav files are GPS-only ('N: GPS NAV DATA');"
+                    " write GLONASS geph to a 3.02 file")
             self._write_geph(eph, glonass_date)
             return
+        if self.version.startswith("2") and system != "G":
+            raise ValueError(
+                f"RINEX 2.11 nav files are GPS-only; system {system!r} "
+                "needs version 3.02")
         if system not in ("G", "E", "C"):
             raise ValueError(
                 f"no RINEX nav layout for system {system!r} with a Kepler "
@@ -304,10 +365,11 @@ class RinexNavReader:
         self.path = pathlib.Path(path)
 
     @staticmethod
-    def _floats(s: str, n: int) -> list:
+    def _floats(s: str, n: int, start: int = 4) -> list:
         out = []
         for i in range(n):
-            chunk = s[4 + 19 * i: 4 + 19 * (i + 1)].replace("D", "E").strip()
+            chunk = s[start + 19 * i: start + 19 * (i + 1)] \
+                .replace("D", "E").strip()
             out.append(float(chunk) if chunk else 0.0)
         return out
 
@@ -318,6 +380,7 @@ class RinexNavReader:
         from gnss_sdr_tpu import constants as C
 
         lines = self.path.read_text().splitlines()
+        v2 = bool(lines) and lines[0][:9].strip().startswith("2")
         i = 0
         while i < len(lines) and "END OF HEADER" not in lines[i]:
             i += 1
@@ -325,6 +388,43 @@ class RinexNavReader:
         out: dict = {}
         while i < len(lines):
             ln = lines[i]
+            if v2:
+                # 2.11 GPS-only layout: I2 PRN, 2-digit year, F5.1 seconds
+                if len(ln) < 23 or not ln[:2].strip().isdigit():
+                    i += 1
+                    continue
+                system = "G"
+                prn = int(ln[:2])
+                yy = int(ln[3:5])
+                y = yy + (2000 if yy < 80 else 1900)
+                mo, d, h, mi = (int(ln[6:8]), int(ln[9:11]),
+                                int(ln[12:14]), int(ln[15:17]))
+                s = int(float(ln[17:22]))
+                a = [float(ln[22 + 19 * k: 22 + 19 * (k + 1)]
+                           .replace("D", "E")) for k in range(3)]
+                rows = [self._floats(lines[i + k], 4, start=3)
+                        for k in range(1, 7)]
+                tail = (self._floats(lines[i + 7], 2, start=3)
+                        if i + 7 < len(lines) else [0.0, 0.0])
+                week = int(rows[4][2])
+                _, toc = gpsdatetime_to_gps(
+                    datetime.datetime(y, mo, d, h, mi, s))
+                out[("G", prn)] = KeplerEphemeris(
+                    prn=prn, week=week, toc=toc,
+                    af0=a[0], af1=a[1], af2=a[2],
+                    iode=int(rows[0][0]), crs=rows[0][1],
+                    delta_n=rows[0][2], m0=rows[0][3],
+                    cuc=rows[1][0], e=rows[1][1], cus=rows[1][2],
+                    sqrt_a=rows[1][3],
+                    toe=rows[2][0], cic=rows[2][1], omega0=rows[2][2],
+                    cis=rows[2][3],
+                    i0=rows[3][0], crc=rows[3][1], omega=rows[3][2],
+                    omega_dot=rows[3][3],
+                    idot=rows[4][0],
+                    ura=int(rows[5][0]), health=int(rows[5][1]),
+                    tgd=rows[5][2], iodc=int(rows[5][3]))
+                i += 8
+                continue
             if len(ln) < 23 or ln[0] not in "GECR":
                 i += 1
                 continue

@@ -45,6 +45,12 @@ class BitWriter:
     def uq(self, value: float, scale: float, n: int) -> None:
         self.u(int(round(value / scale)), n)
 
+    def smq(self, value: float, scale: float, n: int) -> None:
+        """Sign-magnitude quantized field (GLONASS RTCM convention,
+        DF105..DF136: MSB = sign, remaining n-1 bits = magnitude)."""
+        v = int(round(abs(value) / scale))
+        self.u((1 << (n - 1)) | v if value < 0 else v, n)
+
     def array(self) -> np.ndarray:
         return np.asarray(self.bits, np.uint8)
 
@@ -72,6 +78,12 @@ class BitReader:
 
     def uq(self, scale: float, n: int) -> float:
         return self.u(n) * scale
+
+    def smq(self, scale: float, n: int) -> float:
+        """Sign-magnitude quantized field (inverse of BitWriter.smq)."""
+        v = self.u(n)
+        mag = (v & ((1 << (n - 1)) - 1)) * scale
+        return -mag if v >> (n - 1) else mag
 
 
 def _bits_to_bytes(bits: np.ndarray) -> bytes:
@@ -343,6 +355,201 @@ def decode_1045(bits: np.ndarray) -> KeplerEphemeris:
     return e
 
 
+def encode_1006(station_id: int, ecef: np.ndarray, height_m: float, *,
+                gps: bool = True, glo: bool = False, gal: bool = True
+                ) -> np.ndarray:
+    """Station reference point WITH antenna height (reference
+    Rtcm::print_MT1006 / rtklib_rtcm3.cc decode_type1006)."""
+    w = BitWriter()
+    w.u(1006, 12)
+    w.u(station_id, 12)
+    w.u(0, 6)                      # ITRF realization year
+    w.u(1 if gps else 0, 1)
+    w.u(1 if glo else 0, 1)
+    w.u(1 if gal else 0, 1)
+    w.u(0, 1)
+    w.sq(ecef[0], 1e-4, 38)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.sq(ecef[1], 1e-4, 38)
+    w.u(0, 2)
+    w.sq(ecef[2], 1e-4, 38)
+    w.uq(height_m, 1e-4, 16)       # DF028 antenna height
+    return w.array()
+
+
+def decode_1006(bits: np.ndarray) -> dict:
+    r = BitReader(bits)
+    assert r.u(12) == 1006
+    station = r.u(12)
+    r.u(6)
+    gps, glo, gal = r.u(1), r.u(1), r.u(1)
+    r.u(1)
+    x = r.sq(1e-4, 38)
+    r.u(2)
+    y = r.sq(1e-4, 38)
+    r.u(2)
+    z = r.sq(1e-4, 38)
+    h = r.uq(1e-4, 16)
+    return dict(station_id=station, ecef=np.array([x, y, z]),
+                height_m=h, gps=bool(gps), glo=bool(glo), gal=bool(gal))
+
+
+def encode_1020(eph) -> np.ndarray:
+    """GLONASS broadcast ephemeris (GlonassEphemeris state vector).
+
+    Field layout per RTCM 10403 MT1020 (reference ``Rtcm::print_MT1020``,
+    ``rtklib_rtcm3.cc decode_type1020``): positions/velocities/accelerations
+    in km sign-magnitude, tb as a 15-min index of the GLONASS day.
+    """
+    w = BitWriter()
+    w.u(1020, 12)
+    w.u(eph.slot, 6)
+    w.u((eph.freq_slot + 7) & 0x1F, 5)
+    w.u(0, 1)                      # almanac health
+    w.u(0, 1)                      # almanac health availability
+    w.u(0, 2)                      # P1
+    tk = int(eph.tb_s)
+    w.u((tk // 3600) % 32, 5)
+    w.u((tk % 3600) // 60, 6)
+    w.u((tk % 60) // 30, 1)
+    w.u(1 if eph.health else 0, 1)  # Bn msb (unhealthy flag)
+    w.u(0, 1)                      # P2
+    w.u(int(round(eph.tb_s / 900.0)) & 0x7F, 7)
+    w.smq(eph.vel_m_s[0] * 1e-3, 2.0 ** -20, 24)
+    w.smq(eph.pos_m[0] * 1e-3, 2.0 ** -11, 27)
+    w.smq(eph.acc_m_s2[0] * 1e-3, 2.0 ** -30, 5)
+    w.smq(eph.vel_m_s[1] * 1e-3, 2.0 ** -20, 24)
+    w.smq(eph.pos_m[1] * 1e-3, 2.0 ** -11, 27)
+    w.smq(eph.acc_m_s2[1] * 1e-3, 2.0 ** -30, 5)
+    w.smq(eph.vel_m_s[2] * 1e-3, 2.0 ** -20, 24)
+    w.smq(eph.pos_m[2] * 1e-3, 2.0 ** -11, 27)
+    w.smq(eph.acc_m_s2[2] * 1e-3, 2.0 ** -30, 5)
+    w.u(0, 1)                      # P3
+    w.smq(eph.gamma_n, 2.0 ** -40, 11)
+    w.u(0, 2)                      # P
+    w.u(0, 1)                      # ln (third string)
+    w.smq(eph.tau_n, 2.0 ** -30, 22)
+    w.smq(getattr(eph, "delta_tau_n", 0.0), 2.0 ** -30, 5)
+    w.u(0, 5)                      # En (age)
+    w.u(0, 1)                      # P4
+    w.u(0, 4)                      # Ft
+    w.u(0, 11)                     # Nt (day number)
+    w.u(0, 2)                      # M (sat type)
+    w.u(0, 1)                      # availability of additional data
+    w.u(0, 11)                     # Na
+    w.u(0, 32)                     # tau_c
+    w.u(0, 5)                      # N4
+    w.u(0, 22)                     # tau_gps
+    w.u(0, 1)                      # ln (fifth string)
+    w.u(0, 7)                      # reserved
+    return w.array()
+
+
+def decode_1020(bits: np.ndarray):
+    from gnss_sdr_tpu.models.nav.glonass_gnav import GlonassEphemeris
+    r = BitReader(bits)
+    assert r.u(12) == 1020
+    slot = r.u(6)
+    freq_slot = r.u(5) - 7
+    r.u(1 + 1 + 2)                 # almanac health/avail, P1
+    r.u(5 + 6 + 1)                 # tk
+    bn = r.u(1)
+    r.u(1)                         # P2
+    tb = r.u(7) * 900.0
+    vx = r.smq(2.0 ** -20, 24) * 1e3
+    x = r.smq(2.0 ** -11, 27) * 1e3
+    ax = r.smq(2.0 ** -30, 5) * 1e3
+    vy = r.smq(2.0 ** -20, 24) * 1e3
+    y = r.smq(2.0 ** -11, 27) * 1e3
+    ay = r.smq(2.0 ** -30, 5) * 1e3
+    vz = r.smq(2.0 ** -20, 24) * 1e3
+    z = r.smq(2.0 ** -11, 27) * 1e3
+    az = r.smq(2.0 ** -30, 5) * 1e3
+    r.u(1)                         # P3
+    gamma = r.smq(2.0 ** -40, 11)
+    r.u(2 + 1)                     # P, ln
+    tau = r.smq(2.0 ** -30, 22)
+    r.smq(2.0 ** -30, 5)           # delta_tau
+    return GlonassEphemeris(
+        slot=slot, freq_slot=freq_slot, tb_s=tb,
+        pos_m=(x, y, z), vel_m_s=(vx, vy, vz), acc_m_s2=(ax, ay, az),
+        gamma_n=gamma, tau_n=tau, health=bn)
+
+
+def encode_1042(eph: KeplerEphemeris) -> np.ndarray:
+    """BeiDou D1/D2 broadcast ephemeris (RTCM 10403 MT1042; reference
+    rtklib_rtcm3.cc decode_type1042 field table)."""
+    w = BitWriter()
+    w.u(1042, 12)
+    w.u(eph.prn, 6)
+    w.u(eph.week % 8192, 13)
+    w.u(eph.ura & 0xF, 4)
+    w.sq(eph.idot / _SC, 2.0 ** -43, 14)
+    w.u(eph.iode & 0x1F, 5)                    # AODE
+    w.uq(eph.toc, 8.0, 17)
+    w.sq(eph.af2, 2.0 ** -66, 11)
+    w.sq(eph.af1, 2.0 ** -50, 22)
+    w.sq(eph.af0, 2.0 ** -33, 24)
+    w.u(eph.iodc & 0x1F, 5)                    # AODC
+    w.sq(eph.crs, 2.0 ** -6, 18)
+    w.sq(eph.delta_n / _SC, 2.0 ** -43, 16)
+    w.sq(eph.m0 / _SC, 2.0 ** -31, 32)
+    w.sq(eph.cuc, 2.0 ** -31, 18)
+    w.uq(eph.e, 2.0 ** -33, 32)
+    w.sq(eph.cus, 2.0 ** -31, 18)
+    w.uq(eph.sqrt_a, 2.0 ** -19, 32)
+    w.uq(eph.toe, 8.0, 17)
+    w.sq(eph.cic, 2.0 ** -31, 18)
+    w.sq(eph.omega0 / _SC, 2.0 ** -31, 32)
+    w.sq(eph.cis, 2.0 ** -31, 18)
+    w.sq(eph.i0 / _SC, 2.0 ** -31, 32)
+    w.sq(eph.crc, 2.0 ** -6, 18)
+    w.sq(eph.omega / _SC, 2.0 ** -31, 32)
+    w.sq(eph.omega_dot / _SC, 2.0 ** -43, 24)
+    w.sq(eph.tgd, 1e-10, 10)                   # TGD1 (0.1 ns)
+    w.sq(0.0, 1e-10, 10)                       # TGD2
+    w.u(eph.health & 1, 1)
+    return w.array()
+
+
+def decode_1042(bits: np.ndarray) -> KeplerEphemeris:
+    from gnss_sdr_tpu import constants
+    r = BitReader(bits)
+    assert r.u(12) == 1042
+    e = KeplerEphemeris()
+    e.prn = r.u(6)
+    e.week = r.u(13)
+    e.ura = r.u(4)
+    e.idot = r.sq(2.0 ** -43, 14) * _SC
+    e.iode = r.u(5)
+    e.toc = r.uq(8.0, 17)
+    e.af2 = r.sq(2.0 ** -66, 11)
+    e.af1 = r.sq(2.0 ** -50, 22)
+    e.af0 = r.sq(2.0 ** -33, 24)
+    e.iodc = r.u(5)
+    e.crs = r.sq(2.0 ** -6, 18)
+    e.delta_n = r.sq(2.0 ** -43, 16) * _SC
+    e.m0 = r.sq(2.0 ** -31, 32) * _SC
+    e.cuc = r.sq(2.0 ** -31, 18)
+    e.e = r.uq(2.0 ** -33, 32)
+    e.cus = r.sq(2.0 ** -31, 18)
+    e.sqrt_a = r.uq(2.0 ** -19, 32)
+    e.toe = r.uq(8.0, 17)
+    e.cic = r.sq(2.0 ** -31, 18)
+    e.omega0 = r.sq(2.0 ** -31, 32) * _SC
+    e.cis = r.sq(2.0 ** -31, 18)
+    e.i0 = r.sq(2.0 ** -31, 32) * _SC
+    e.crc = r.sq(2.0 ** -6, 18)
+    e.omega = r.sq(2.0 ** -31, 32) * _SC
+    e.omega_dot = r.sq(2.0 ** -43, 24) * _SC
+    e.tgd = r.sq(1e-10, 10)
+    r.sq(1e-10, 10)
+    e.health = r.u(1)
+    e.gm = constants.GM_EARTH_BDS
+    return e
+
+
 # ---------------------------------------------------------------------------
 # MSM observables (reference Rtcm::print_MSM_1..7, rtcm.h)
 # ---------------------------------------------------------------------------
@@ -361,6 +568,9 @@ class MsmObservation:
     # 1002/1004/1012): consumers must not treat phase_rate_m_s=0 as a
     # measured Doppler (rtk_filter falls back to non-Doppler slip checks)
     has_rate: bool = True
+    # GLONASS FDMA channel k (from the MSM extended satellite info field);
+    # decides the per-slot carrier wavelength in differential processing
+    freq_slot: int = 0
 
 
 MSM4_GPS, MSM5_GPS, MSM7_GPS = 1074, 1075, 1077
@@ -463,7 +673,13 @@ def encode_msm(msg_num: int, station_id: int, epoch_ms: int,
         w.u(n_ms, 8)
     if has_rate:
         for p in sats:
-            w.u(0, 4)          # extended satellite info
+            if system == "R":
+                # extended satellite info = GLONASS frequency channel k+7
+                # (rtklib decode_msm_head sateph/glo_fcn handling)
+                any_o = next(o for o in obs if o.prn == p)
+                w.u((any_o.freq_slot + 7) & 0xF, 4)
+            else:
+                w.u(0, 4)
     for p in sats:
         any_o = next(o for o in obs if o.prn == p)
         frac = any_o.pseudorange_m / RANGE_MS - rough[p]
@@ -519,9 +735,8 @@ def decode_msm(bits: np.ndarray) -> tuple[dict, list[MsmObservation]]:
     present = [c for c in cells if r.u(1)]
 
     n_ms = {p: r.u(8) for p in sats}
-    if has_rate:
-        for p in sats:
-            r.u(4)
+    ext = ({p: r.u(4) for p in sats} if has_rate
+           else {p: 7 for p in sats})
     frac = {p: r.u(10) / 1024.0 for p in sats}
     rate = ({p: r.s(14) for p in sats} if has_rate
             else {p: 0 for p in sats})
@@ -543,7 +758,8 @@ def decode_msm(bits: np.ndarray) -> tuple[dict, list[MsmObservation]]:
             phase_range_m=rough[p] + fine_ph[k],
             phase_rate_m_s=rate[p] + fine_rate[k],
             cn0_dbhz=cnr[k], lock_time_s=float(lock[k]),
-            has_rate=bool(has_rate)))
+            has_rate=bool(has_rate),
+            freq_slot=(ext[p] - 7 if system == "R" else 0)))
     return dict(msg=msg, station_id=station, epoch_ms=epoch_ms,
                 raw_epoch=raw_epoch), out
 
@@ -871,6 +1087,58 @@ def apply_ssr_clock(dts_s: float, corr: SsrClockCorrection,
     """Broadcast SV clock (s) + SSR delta-clock polynomial (meters -> s)."""
     dc = corr.c0_m + corr.c1_m_s * dt_s + corr.c2_m_s2 * dt_s * dt_s
     return dts_s + dc / SPEED_OF_LIGHT
+
+
+@dataclasses.dataclass
+class SsrCodeBias:
+    """One satellite's per-signal code biases (RTCM 1059; signal ids are
+    the RTCM signal-and-tracking-mode table indices)."""
+
+    prn: int
+    biases: dict = dataclasses.field(default_factory=dict)  # sig_id -> m
+
+
+def encode_ssr_code_bias_gps(tow_s: float, biases: list[SsrCodeBias],
+                             iod: int = 0) -> np.ndarray:
+    """RTCM 1059: GPS SSR code biases (reference rtklib_rtcm3.cc
+    decode_ssr3 field layout)."""
+    w = BitWriter()
+    _ssr_head(w, 1059, int(tow_s), iod, len(biases), refd=None)
+    for b in biases:
+        w.u(b.prn, 6)
+        w.u(len(b.biases), 5)
+        for sig_id, bias_m in sorted(b.biases.items()):
+            w.u(sig_id, 5)
+            w.sq(bias_m, 0.01, 14)
+    return w.array()
+
+
+def decode_ssr_code_bias_gps(bits: np.ndarray
+                             ) -> tuple[dict, list[SsrCodeBias]]:
+    r = BitReader(bits)
+    msg = r.u(12)
+    tow = r.u(20)
+    r.u(4 + 1)
+    iod = r.u(4)
+    r.u(16 + 4)
+    nsat = r.u(6)
+    out = []
+    for _ in range(nsat):
+        prn = r.u(6)
+        nb = r.u(5)
+        biases = {}
+        for _ in range(nb):
+            sig = r.u(5)
+            biases[sig] = r.sq(0.01, 14)
+        out.append(SsrCodeBias(prn=prn, biases=biases))
+    return dict(msg=msg, tow_s=float(tow), iod=iod), out
+
+
+def apply_ssr_code_bias(pseudorange_m: float, corr: SsrCodeBias,
+                        sig_id: int) -> float:
+    """Corrected pseudorange = PR + bias (IGS SSR convention, matching
+    rtklib's `prange + cbias` application in ppp/pntpos)."""
+    return pseudorange_m + corr.biases.get(sig_id, 0.0)
 
 
 # ---------------------------------------------------------------------------

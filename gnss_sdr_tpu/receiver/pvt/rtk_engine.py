@@ -36,7 +36,12 @@ class RtcmBaseStation:
 
     def __init__(self, max_epochs: int = 20):
         self.base_ecef: np.ndarray | None = None
+        self.antenna_height_m: float = 0.0
         self.ephemerides: dict = {}
+        # SSR state (1057/1058/1059), keyed by PRN
+        self.ssr_orbit: dict = {}
+        self.ssr_clock: dict = {}
+        self.ssr_code_bias: dict = {}
         # (time_s, system, observations, day_known): time_s is GPS
         # time-of-week EXCEPT for legacy 1012 epochs, whose 27-bit field is
         # GLONASS time-of-day only — those store GPS second-of-day with
@@ -63,12 +68,34 @@ class RtcmBaseStation:
         if msg == 1005:
             d = rtcm.decode_1005(payload_bits)
             self.base_ecef = d["ecef"]
+        elif msg == 1006:
+            d = rtcm.decode_1006(payload_bits)
+            self.base_ecef = d["ecef"]
+            self.antenna_height_m = d["height_m"]
         elif msg == 1019:
             e = rtcm.decode_1019(payload_bits)
             self.ephemerides[("G", e.prn)] = e
+        elif msg == 1020:
+            e = rtcm.decode_1020(payload_bits)
+            self.ephemerides[("R", e.slot)] = e
+        elif msg == 1042:
+            e = rtcm.decode_1042(payload_bits)
+            self.ephemerides[("C", e.prn)] = e
         elif msg == 1045:
             e = rtcm.decode_1045(payload_bits)
             self.ephemerides[("E", e.prn)] = e
+        elif msg == 1057:
+            _, corrs = rtcm.decode_ssr_orbit_gps(payload_bits)
+            for c in corrs:
+                self.ssr_orbit[c.prn] = c
+        elif msg == 1058:
+            _, corrs = rtcm.decode_ssr_clock_gps(payload_bits)
+            for c in corrs:
+                self.ssr_clock[c.prn] = c
+        elif msg == 1059:
+            _, biases = rtcm.decode_ssr_code_bias_gps(payload_bits)
+            for b in biases:
+                self.ssr_code_bias[b.prn] = b
         elif msg in rtcm.MSM_MESSAGES:
             hdr, obs = rtcm.decode_msm(payload_bits)
             _level, system = rtcm.MSM_MESSAGES[msg]
@@ -217,11 +244,16 @@ class RtkEngine:
             if sig is None:
                 continue
             spec = constants.SIGNALS[sig]
-            lam = constants.SPEED_OF_LIGHT_M_S / spec.carrier_freq_hz
+            # GLONASS FDMA: the per-slot carrier (from the MSM extended
+            # satellite info) decides the wavelength; using the band center
+            # would bias DD phases by ~3.5e-4 of the range
+            freq = (spec.carrier_freq_hz
+                    + getattr(b, "freq_slot", 0) * spec.fdma_step_hz)
+            lam = constants.SPEED_OF_LIGHT_M_S / freq
             base_by_key[(spec.system, b.prn, sig)] = rtk.RtkObs(
                 prn=b.prn, pseudorange_m=b.pseudorange_m,
                 carrier_phase_cycles=b.phase_range_m / lam,
-                carrier_freq_hz=spec.carrier_freq_hz,
+                carrier_freq_hz=freq,
                 cn0_dbhz=b.cn0_dbhz, system=spec.system,
                 # MSM phase rate is d(range)/dt; RINEX D = -d(rho)/dt/lam.
                 # MSM4/legacy messages carry no rate: flag it so the slip
@@ -241,7 +273,10 @@ class RtkEngine:
             rover.append(rtk.RtkObs(
                 prn=o.prn, pseudorange_m=o.pseudorange_m,
                 carrier_phase_cycles=o.carrier_phase_cycles,
-                carrier_freq_hz=spec.carrier_freq_hz,
+                # slot-aware carrier when the observable carries it
+                # (GLONASS FDMA); nominal otherwise
+                carrier_freq_hz=(getattr(o, "carrier_freq_hz", 0.0)
+                                 or spec.carrier_freq_hz),
                 cn0_dbhz=o.cn0_dbhz, system=spec.system,
                 t_tx_sv=o.t_tx_sv, doppler_hz=o.doppler_hz))
             base_list.append(base_by_key[key])

@@ -211,3 +211,75 @@ def test_rinex_nav_rejects_unknown_system(tmp_path):
     with pytest.raises(ValueError):
         w.write_ephemeris(sample_ephemeris(), "R")   # Kepler record as R
     w.close()
+
+
+def test_rinex_211_nav_writer_reader_roundtrip(tmp_path):
+    """RINEX 2.11 GPS nav (reference PVT.rinex_version=2 nav path,
+    rinex_printer.cc v2 builders): write + read back field-exact, with
+    iono/UTC/leap header lines."""
+    from gnss_sdr_tpu.models.ephemeris import IonoParams, UtcParams
+    from gnss_sdr_tpu.receiver.pvt.rinex import (RinexNavReader,
+                                                 RinexNavWriter)
+
+    eph = sample_ephemeris()
+    iono = IonoParams(alpha=(1.2e-8, -7.45e-9, -5.96e-8, 1.19e-7),
+                      beta=(96256.0, -32768.0, -196608.0, 196608.0),
+                      valid=True)
+    utc = UtcParams(a0=-2.79e-9, a1=-7.1e-15, tot=405504.0, wnt=245,
+                    delta_t_ls=18, valid=True)
+    p = tmp_path / "nav211.rnx"
+    w = RinexNavWriter(p, version="2.11", iono=iono, utc=utc)
+    w.write_ephemeris(eph, "G")
+    w.close()
+    text = p.read_text()
+    assert "2.11           N: GPS NAV DATA" in text
+    assert "ION ALPHA" in text and "ION BETA" in text
+    assert "DELTA-UTC: A0,A1,T,W" in text and "LEAP SECONDS" in text
+    got = RinexNavReader(p).read()
+    assert ("G", eph.prn) in got
+    dec = got[("G", eph.prn)]
+    for f in ("sqrt_a", "e", "m0", "omega0", "i0", "omega", "omega_dot",
+              "delta_n", "idot", "cuc", "cus", "crc", "crs", "cic", "cis",
+              "af0", "af1", "af2", "tgd", "toe", "toc"):
+        assert abs(getattr(dec, f) - getattr(eph, f)) < 1e-11 * max(
+            1.0, abs(getattr(eph, f))), f
+    assert dec.week == eph.week and dec.iode == eph.iode
+    # orbits agree
+    import numpy as np
+    p1, _ = dec.position_velocity(eph.toe + 300.0)
+    p2, _ = eph.position_velocity(eph.toe + 300.0)
+    assert np.linalg.norm(p1 - p2) < 1e-4
+
+
+def test_rinex_211_nav_rejects_non_gps(tmp_path):
+    from gnss_sdr_tpu.models.nav.glonass_gnav import GlonassEphemeris
+    from gnss_sdr_tpu.receiver.pvt.rinex import RinexNavWriter
+    import pytest as _pytest
+
+    w = RinexNavWriter(tmp_path / "nav211b.rnx", version="2.11")
+    with _pytest.raises(ValueError, match="GPS-only"):
+        w.write_ephemeris(sample_ephemeris(), "E")
+    with _pytest.raises(ValueError, match="GPS-only"):
+        w.write_ephemeris(GlonassEphemeris(slot=1, tb_s=900.0,
+                                           pos_m=(1e7, 1e7, 1e7),
+                                           vel_m_s=(1e3, 1e3, 1e3),
+                                           acc_m_s2=(0, 0, 0)), "R")
+    w.close()
+
+
+def test_rinex_302_nav_correction_headers(tmp_path):
+    from gnss_sdr_tpu.models.ephemeris import IonoParams, UtcParams
+    from gnss_sdr_tpu.receiver.pvt.rinex import RinexNavWriter
+
+    iono = IonoParams(alpha=(1e-8, 0, 0, 0), beta=(90112.0, 0, 0, 0),
+                      valid=True)
+    utc = UtcParams(a0=1e-9, a1=0.0, tot=61440.0, wnt=245, delta_t_ls=18,
+                    valid=True)
+    p = tmp_path / "nav302.rnx"
+    w = RinexNavWriter(p, version="3.02", iono=iono, utc=utc)
+    w.write_ephemeris(sample_ephemeris(), "G")
+    w.close()
+    text = p.read_text()
+    assert "IONOSPHERIC CORR" in text
+    assert "TIME SYSTEM CORR" in text
+    assert "LEAP SECONDS" in text

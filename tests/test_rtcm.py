@@ -439,3 +439,133 @@ def test_1012_day_resolution_against_rover_tow():
     got = bs.epoch_near(rover_tow)
     assert got is not None and got[0].prn == 3
     assert bs.epoch_near(rover_tow + 1.0) is None
+
+
+def test_1006_station_with_height_roundtrip():
+    ecef = np.array([4027893.1234, 307045.9876, 4919475.0001])
+    d = rtcm.decode_1006(rtcm.encode_1006(901, ecef, 1.3456, glo=True))
+    assert d["station_id"] == 901
+    np.testing.assert_allclose(d["ecef"], ecef, atol=1e-4)
+    assert abs(d["height_m"] - 1.3456) < 1e-4
+    assert d["glo"]
+
+
+def test_1020_glonass_ephemeris_roundtrip():
+    """MT1020 GLONASS state-vector ephemeris: sign-magnitude km fields
+    (reference Rtcm::print_MT1020 / rtklib decode_type1020)."""
+    from gnss_sdr_tpu.models.nav.glonass_gnav import GlonassEphemeris
+
+    eph = GlonassEphemeris(
+        slot=9, freq_slot=-2, tb_s=40500.0,
+        pos_m=(-12_345_678.9, 8_765_432.1, -20_123_456.7),
+        vel_m_s=(-1234.5678, 2345.6789, -345.4321),
+        acc_m_s2=(-1.86e-6, 9.3e-7, 2.79e-6),
+        gamma_n=-3.2e-11, tau_n=-6.5e-5, health=0)
+    dec = rtcm.decode_1020(rtcm.deframe(rtcm.frame(rtcm.encode_1020(eph)))[0])
+    assert dec.slot == 9 and dec.freq_slot == -2
+    assert dec.tb_s == eph.tb_s and dec.health == 0
+    # quantization: pos 2^-11 km ~ 0.49 m, vel 2^-20 km/s ~ 0.95 mm/s
+    for a, b in zip(dec.pos_m, eph.pos_m):
+        assert abs(a - b) <= 0.5
+    for a, b in zip(dec.vel_m_s, eph.vel_m_s):
+        assert abs(a - b) <= 1e-3
+    for a, b in zip(dec.acc_m_s2, eph.acc_m_s2):
+        assert abs(a - b) <= 2.0 ** -30 * 1e3
+    assert abs(dec.gamma_n - eph.gamma_n) <= 2.0 ** -40
+    assert abs(dec.tau_n - eph.tau_n) <= 2.0 ** -30
+    # propagated orbits agree at the quantization level
+    p1, _ = eph.position_velocity(40800.0)
+    p2, _ = dec.position_velocity(40800.0)
+    assert np.linalg.norm(p1 - p2) < 2.0
+
+
+def test_1042_beidou_ephemeris_roundtrip():
+    from gnss_sdr_tpu import constants
+    eph = sample_ephemeris()
+    eph.toc = 352800.0             # 8 s multiples for BDS scaling
+    eph.toe = 352800.0
+    eph.tgd = 4.7e-9
+    dec = rtcm.decode_1042(rtcm.deframe(rtcm.frame(rtcm.encode_1042(eph)))[0])
+    assert dec.prn == eph.prn and dec.toe == eph.toe
+    assert abs(dec.af0 - eph.af0) <= 2.0 ** -33
+    assert abs(dec.af1 - eph.af1) <= 2.0 ** -50
+    assert abs(dec.sqrt_a - eph.sqrt_a) <= 2.0 ** -19
+    assert abs(dec.m0 - eph.m0) <= 2.0 ** -31 * np.pi
+    assert abs(dec.crs - eph.crs) <= 2.0 ** -6
+    assert abs(dec.tgd - eph.tgd) <= 1e-10
+    assert dec.gm == constants.GM_EARTH_BDS
+
+
+def test_1059_code_bias_roundtrip_and_application():
+    biases = [rtcm.SsrCodeBias(prn=7, biases={0: 1.23, 14: -0.87}),
+              rtcm.SsrCodeBias(prn=19, biases={0: -2.45})]
+    bits = rtcm.encode_ssr_code_bias_gps(345600.0, biases, iod=5)
+    hdr, dec = rtcm.decode_ssr_code_bias_gps(rtcm.deframe(rtcm.frame(bits))[0])
+    assert hdr["msg"] == 1059 and hdr["iod"] == 5
+    assert len(dec) == 2
+    assert abs(dec[0].biases[0] - 1.23) < 0.01
+    assert abs(dec[0].biases[14] + 0.87) < 0.01
+    assert abs(dec[1].biases[0] + 2.45) < 0.01
+    pr = rtcm.apply_ssr_code_bias(20_000_000.0, dec[0], 14)
+    assert abs(pr - (20_000_000.0 - 0.87)) < 0.01
+    # unknown signal id leaves the pseudorange unchanged
+    assert rtcm.apply_ssr_code_bias(1.0, dec[1], 14) == 1.0
+
+
+def test_base_station_ingests_new_messages():
+    """1006/1020/1042/1059 flow into RtcmBaseStation state: a GLONASS or
+    BeiDou rover can get ALL its orbits from the stream."""
+    from gnss_sdr_tpu.models.nav.glonass_gnav import GlonassEphemeris
+    from gnss_sdr_tpu.receiver.pvt.rtk_engine import RtcmBaseStation
+
+    bs = RtcmBaseStation()
+    geph = GlonassEphemeris(slot=4, freq_slot=5, tb_s=39600.0,
+                            pos_m=(1e7, -2e7, 1.2e7),
+                            vel_m_s=(900.0, 1100.0, -2000.0),
+                            acc_m_s2=(0.0, 0.0, 0.0))
+    beph = sample_ephemeris()
+    beph.toc = beph.toe = 352800.0
+    stream = (rtcm.frame(rtcm.encode_1006(3, np.array([4e6, 1e5, 4.8e6]),
+                                          2.5))
+              + rtcm.frame(rtcm.encode_1020(geph))
+              + rtcm.frame(rtcm.encode_1042(beph))
+              + rtcm.frame(rtcm.encode_ssr_code_bias_gps(
+                  1000.0, [rtcm.SsrCodeBias(prn=7, biases={0: 0.5})])))
+    bs.push_bytes(stream)
+    assert bs.base_ecef is not None and bs.antenna_height_m == 2.5
+    assert ("R", 4) in bs.ephemerides
+    assert bs.ephemerides[("R", 4)].freq_slot == 5
+    assert ("C", beph.prn) in bs.ephemerides
+    assert 7 in bs.ssr_code_bias
+
+
+def test_msm_glonass_freq_slot_in_extended_info():
+    """The MSM extended-satellite-info field carries the GLONASS FDMA
+    channel; differential processing needs it for per-slot wavelengths."""
+    obs = [rtcm.MsmObservation(prn=11, signal_id=2, pseudorange_m=19.5e6,
+                               phase_range_m=19.5e6 + 0.1,
+                               phase_rate_m_s=50.0, freq_slot=-4)]
+    hdr, dec = rtcm.decode_msm(rtcm.encode_msm(rtcm.MSM7_GLO, 1,
+                                               100_000, obs))
+    assert dec[0].freq_slot == -4
+    # GPS MSM leaves the field zero
+    hdr, dec = rtcm.decode_msm(rtcm.encode_msm(rtcm.MSM7_GPS, 1,
+                                               100_000, obs))
+    assert dec[0].freq_slot == 0
+
+
+def test_ppp_engine_applies_code_biases():
+    from gnss_sdr_tpu.receiver.pvt.ppp_engine import PppEngine
+
+    eng = PppEngine({}, x0_ecef=(0, 0, 0))
+    eng.set_code_biases([rtcm.SsrCodeBias(prn=3, biases={0: 2.0, 14: -1.0})])
+
+    class O:
+        prn = 3
+        signal = "1C"
+        pseudorange_m = 100.0
+    assert eng._corrected_pr(O()) == 102.0
+    O.signal = "L5"
+    assert eng._corrected_pr(O()) == 99.0
+    O.prn = 5
+    assert eng._corrected_pr(O()) == 100.0

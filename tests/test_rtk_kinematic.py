@@ -384,3 +384,88 @@ def test_rtk_filter_drops_and_readds_satellites(world):
             assert sol.fixed
             err = np.linalg.norm(sol.rover_ecef - p0)
             assert err < 0.03, f"{err*100:.1f} cm after drop/re-add"
+
+
+def test_glonass_rover_pure_rtcm_stream():
+    """GLONASS RTK rover fed ONLY by an RTCM stream: station from 1006,
+    orbits from 1020, observables from GLONASS MSM7 (native dow/tod epochs
+    + per-slot FDMA channels in the extended info). The float baseline must
+    converge to decimetre level — proving a GLONASS rover needs nothing
+    outside the stream (reference rtklib_rtcm3.cc input path)."""
+    from gnss_sdr_tpu.models.nav.glonass_gnav import GlonassEphemeris
+    from gnss_sdr_tpu.receiver.observables import ChannelObservable
+    from gnss_sdr_tpu.receiver.pvt import rtcm
+    from gnss_sdr_tpu.receiver.pvt.rtk_engine import (RtcmBaseStation,
+                                                      RtkEngine)
+
+    lat, lon, _ = TRUE_LLH
+    base_ecef = geodesy.geodetic_to_ecef(*TRUE_LLH)
+    t0 = 40000.0                     # GLONASS seconds-of-day
+    tb = 900.0 * round(t0 / 900.0)
+    slots = {3: 5, 9: -2, 14: 0, 17: 4, 21: -4}
+    # state vectors sampled from the Kepler almanac shell (same recipe as
+    # the GLONASS signal scenario)
+    kep = constellation.almanac_constellation()
+    vis = constellation.visible_sats(kep, base_ecef, 352800.0,
+                                     el_mask_deg=15.0)
+    prns = [p for p, _, _ in vis[:5]]
+    gephs = {}
+    for prn, (slot, k) in zip(prns, slots.items()):
+        p, v = kep[prn].position_velocity(352800.0 + (tb - t0))
+        gephs[("R", slot)] = GlonassEphemeris(
+            slot=slot, freq_slot=k, tb_s=tb, pos_m=tuple(p),
+            vel_m_s=tuple(v), acc_m_s2=(0.0, 0.0, 0.0))
+
+    spec = C.SIGNALS["1G"]
+    rng = np.random.default_rng(5)
+    n_rov = {s: int(rng.integers(-200, 200)) for s in slots}
+    n_bas = {s: int(rng.integers(-200, 200)) for s in slots}
+    rover_pos = base_ecef + geodesy.enu_to_ecef_offset(
+        np.array([18.0, -6.0, 0.4]), lat, lon)
+
+    station = RtcmBaseStation()
+    station.push_bytes(b"".join(
+        [rtcm.frame(rtcm.encode_1006(12, base_ecef, 1.2, glo=True))]
+        + [rtcm.frame(rtcm.encode_1020(e)) for e in gephs.values()]))
+    assert station.base_ecef is not None
+    assert all(("R", s) in station.ephemerides for s in slots)
+    engine = RtkEngine(station, sigma_pr_m=0.3, mode="kinematic")
+
+    def obs_of(pos, t, n_amb, pr_sigma):
+        out = []
+        for slot, k in slots.items():
+            eph = station.ephemerides[("R", slot)]   # DECODED orbits only
+            o = constellation.simulate_observation(
+                eph, pos, t, carrier_freq_hz=spec.carrier_freq_hz
+                + k * spec.fdma_step_hz)
+            lam = C.SPEED_OF_LIGHT_M_S / (spec.carrier_freq_hz
+                                          + k * spec.fdma_step_hz)
+            out.append((slot, k, o, lam,
+                        o.pseudorange_m + rng.normal(0, pr_sigma),
+                        o.pseudorange_m / lam + n_amb[slot]
+                        + rng.normal(0, 0.01)))
+        return out
+
+    for kk in range(20):
+        t = t0 + 1.0 * kk
+        basev = obs_of(base_ecef, t, n_bas, 0.3)
+        tow_ms = int(round((basev[0][2].t_tx_sv
+                            + basev[0][4] / C.SPEED_OF_LIGHT_M_S) * 1e3))
+        msm = [rtcm.MsmObservation(
+            prn=slot, signal_id=2, pseudorange_m=pr,
+            phase_range_m=cp * lam, phase_rate_m_s=-o.doppler_hz * lam,
+            cn0_dbhz=44.0, freq_slot=k)
+            for slot, k, o, lam, pr, cp in basev]
+        station.push_bytes(rtcm.frame(rtcm.encode_msm(
+            rtcm.MSM7_GLO, 12, tow_ms, msm)))
+
+        roverv = obs_of(rover_pos, t, n_rov, 0.3)
+        engine.push_rover_epoch(0, [ChannelObservable(
+            prn=slot, signal="1G", t_tx_sv=o.t_tx_sv,
+            pseudorange_m=pr, carrier_phase_cycles=cp,
+            doppler_hz=o.doppler_hz, cn0_dbhz=45.0,
+            carrier_freq_hz=spec.carrier_freq_hz + k * spec.fdma_step_hz)
+            for slot, k, o, lam, pr, cp in roverv])
+    assert engine.solutions, "no solutions from the pure-RTCM stream"
+    err = np.linalg.norm(engine.solutions[-1].rover_ecef - rover_pos)
+    assert err < 0.5, f"float GLONASS RTK error {err:.2f} m"
