@@ -35,6 +35,89 @@ class PppEngine:
         self.solutions: list = []
         self._last_tow: float | None = None
         self._prev: dict[tuple, tuple] = {}  # (sys,prn,f) -> (tow, phase, dop)
+        # SSR code biases (RTCM 1059): prn -> SsrCodeBias, applied to the
+        # raw pseudoranges before the iono-free combination (rtklib
+        # corr_meas cbias role). Update via set_code_biases().
+        self.code_biases: dict = {}
+
+    # RTCM signal-and-tracking-mode indices for the signals this receiver
+    # tracks (GPS table: 0=L1 C/A, 7=L2C(M), 14=L5 I)
+    _SSR_SIG_ID = {"1C": 0, "2S": 7, "L5": 14}
+
+    def enable_precise_models(self, *, windup: bool = True,
+                              sat_pco_body_m=None,
+                              com_orbits: bool = False,
+                              rcv_antenna=None) -> None:
+        """Turn on the precise observation-model corrections
+        (pvt/corrections.py; rtklib posopt[0]/posopt[2] roles):
+
+        - ``windup``: carrier phase wind-up, applied per frequency before
+          the iono-free combination (continuous per satellite).
+        - ``com_orbits``: the orbit source is center-of-mass referenced
+          (SP3): apply the satellite antenna phase-center offset
+          (``sat_pco_body_m`` in the body frame, default Block IIF-class)
+          as a range correction.
+        - ``rcv_antenna``: a corrections.ReceiverAntenna (ANTEX PCO/PCV).
+        """
+        from gnss_sdr_tpu.receiver.pvt import corrections
+        self._corrections = corrections
+        self._windup_on = windup
+        self._sat_pco = (np.asarray(sat_pco_body_m, float)
+                         if sat_pco_body_m is not None
+                         else corrections.DEFAULT_SAT_PCO_BODY_M)
+        self._com_orbits = com_orbits
+        self._rcv_antenna = rcv_antenna
+        self._windup: dict = {}          # (system, prn) -> cycles
+
+    def _precise_phase_corrections(self, system: str, prn: int, o1, o2,
+                                   tow: float):
+        """(d_phase1_cycles, d_phase2_cycles, d_range_m) to SUBTRACT from
+        the measurements (add to the model) for one satellite."""
+        cor = self._corrections
+        from gnss_sdr_tpu.receiver.pvt import geodesy
+
+        eph = self.filter.ephemerides.get((system, prn))
+        if eph is None:
+            return 0.0, 0.0, 0.0
+        sat = np.asarray(eph.position_velocity(o1.t_tx_sv)[0], float)
+        rcv = self.filter.x[:3]
+        lat, lon, _h = geodesy.ecef_to_geodetic(rcv)
+        sun = cor.sun_position_ecef(tow)
+        d1 = d2 = 0.0
+        dr = 0.0
+        if self._windup_on:
+            key = (system, prn)
+            w = cor.phase_windup_cycles(sat, sun, rcv, lat, lon,
+                                        prev_cycles=self._windup.get(key))
+            self._windup[key] = w
+            d1 = d2 = w
+        if self._com_orbits:
+            off = cor.satellite_antenna_offset(sat, sun, self._sat_pco)
+            e = (rcv - sat)
+            e = e / np.linalg.norm(e)
+            # phase-center range = CoM range - e.off: refer measurements
+            # to the CoM model by ADDING e.off (subtract -e.off)
+            dr -= float(e @ off)
+        if self._rcv_antenna is not None:
+            az, el = geodesy.az_el(rcv, sat)
+            dr += self._rcv_antenna.correction_m(az, el)
+        return d1, d2, dr
+
+    def set_code_biases(self, biases) -> None:
+        """Accept decoded 1059 records (list[SsrCodeBias] or prn-keyed
+        dict, e.g. RtcmBaseStation.ssr_code_bias)."""
+        if isinstance(biases, dict):
+            self.code_biases = dict(biases)
+        else:
+            self.code_biases = {b.prn: b for b in biases}
+
+    def _corrected_pr(self, o) -> float:
+        b = self.code_biases.get(o.prn)
+        if b is None:
+            return o.pseudorange_m
+        from gnss_sdr_tpu.receiver.pvt import rtcm
+        return rtcm.apply_ssr_code_bias(
+            o.pseudorange_m, b, self._SSR_SIG_ID.get(o.signal, -1))
 
     # --------------------------------------------------------------- slips
     def _detect_slips(self, obs_by_sat: dict, tow: float) -> set:
@@ -87,14 +170,27 @@ class PppEngine:
             lam1, lam2 = C_M_S / f1, C_M_S / f2
             a1 = f1 * f1 / (f1 * f1 - f2 * f2)
             a2 = f2 * f2 / (f1 * f1 - f2 * f2)
+            p1 = self._corrected_pr(o1)
+            p2 = self._corrected_pr(o2)
+            l1 = o1.carrier_phase_cycles
+            l2 = o2.carrier_phase_cycles
+            if getattr(self, "_corrections", None) is not None:
+                # precise models: wind-up per frequency + antenna range
+                # terms (pr and phase alike)
+                dw1, dw2, dr = self._precise_phase_corrections(
+                    system, prn, o1, o2, tow)
+                l1 -= dw1
+                l2 -= dw2
+                p1 -= dr
+                p2 -= dr
+                l1 -= dr / lam1
+                l2 -= dr / lam2
             obs.append(ppp_ar.PppArObs(
                 prn=prn, system=system, t_tx_sv=o1.t_tx_sv,
-                pr_if_m=a1 * o1.pseudorange_m - a2 * o2.pseudorange_m,
-                phase_if_m=(a1 * o1.carrier_phase_cycles * lam1
-                            - a2 * o2.carrier_phase_cycles * lam2),
-                p1_m=o1.pseudorange_m, p2_m=o2.pseudorange_m,
-                l1_cycles=o1.carrier_phase_cycles,
-                l2_cycles=o2.carrier_phase_cycles,
+                pr_if_m=a1 * p1 - a2 * p2,
+                phase_if_m=a1 * l1 * lam1 - a2 * l2 * lam2,
+                p1_m=p1, p2_m=p2,
+                l1_cycles=l1, l2_cycles=l2,
                 f1_hz=f1, f2_hz=f2))
         if len(obs) < 4:
             return
