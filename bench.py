@@ -18,6 +18,31 @@ import time
 
 import numpy as np
 
+# hardware model for the roofline statement (TPU v5e-class single chip).
+# The bench states its assumptions explicitly so "fraction of roofline"
+# is auditable: if the target chip differs, scale these two numbers.
+PEAK_HBM_GB_S = 820.0          # v5e HBM bandwidth
+PEAK_F32_TFLOP_S = 98.0        # v5e MXU fp32 (bf16 peak is ~2x)
+
+
+def _median_timing(step, n_iter: int, repeats: int = 5):
+    """Median-of-N timing: run ``step`` n_iter times per repeat, return
+    (median seconds/iter, spread fraction (max-min)/median). The tunnel to
+    the remote chip adds run-to-run variance that a single measurement
+    hides (BENCH_r01 942 vs r02 872 Msps was tunnel noise, not code)."""
+    import jax
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(n_iter):
+            r = step()
+        jax.block_until_ready(r)
+        times.append((time.perf_counter() - t0) / n_iter)
+    med = float(np.median(times))
+    spread = float((max(times) - min(times)) / med) if med > 0 else 0.0
+    return med, spread
+
 
 def _bench_tracking(fs: float, signal: str, n_channels: int, chunk_ms: int,
                     n_iter: int = 25):
@@ -99,6 +124,20 @@ def detail() -> None:
     t_gal = _bench_tracking(4.092e6, "1B", 8, chunk_ms)
     rt_hybrid = (chunk_ms / 1000.0) / (t_gps + t_gal)
     results["hybrid_gps_gal_8ch_each_realtime_x"] = round(rt_hybrid, 1)
+    # serialization analysis (why per-group throughput halves): each group
+    # is a separate jit program over its own (fs, code family) shapes, so
+    # two groups pay two dispatch+scan latencies. At 8 channels the scan is
+    # occupancy-bound (the 128-channel row shows ~10x more channel-samples/s
+    # at similar latency), so FUSING groups would only help once per-group
+    # channel counts push into the saturated regime — i.e. at 4+
+    # constellations x 32+ channels; at 2 groups x 8 channels the serialized
+    # cost is ~150x real time and fusion is not worth the shape-coupling.
+    results["hybrid_serialization"] = {
+        "t_gps_ms": round(t_gps * 1e3, 3),
+        "t_gal_ms": round(t_gal * 1e3, 3),
+        "serialized_overhead_vs_max_group":
+            round((t_gps + t_gal) / max(t_gps, t_gal), 2),
+    }
 
     results["pallas_vs_xla"] = (
         "XLA correlator at HBM roofline inside the tracking scan "
@@ -166,24 +205,20 @@ def main() -> None:
     # tracking scan is gated so a backend that cannot lower it still yields a
     # benchmark (acquisition-only) instead of nothing.
     jax.block_until_ready(acq_step())
-    n_acq = 10
-    t0 = time.perf_counter()
-    for _ in range(n_acq):
-        r = acq_step()
-    jax.block_until_ready(r)
-    t_acq = (time.perf_counter() - t0) / n_acq
+    t_acq, acq_spread = _median_timing(acq_step, n_iter=10)
 
     track_ok = True
-    t_track = 0.0
+    t_track, trk_spread = 0.0, 0.0
     try:
         state, p = track_step(state)
         jax.block_until_ready(p)
-        n_iter = 25
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            state, p = track_step(state)
-        jax.block_until_ready(p)
-        t_track = (time.perf_counter() - t0) / n_iter      # s per chunk
+        box = {"st": state}
+
+        def _tstep():
+            box["st"], pp = track_step(box["st"])
+            return pp
+
+        t_track, trk_spread = _median_timing(_tstep, n_iter=25)
     except Exception:
         track_ok = False
 
@@ -193,11 +228,37 @@ def main() -> None:
         t_per_second_of_signal = t_track * (1000.0 / chunk_ms) + t_acq
         realtime_factor = 1.0 / t_per_second_of_signal
         msps = realtime_factor * fs / 1e6
+
+        # --- explicit roofline model for the tracking scan (the steady-
+        # state hot loop). Bytes: the chunk (split-IQ f32) + code tables +
+        # carry state cross HBM once per chunk; per-channel epoch reads hit
+        # the VMEM-resident chunk, not HBM. FLOPs: per channel per sample,
+        # taps complex MACs (2 cpx muls ~ 8 flops each at 5 taps) + carrier
+        # rotation/NCO (~10 flops).
+        n_taps = cfg.n_taps
+        bytes_chunk = (n_chunk * 2 * 4) + tables.size * 4 + 4096
+        flops_chunk = n_channels * cfg.chunk_len * (8 * n_taps + 10)
+        bw_frac = (bytes_chunk / t_track) / (PEAK_HBM_GB_S * 1e9)
+        mfu = (flops_chunk / t_track) / (PEAK_F32_TFLOP_S * 1e12)
         print(json.dumps({
             "metric": "gps_l1_8ch_acq_track_throughput",
             "value": round(msps, 2),
             "unit": "Msamples/s/chip",
             "vs_baseline": round(realtime_factor, 2),
+            "median_of": 5,
+            "spread_pct": round(100.0 * max(acq_spread, trk_spread), 1),
+            "roofline": {
+                "assumed_peak_hbm_gb_s": PEAK_HBM_GB_S,
+                "assumed_peak_f32_tflop_s": PEAK_F32_TFLOP_S,
+                "track_bytes_per_chunk": bytes_chunk,
+                "track_flops_per_chunk": flops_chunk,
+                "track_hbm_fraction": round(bw_frac, 4),
+                "track_mfu": round(mfu, 5),
+                "note": ("8-channel scan is latency/occupancy-bound (tiny "
+                         "working set resident in VMEM), not HBM- or "
+                         "MXU-bound; see BENCH_DETAIL.json 128-channel "
+                         "row for the saturated regime"),
+            },
         }))
     else:
         # acquisition-only: full 8-PRN x 41-doppler PCPS sweep over 2 ms

@@ -75,20 +75,29 @@ class MultiSourceReceiver:
                 self._collect(bi, tick / r.cfg.fs, obs))
 
     # ------------------------------------------------------------ time base
+    def _time_domain(self, r: Receiver) -> str:
+        """Clock-origin compatibility class of a branch: GLONASS telemetry
+        times are seconds-of-day while GPS/Galileo/BeiDou run on the GPS
+        week, so origins may only be shared within one scale (the solver's
+        per-system clock states absorb the cross-scale offsets)."""
+        systems = {g.spec.system for g in r.groups}
+        return "R" if systems == {"R"} else "W"
+
     def _share_clock_origin(self) -> None:
         """Propagate the first anchored receiver-clock origin to every
-        branch: all sources started at the same instant, so the receiver
-        time of sample 0 is one number (the reference keeps one RX-time
-        scale in the observables block for all channels)."""
-        origin = None
+        branch ON THE SAME TIME SCALE: all sources started at the same
+        instant, so the receiver time of sample 0 is one number per scale.
+        Exact sharing is what lets two branches observing the SAME system
+        (e.g. L1 + L5 captures) feed one solver clock state."""
+        origin_by_domain: dict[str, float] = {}
         for r in self.receivers:
             if r.observables.rx_clock_tow is not None:
-                origin = r.observables.rx_clock_tow
-                break
-        if origin is not None:
-            for r in self.receivers:
-                if r.observables.rx_clock_tow is None:
-                    r.observables._rx_origin_tow = origin
+                origin_by_domain.setdefault(self._time_domain(r),
+                                            r.observables.rx_clock_tow)
+        for r in self.receivers:
+            origin = origin_by_domain.get(self._time_domain(r))
+            if origin is not None and r.observables.rx_clock_tow is None:
+                r.observables._rx_origin_tow = origin
 
     def branch_time_s(self, bi: int) -> float:
         r = self.receivers[bi]
@@ -125,10 +134,18 @@ class MultiSourceReceiver:
             inputs = pvt_solver.combine_iono_free(inputs)
             iono = next((r.iono for r in self.receivers
                          if r.iono is not None), None)
+            sbas_lt, sbas_iono = None, None
+            for r in self.receivers:
+                lt, grid = r.sbas_corrections()
+                sbas_lt = sbas_lt or lt
+                sbas_iono = sbas_iono or grid
             sol = pvt_solver.solve_pvt(
                 inputs, self.ephemerides,
                 iono=iono if self.pvt_cfg.pvt_apply_iono else None,
-                apply_tropo=self.pvt_cfg.pvt_apply_tropo)
+                apply_tropo=self.pvt_cfg.pvt_apply_tropo,
+                sbas_lt=sbas_lt,
+                sbas_iono=(sbas_iono if self.pvt_cfg.pvt_apply_iono
+                           else None))
             if sol.valid:
                 self.fixes.append(sol)
                 for sink in self.fix_sinks:

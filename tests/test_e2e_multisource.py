@@ -1,0 +1,189 @@
+"""System tests: multi-source multi-rate receiver (two separate captures).
+
+Reference analog: the multi-source flowgraph
+(``gnss_flowgraph.cc:126-737``, ``conf/gnss-sdr_multisource_Hybrid_ishort.conf``)
+— N file sources with per-source conditioner chains at different sample
+rates fanned into one receiver. Two signal-level scenarios here:
+
+1. **Dual-band GPS**: L1 C/A at 2.046 MSps and L5 at 12 MSps generated as
+   two separate captures of the same constellation/instant, processed by
+   one MultiSourceReceiver -> merged dual-frequency single-point PVT
+   (iono-free per satellite) AND dual-frequency PPP-AR through PppEngine —
+   the real two-capture version of the reference's multi-band receivers.
+2. **GPS + GLONASS**: L1 C/A capture + an 8 MSps GLONASS FDMA capture,
+   different time scales (GPS week vs GLONASS day), merged into a
+   multi-constellation fix meeting the standard 2 m / 5 m budgets
+   (reference position_test.cc budget rows).
+"""
+
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu.io.sources import ArraySignalSource
+from gnss_sdr_tpu.receiver.multisource import (MultiSourceReceiver,
+                                               SourceBranchConfig)
+from gnss_sdr_tpu.receiver.receiver import ReceiverConfig
+from gnss_sdr_tpu.receiver.pvt import geodesy
+from gnss_sdr_tpu.utils import fixture_cache, scenario as scen
+
+T0 = 352800.08
+DUR = 34.0
+FS_L1 = 2.046e6
+FS_L5 = 12.0e6
+
+
+@pytest.fixture(scope="module")
+def dual_band_run():
+    sc1 = scen.build_gps_l1_scenario(t0_gps=T0, duration_s=DUR, n_sats=6,
+                                     cn0_dbhz=47.0, fs=FS_L1)
+    sc5 = scen.build_gps_l5_scenario(t0_gps=T0, duration_s=DUR, n_sats=5,
+                                     cn0_dbhz=50.0, fs=FS_L5)
+    # same constellation, same start instant: the L5 set must be a subset
+    # of the L1 set for dual-frequency satellites to exist
+    assert set(sc5.prns) <= set(sc1.prns)
+    x1 = fixture_cache.cached_iq(
+        "e2e_ms_l1", dict(t0=T0, dur=DUR, n=6, fs=FS_L1, seed=101),
+        lambda: sc1.generate(seed=101))
+    x5 = fixture_cache.cached_iq(
+        "e2e_ms_l5", dict(t0=T0, dur=DUR, n=5, fs=FS_L5, seed=102),
+        lambda: sc5.generate(seed=102))
+
+    mk = lambda sig, fs, n, prns: ReceiverConfig(
+        signal=sig, fs=fs, n_channels=n, prns=tuple(prns), chunk_ms=100,
+        pvt_apply_tropo=False, pvt_apply_iono=False)
+    ms = MultiSourceReceiver([
+        SourceBranchConfig(receiver=mk("1C", FS_L1, 6, sc1.prns),
+                           source=ArraySignalSource(x1, FS_L1)),
+        SourceBranchConfig(receiver=mk("L5", FS_L5, 5, sc5.prns),
+                           source=ArraySignalSource(x5, FS_L5)),
+    ])
+
+    # PPP on the truth orbits (the sim's "precise products" role), seeded
+    # from a coarse prior exactly like the reference's PPP modes seed from
+    # the single-point solution
+    from gnss_sdr_tpu.receiver.pvt.ppp_engine import PppEngine
+    keyed = {("G", p): sc1.ephemerides[p] for p in sc1.prns}
+    ppp = PppEngine(keyed, x0_ecef=(0.0, 0.0, 0.0), mode="static",
+                    sigma_pr_m=1.0, sigma_phase_m=0.01)
+    ppp.seed_position(sc1.rcv_ecef + np.array([11.0, -7.0, 16.0]))
+    ms.obs_sinks.append(ppp.push_epoch)
+
+    ms.run()
+    return sc1, sc5, ms, ppp
+
+
+def test_dual_band_both_branches_track(dual_band_run):
+    sc1, sc5, ms, _ = dual_band_run
+    tracked = ms.tracked_prns()
+    assert sorted(tracked[0]) == sorted(sc1.prns)     # L1 branch
+    assert sorted(tracked[1]) == sorted(sc5.prns)     # L5 branch
+
+
+def test_dual_band_shared_ephemerides(dual_band_run):
+    """Both branches harvest into ONE ephemeris store (LNAV + CNAV of the
+    same satellites agree)."""
+    sc1, sc5, ms, _ = dual_band_run
+    assert len(ms.ephemerides) >= len(sc1.prns)
+    for prn in sc1.prns:
+        assert ("G", prn) in ms.ephemerides
+        assert abs(ms.ephemerides[("G", prn)].sqrt_a
+                   - sc1.ephemerides[prn].sqrt_a) < 1e-3
+
+
+def test_dual_band_merged_fix(dual_band_run):
+    """The merged dual-band single-point fix meets the standard static
+    budgets; dual-frequency satellites enter iono-free (one input per
+    satellite, not per signal)."""
+    sc1, _, ms, _ = dual_band_run
+    assert len(ms.fixes) >= 3, f"only {len(ms.fixes)} merged fixes"
+    lat, lon, _ = sc1.rcv_llh
+    errs_enu = np.stack([
+        geodesy.ecef_to_enu(f.pos_ecef - sc1.rcv_ecef, lat, lon)
+        for f in ms.fixes[-5:]])
+    mean_enu = errs_enu.mean(axis=0)
+    err_2d = np.hypot(mean_enu[0], mean_enu[1])
+    err_3d = np.linalg.norm(mean_enu)
+    assert err_2d < 2.0, f"2D error {err_2d:.2f} m"
+    assert err_3d < 5.0, f"3D error {err_3d:.2f} m"
+    # merged epochs carried one entry per satellite after iono-free
+    assert ms.fixes[-1].n_sats >= len(sc1.prns) - 1
+
+
+def test_dual_band_ppp_ar(dual_band_run):
+    """Dual-frequency PPP-AR runs on the merged two-capture observables:
+    wide-lane/narrow-lane AR fixes and the fixed solution lands at
+    sub-decimeter horizontal accuracy (clean-sky sim: no multipath/windup)."""
+    sc1, _, ms, ppp = dual_band_run
+    assert ppp.solutions, "no PPP solutions from merged dual-band epochs"
+    assert ppp.filter.n_fixed_epochs > 0, \
+        f"PPP-AR never fixed (last ratio {ppp.filter.last_ratio:.2f})"
+    lat, lon, _ = sc1.rcv_llh
+    final = ppp.solutions[-1]
+    enu = geodesy.ecef_to_enu(final.pos_ecef - sc1.rcv_ecef, lat, lon)
+    assert np.hypot(enu[0], enu[1]) < 0.1, f"PPP horizontal {enu} m"
+    assert abs(enu[2]) < 0.3, f"PPP vertical {enu[2]:.3f} m"
+
+
+@pytest.fixture(scope="module")
+def gps_glonass_run():
+    # GLONASS duration is derived from its frame origin (~40 s); give the
+    # GPS capture the same span so both branches deliver to the end
+    sc_r = scen.build_glonass_l1_scenario(t0_day=7200.08, fs=8.0e6,
+                                          n_sats=4, cn0_dbhz=48.0)
+    dur = float(np.ceil(sc_r.duration_s))
+    sc_g = scen.build_gps_l1_scenario(t0_gps=T0, duration_s=dur, n_sats=6,
+                                      cn0_dbhz=47.0, fs=FS_L1)
+    x_g = fixture_cache.cached_iq(
+        "e2e_ms_gps", dict(t0=T0, dur=dur, n=6, fs=FS_L1, seed=103),
+        lambda: sc_g.generate(seed=103))
+    x_r = fixture_cache.cached_iq(
+        "e2e_ms_glo", dict(t0=7200.08, dur=sc_r.duration_s, n=4, seed=104),
+        lambda: sc_r.generate(seed=104))
+
+    ms = MultiSourceReceiver([
+        SourceBranchConfig(
+            receiver=ReceiverConfig(signal="1C", fs=FS_L1, n_channels=6,
+                                    prns=tuple(sc_g.prns), chunk_ms=100,
+                                    pvt_apply_tropo=False,
+                                    pvt_apply_iono=False),
+            source=ArraySignalSource(x_g, FS_L1)),
+        SourceBranchConfig(
+            receiver=ReceiverConfig(signal="1G", fs=8.0e6, n_channels=4,
+                                    prns=tuple(sc_r.prns), chunk_ms=100,
+                                    pvt_apply_tropo=False,
+                                    pvt_apply_iono=False),
+            source=ArraySignalSource(x_r, 8.0e6)),
+    ])
+    ms.run()
+    return sc_g, sc_r, ms
+
+
+def test_gps_glonass_tracks_both(gps_glonass_run):
+    sc_g, sc_r, ms = gps_glonass_run
+    tracked = ms.tracked_prns()
+    assert sorted(tracked[0]) == sorted(sc_g.prns)
+    assert sorted(tracked[1]) == sorted(sc_r.prns)
+
+
+def test_gps_glonass_multiconstellation_fix(gps_glonass_run):
+    """GPS + GLONASS observables from two sources (different time scales)
+    merge into one fix with per-system clocks, meeting the reference's
+    standard static budgets (2 m 2D / 5 m 3D) — GLONASS participating in a
+    multi-constellation solution at full budget (not the relaxed
+    GLONASS-only budget)."""
+    sc_g, sc_r, ms = gps_glonass_run
+    assert len(ms.fixes) >= 3
+    # at least one merged fix used both constellations
+    merged = [f for f in ms.fixes if "R" in f.system_clock_s
+              and "G" in f.system_clock_s]
+    assert merged, "no fix combined GPS and GLONASS"
+    lat, lon, _ = sc_g.rcv_llh
+    errs_enu = np.stack([
+        geodesy.ecef_to_enu(f.pos_ecef - sc_g.rcv_ecef, lat, lon)
+        for f in merged[-5:]])
+    mean_enu = errs_enu.mean(axis=0)
+    err_2d = np.hypot(mean_enu[0], mean_enu[1])
+    err_3d = np.linalg.norm(mean_enu)
+    assert err_2d < 2.0, f"2D error {err_2d:.2f} m"
+    assert err_3d < 5.0, f"3D error {err_3d:.2f} m"
+    assert merged[-1].n_sats >= 8
