@@ -48,15 +48,24 @@ def _gen_block(spec, sats, fs, if_freq_hz, n0: int, n: int,
     (NH/CS overlay, one chip per primary code period), as the real signals
     do. with_pilot: additionally emit the pilot component (same per-component
     C/N0) with its own code and secondary (E1-C/CS25, E5a-Q/CS100, L5Q).
+
+    Phases (carrier + code) are tracked in float64 — the code delay needs
+    ~ns resolution over minutes of signal — but the carrier is synthesized
+    with float32 sincos after a mod-1 range reduction of the float64 cycle
+    count: the residual angle error (~2^-24 cycles) is far below the noise
+    floor, and float32 sincos is an order of magnitude cheaper than the
+    complex128 ``np.exp`` it replaces (the 12 MSps L5 / 8 MSps FDMA system
+    fixtures are generated on one host core).
     """
     t = (n0 + np.arange(n, dtype=np.float64)) / fs
-    out = np.zeros(n, dtype=np.complex128)
+    out_i = np.zeros(n, dtype=np.float32)
+    out_q = np.zeros(n, dtype=np.float32)
     fc = spec.carrier_freq_hz
     periods_per_bit = max(1, int(round(
         spec.bit_period_ms / (spec.code_length_chips / spec.code_rate_cps * 1e3))))
 
     for sp in sats:
-        chips = codes.code_chips(spec.signal, sp.prn).astype(np.float64)
+        chips = codes.code_chips(spec.signal, sp.prn).astype(np.float32)
         lc = len(chips)
         phase = (sp.carrier_phase_cycles + sp.doppler_hz * t
                  + 0.5 * sp.doppler_rate_hz_s * t * t)
@@ -70,32 +79,39 @@ def _gen_block(spec, sats, fs, if_freq_hz, n0: int, n: int,
         if spec.subcarrier_rate_hz > 0:
             sub_idx = np.floor(2.0 * chip_phase * spec.subcarrier_rate_hz
                                / spec.code_rate_cps).astype(np.int64) % 2
-            sub = 1.0 - 2.0 * sub_idx
+            sub = (1.0 - 2.0 * sub_idx).astype(np.float32)
             code = code * sub
         # BeiDou GEO satellites (PRN 1-5) transmit D2 with no NH overlay
         nh_free_geo = spec.system == "C" and sp.prn <= 5
         if apply_secondary and spec.secondary_code and not nh_free_geo:
-            sec = _pm([int(b) for b in spec.secondary_code])
+            sec = _pm([int(b) for b in spec.secondary_code]).astype(np.float32)
             code = code * sec[period_idx % len(sec)]
         if sp.data_bits is not None:
-            bits = np.asarray(sp.data_bits, dtype=np.float64)
+            bits = np.asarray(sp.data_bits, dtype=np.float32)
             bit_idx = chip_idx // (lc * periods_per_bit)
-            data = bits[bit_idx % len(bits)]
+            comp = code * bits[bit_idx % len(bits)]
         else:
-            data = 1.0
-        amp = np.sqrt(10.0 ** (sp.cn0_dbhz / 10.0) / fs)
-        comp = data * code
+            comp = code
+        amp = np.float32(np.sqrt(10.0 ** (sp.cn0_dbhz / 10.0) / fs))
         if with_pilot and codes.has_pilot(spec.signal):
-            pchips = codes.pilot_code_chips(spec.signal, sp.prn).astype(np.float64)
+            pchips = codes.pilot_code_chips(spec.signal, sp.prn).astype(np.float32)
             pcode = pchips[chip_idx % len(pchips)]
             if spec.subcarrier_rate_hz > 0:
                 pcode = pcode * sub
             psec = codes.pilot_secondary_chips(spec.signal, sp.prn)
             if psec is not None:
-                psec = _pm(psec)
+                psec = _pm(psec).astype(np.float32)
                 pcode = pcode * psec[period_idx % len(psec)]
             comp = comp + pcode
-        out += amp * comp * np.exp(2j * np.pi * (if_freq_hz * t + phase))
+        # carrier: float64 cycles -> fractional cycle -> float32 sincos
+        cyc = if_freq_hz * t + phase
+        theta = ((cyc - np.floor(cyc)) * (2.0 * np.pi)).astype(np.float32)
+        comp *= amp
+        out_i += comp * np.cos(theta)
+        out_q += comp * np.sin(theta)
+    out = np.empty(n, dtype=np.complex64)
+    out.real = out_i
+    out.imag = out_q
     return out
 
 
