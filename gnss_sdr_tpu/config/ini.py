@@ -138,8 +138,12 @@ def receiver_config_from_ini(conf: Configuration):
                     # typed default drives the conversion in property()
                     items[field] = conv(conf.property(
                         key, 0.0 if conv is float else 0))
-        if "KF" in str(conf.property(f"{t}.implementation", "")):
+        impl_t = str(conf.property(f"{t}.implementation", ""))
+        if "KF" in impl_t:
             items["carrier_kf"] = True
+        if "TCP_CONNECTOR" in impl_t:
+            items["tcp_connector"] = True
+            items["tcp_port_ch0"] = int(conf.property(f"{t}.port_ch0", 2060))
         if items:
             group_params.append((sig, tuple(items.items())))
 

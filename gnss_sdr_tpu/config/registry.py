@@ -38,6 +38,9 @@ ACQUISITIONS: dict[str, tuple[str, dict]] = {
 TRACKINGS: dict[str, tuple[str, dict]] = {
     "GPS_L1_CA_DLL_PLL_Tracking": ("1C", {}),
     "GPS_L1_CA_KF_Tracking": ("1C", {"carrier_kf": True}),
+    # loop filters in an external process over TCP (research block)
+    "GPS_L1_CA_TCP_CONNECTOR_Tracking": ("1C", {"tcp_connector": True}),
+    "Galileo_E1_TCP_CONNECTOR_Tracking": ("1B", {"tcp_connector": True}),
     "GPS_L1_CA_DLL_PLL_C_Aid_Tracking": ("1C", {}),
     "GPS_L2_M_DLL_PLL_Tracking": ("2S", {}),
     "GPS_L5_DLL_PLL_Tracking": ("L5", {}),

@@ -83,6 +83,11 @@ class ReceiverConfig:
     track_pilot: bool = False
     # Kalman carrier tracking (reference GPS_L1_CA_KF_Tracking implementation)
     carrier_kf: bool = False
+    # TCP-connector tracking (reference GPS_L1_CA_TCP_CONNECTOR_Tracking /
+    # Galileo_E1_TCP_CONNECTOR_Tracking): loop filters run in an external
+    # process reached over TCP at port_ch0 + channel (0 = ephemeral ports)
+    tcp_connector: bool = False
+    tcp_port_ch0: int = 2060
     # GLONASS FDMA: orbital slot (PRN) -> frequency channel k; the published
     # almanac assignment (reference gets k from GNAV almanac / config)
     glonass_freq_slots: tuple = (
@@ -176,6 +181,19 @@ class SignalGroup:
         self.acq_pool = list(prns)
         self.acq_backoff: dict[int, int] = {}
         self.pinned: dict[int, int] = {}   # local channel -> PRN
+        # TCP-connector mode: loop closure through an external peer; the
+        # engine replaces the jitted scan for this group (see tcp_tracking)
+        self.tcp_engine = None
+        if cfg.tcp_connector:
+            from gnss_sdr_tpu.receiver import tcp_tracking
+            self.tcp_engine = tcp_tracking.TcpTrackingEngine(
+                spec=self.spec, fs=cfg.fs, n_channels=n_channels,
+                n_steps=self.trk_cfg.n_steps, n_max=self.trk_cfg.n_max,
+                port_ch0=cfg.tcp_port_ch0,
+                table_rate=self.trk_cfg.table_rate,
+                cn0_min_dbhz=self.trk_cfg.cn0_min_dbhz,
+                carrier_lock_min=self.trk_cfg.carrier_lock_min,
+                max_lock_fail=self.trk_cfg.max_lock_fail)
 
     @property
     def n_max(self) -> int:
@@ -506,9 +524,16 @@ class Receiver:
         else:
             g.code_tables[ch.ch_id] = data_table
         g.tables_rev = getattr(g, "tables_rev", 0) + 1
-        g.trk_state = trk.start_channel(
-            g.trk_state, ch.ch_id, code_freq=code_freq, doppler_hz=doppler,
-            sample_offset=int(delay), if_freq_hz=g.if_freq_for(prn))
+        if g.tcp_engine is not None:
+            g.tcp_engine.start_channel(
+                ch.ch_id, code_table=g.code_tables[ch.ch_id],
+                code_freq=code_freq, doppler_hz=doppler,
+                sample_offset=int(delay), if_freq_hz=g.if_freq_for(prn))
+        else:
+            g.trk_state = trk.start_channel(
+                g.trk_state, ch.ch_id, code_freq=code_freq,
+                doppler_hz=doppler, sample_offset=int(delay),
+                if_freq_hz=g.if_freq_for(prn))
         ch.prn = prn
         ch.state = "tracking"
         ch.telemetry = make_telemetry(g.signal, prn)
@@ -520,6 +545,8 @@ class Receiver:
     def _drop_channel(self, g: SignalGroup, ch: Channel) -> None:
         log.info("ch %d [%s]: PRN %s loss of lock",
                  ch.global_id, g.signal, ch.prn)
+        if g.tcp_engine is not None:
+            g.tcp_engine.stop_channel(ch.ch_id)
         g.trk_state = trk.stop_channel(g.trk_state, ch.ch_id)
         g.acq_backoff[ch.prn] = self._chunk_index + 10
         ch.prn = None
@@ -530,6 +557,15 @@ class Receiver:
     # ------------------------------------------------------------ tracking
     def _run_tracking(self, g: SignalGroup, chunk_dev) -> None:
         if not any(ch.state == "tracking" for ch in g.channels):
+            return
+        if g.tcp_engine is not None:
+            # host-stepped loop closure through the external TCP peers; the
+            # packed layout matches pack_host_outputs so everything below
+            # the unpack is shared with the scan path
+            f32p, i32p, lol = g.tcp_engine.process_chunk(
+                np.asarray(jax.device_get(
+                    chunk_dev[: self.chunk_len + g.n_max])), self.chunk_len)
+            self._consume_tracking(g, f32p, i32p, lol)
             return
         chunk2 = chunk_dev[: self.chunk_len + g.n_max]
         state, tables, sec = g.trk_state, g.code_tables, g.sec_tables
@@ -555,6 +591,12 @@ class Receiver:
         # leaves were fetched one by one)
         f32p, i32p, lol = jax.device_get(
             trk.pack_host_outputs(out, g.trk_state.loss_of_lock))
+        self._consume_tracking(g, f32p, i32p, lol)
+
+    def _consume_tracking(self, g: SignalGroup, f32p, i32p, lol) -> None:
+        """Feed one chunk's packed tracking outputs (pack_host_outputs
+        layout, from the scan engine or the TCP-connector engine) into
+        telemetry / records / dumps and run the channel watchdogs."""
         prompt = (f32p[..., 0] + 1j * f32p[..., 1]).astype(np.complex64)
         rem = f32p[..., 2]
         codef = f32p[..., 3]
@@ -589,7 +631,7 @@ class Receiver:
             # secondary-code wipe for NH/CS-overlaid signals), anchored at
             # the telemetry's bit boundary (reference: extended-integration
             # handoff, dll_pll_veml_tracking.cc state 3)
-            if (g.extend_symbols > 1
+            if (g.extend_symbols > 1 and g.tcp_engine is None
                     and not getattr(ch, "ext_configured", True)
                     and getattr(ch.telemetry, "bit_phase", None) is not None):
                 anchor = int(ch.telemetry.bit_phase)
@@ -809,6 +851,13 @@ class Receiver:
             for d in self._dumps.values():
                 d.close()
 
+    def close(self) -> None:
+        """Release external resources (TCP loop peers, dump files)."""
+        for g in self.groups:
+            if g.tcp_engine is not None:
+                g.tcp_engine.close()
+        self.close_dumps()
+
     def checkpoint(self, path) -> None:
         """Persist assistance data (ephemeris/almanac/iono + last position
         and time) for warm/hot start."""
@@ -821,7 +870,11 @@ class Receiver:
             tow_s=(fix.tow_s if fix is not None else self.assist_tow))
 
     def restore(self, path) -> None:
-        a = self._control_mod.load_assistance(path)
+        self.apply_assistance(self._control_mod.load_assistance(path))
+
+    def apply_assistance(self, a) -> None:
+        """Merge an Assistance record (JSON checkpoint, rinex2assist or
+        SUPL A-GNSS fetch) into the warm-start state."""
         self.ephemerides.update(a.ephemerides)
         self.almanacs.update(a.almanacs)
         if a.iono is not None:
