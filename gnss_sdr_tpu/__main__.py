@@ -96,6 +96,13 @@ def main(argv=None) -> int:
     assist = str(conf.property("GNSS-SDR.assistance_file", "")).strip()
     if assist:
         rx.restore(assist)
+    # SUPL A-GNSS: fetch ephemeris/almanac/iono/UTC/ref position+time from
+    # an SLP before streaming (reference ControlThread::assist_GNSS,
+    # control_thread.cc:625-800; GNSS-SDR.SUPL_* keys)
+    from gnss_sdr_tpu.io.supl import fetch_supl_assistance
+    supl_assist = fetch_supl_assistance(conf)
+    if supl_assist is not None:
+        rx.apply_assistance(supl_assist)
     from gnss_sdr_tpu.receiver.outputs import attach_outputs
     outputs = attach_outputs(rx, conf)
     try:
