@@ -35,14 +35,17 @@ class PppEngine:
         self.solutions: list = []
         self._last_tow: float | None = None
         self._prev: dict[tuple, tuple] = {}  # (sys,prn,f) -> (tow, phase, dop)
-        # SSR code biases (RTCM 1059): prn -> SsrCodeBias, applied to the
-        # raw pseudoranges before the iono-free combination (rtklib
-        # corr_meas cbias role). Update via set_code_biases().
+        # SSR code biases (RTCM 1059/1065/1242): (system, prn) ->
+        # SsrCodeBias, applied to the raw pseudoranges before the
+        # iono-free combination (rtklib corr_meas cbias role). Update via
+        # set_code_biases().
         self.code_biases: dict = {}
 
     # RTCM signal-and-tracking-mode indices for the signals this receiver
-    # tracks (GPS table: 0=L1 C/A, 7=L2C(M), 14=L5 I)
-    _SSR_SIG_ID = {"1C": 0, "2S": 7, "L5": 14}
+    # tracks (per-system tables: GPS 0=L1 C/A, 7=L2C(M), 14=L5 I;
+    # Galileo 1=E1 B, 14=E5a I; GLONASS 0=G1 C/A, 8=G2 C/A)
+    _SSR_SIG_ID = {"1C": 0, "2S": 7, "L5": 14, "1B": 1, "5X": 14,
+                   "1G": 0, "2G": 8}
 
     def enable_precise_models(self, *, windup: bool = True,
                               sat_pco_body_m=None,
@@ -104,15 +107,20 @@ class PppEngine:
         return d1, d2, dr
 
     def set_code_biases(self, biases) -> None:
-        """Accept decoded 1059 records (list[SsrCodeBias] or prn-keyed
-        dict, e.g. RtcmBaseStation.ssr_code_bias)."""
+        """Accept decoded 1059/1065/1242 records (list[SsrCodeBias] or a
+        dict keyed by (system, prn) or bare GPS prn, e.g.
+        RtcmBaseStation.ssr_code_bias)."""
         if isinstance(biases, dict):
-            self.code_biases = dict(biases)
+            self.code_biases = {
+                (k if isinstance(k, tuple) else ("G", k)): v
+                for k, v in biases.items()}
         else:
-            self.code_biases = {b.prn: b for b in biases}
+            self.code_biases = {(b.system, b.prn): b for b in biases}
 
     def _corrected_pr(self, o) -> float:
-        b = self.code_biases.get(o.prn)
+        from gnss_sdr_tpu import constants
+        system = constants.SIGNALS[o.signal].system
+        b = self.code_biases.get((system, o.prn))
         if b is None:
             return o.pseudorange_m
         from gnss_sdr_tpu.receiver.pvt import rtcm

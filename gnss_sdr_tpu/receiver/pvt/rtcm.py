@@ -355,6 +355,90 @@ def decode_1045(bits: np.ndarray) -> KeplerEphemeris:
     return e
 
 
+def encode_1046(eph: KeplerEphemeris, bgd_e5b: float = 0.0,
+                e5b_health: int = 0, e1b_health: int = 0) -> np.ndarray:
+    """Galileo I/NAV ephemeris (RTCM 10403.3 MT1046).
+
+    Same Kepler set as 1045 but carrying BOTH broadcast group delays
+    (BGD E1/E5a in ``eph.tgd`` — the I/NAV telemetry convention here,
+    models/nav/galileo_inav.py — plus BGD E1/E5b) and the E5b + E1-B
+    health/validity flags. The reference consumes this via rtklib's
+    ``decode_type1046`` (rtklib_rtcm3.cc:1765); note that that decoder
+    predates the final layout and stops after the first BGD.
+    """
+    w = BitWriter()
+    w.u(1046, 12)
+    w.u(eph.prn, 6)
+    w.u(eph.week % 4096, 12)
+    w.u(eph.iode & 0x3FF, 10)
+    w.u(eph.ura & 0xFF, 8)                     # SISA
+    w.sq(eph.idot / _SC, 2.0 ** -43, 14)
+    w.uq(eph.toc, 60.0, 14)
+    w.sq(eph.af2, 2.0 ** -59, 6)
+    w.sq(eph.af1, 2.0 ** -46, 21)
+    w.sq(eph.af0, 2.0 ** -34, 31)
+    w.sq(eph.crs, 2.0 ** -5, 16)
+    w.sq(eph.delta_n / _SC, 2.0 ** -43, 16)
+    w.sq(eph.m0 / _SC, 2.0 ** -31, 32)
+    w.sq(eph.cuc, 2.0 ** -29, 16)
+    w.uq(eph.e, 2.0 ** -33, 32)
+    w.sq(eph.cus, 2.0 ** -29, 16)
+    w.uq(eph.sqrt_a, 2.0 ** -19, 32)
+    w.uq(eph.toe, 60.0, 14)
+    w.sq(eph.cic, 2.0 ** -29, 16)
+    w.sq(eph.omega0 / _SC, 2.0 ** -31, 32)
+    w.sq(eph.cis, 2.0 ** -29, 16)
+    w.sq(eph.i0 / _SC, 2.0 ** -31, 32)
+    w.sq(eph.crc, 2.0 ** -5, 16)
+    w.sq(eph.omega / _SC, 2.0 ** -31, 32)
+    w.sq(eph.omega_dot / _SC, 2.0 ** -43, 24)
+    w.sq(eph.tgd, 2.0 ** -32, 10)              # BGD E1/E5a
+    w.sq(bgd_e5b, 2.0 ** -32, 10)              # BGD E1/E5b
+    w.u(e5b_health & 0x3, 2)
+    w.u(0, 1)                                  # E5b DVS
+    w.u(e1b_health & 0x3, 2)
+    w.u(0, 1)                                  # E1-B DVS
+    return w.array()
+
+
+def decode_1046(bits: np.ndarray) -> tuple[KeplerEphemeris, dict]:
+    from gnss_sdr_tpu import constants
+    r = BitReader(bits)
+    assert r.u(12) == 1046
+    e = KeplerEphemeris()
+    e.prn = r.u(6)
+    e.week = r.u(12)
+    e.iode = r.u(10)
+    e.ura = r.u(8)
+    e.idot = r.sq(2.0 ** -43, 14) * _SC
+    e.toc = r.uq(60.0, 14)
+    e.af2 = r.sq(2.0 ** -59, 6)
+    e.af1 = r.sq(2.0 ** -46, 21)
+    e.af0 = r.sq(2.0 ** -34, 31)
+    e.crs = r.sq(2.0 ** -5, 16)
+    e.delta_n = r.sq(2.0 ** -43, 16) * _SC
+    e.m0 = r.sq(2.0 ** -31, 32) * _SC
+    e.cuc = r.sq(2.0 ** -29, 16)
+    e.e = r.uq(2.0 ** -33, 32)
+    e.cus = r.sq(2.0 ** -29, 16)
+    e.sqrt_a = r.uq(2.0 ** -19, 32)
+    e.toe = r.uq(60.0, 14)
+    e.cic = r.sq(2.0 ** -29, 16)
+    e.omega0 = r.sq(2.0 ** -31, 32) * _SC
+    e.cis = r.sq(2.0 ** -29, 16)
+    e.i0 = r.sq(2.0 ** -31, 32) * _SC
+    e.crc = r.sq(2.0 ** -5, 16)
+    e.omega = r.sq(2.0 ** -31, 32) * _SC
+    e.omega_dot = r.sq(2.0 ** -43, 24) * _SC
+    e.tgd = r.sq(2.0 ** -32, 10)               # BGD E1/E5a
+    bgd_e5b = r.sq(2.0 ** -32, 10)
+    e5b_hs, _e5b_dvs = r.u(2), r.u(1)
+    e1b_hs, _e1b_dvs = r.u(2), r.u(1)
+    e.health = e1b_hs
+    e.gm = constants.GM_EARTH_GAL
+    return e, dict(bgd_e5b=bgd_e5b, e5b_health=e5b_hs, e1b_health=e1b_hs)
+
+
 def encode_1006(station_id: int, ecef: np.ndarray, height_m: float, *,
                 gps: bool = True, glo: bool = False, gal: bool = True
                 ) -> np.ndarray:
@@ -952,8 +1036,11 @@ def decode_legacy_obs(bits: np.ndarray) -> tuple[dict, list[LegacyObservation]]:
 
 
 # ---------------------------------------------------------------------------
-# SSR corrections: 1057 (GPS orbit) / 1058 (GPS clock)
-# (reference rtklib_rtcm3.cc decode_ssr1/decode_ssr2 field layouts)
+# SSR corrections: 1057-1059 (GPS), 1063-1065 (GLONASS), 1240-1242
+# (Galileo) — orbit / clock / code-bias triplets sharing one field layout
+# that differs only in epoch width (GLONASS time-of-day is 17 bits vs the
+# 20-bit GPS TOW), satellite-id width and IODE width (reference
+# rtklib_rtcm3.cc decode_ssr1_head np/ni tables + decode_ssr1/2/3)
 # ---------------------------------------------------------------------------
 
 
@@ -967,6 +1054,7 @@ class SsrOrbitCorrection:
     dot_radial_m_s: float = 0.0
     dot_along_m_s: float = 0.0
     dot_cross_m_s: float = 0.0
+    system: str = "G"
 
 
 @dataclasses.dataclass
@@ -975,12 +1063,23 @@ class SsrClockCorrection:
     c0_m: float                  # delta-clock polynomial (meters)
     c1_m_s: float = 0.0
     c2_m_s2: float = 0.0
+    system: str = "G"
+
+
+# (orbit, clock, code-bias) message numbers; epoch/prn/iode bit widths
+_SSR_MSGS = {"G": (1057, 1058, 1059), "R": (1063, 1064, 1065),
+             "E": (1240, 1241, 1242)}
+_SSR_SYS = {m: (s, kind) for s, nums in _SSR_MSGS.items()
+            for kind, m in zip(("orbit", "clock", "bias"), nums)}
+_SSR_WIDTHS = {"G": (20, 6, 8), "R": (17, 5, 8), "E": (20, 6, 10)}
 
 
 def _ssr_head(w: BitWriter, msg: int, tow_s: int, iod: int, nsat: int,
-              refd: bool | None) -> None:
+              refd: bool | None, system: str = "G") -> None:
+    ne, _np, _ni = _SSR_WIDTHS[system]
     w.u(msg, 12)
-    w.u(int(tow_s) % 604800, 20)
+    # GLONASS: 17-bit time of day; others: 20-bit GPS TOW
+    w.u(int(tow_s) % (86400 if ne == 17 else 604800), ne)
     w.u(2, 4)                   # update interval index (10 s)
     w.u(0, 1)                   # sync
     if refd is not None:
@@ -991,14 +1090,30 @@ def _ssr_head(w: BitWriter, msg: int, tow_s: int, iod: int, nsat: int,
     w.u(nsat, 6)
 
 
-def encode_ssr_orbit_gps(tow_s: float, corrections: list[SsrOrbitCorrection],
-                         iod: int = 0) -> np.ndarray:
-    """RTCM 1057: GPS SSR orbit corrections."""
+def _ssr_head_dec(r: BitReader, refd: bool) -> tuple[dict, int, str]:
+    msg = r.u(12)
+    system, _kind = _SSR_SYS[msg]
+    ne, _np, _ni = _SSR_WIDTHS[system]
+    tow = r.u(ne)
+    r.u(4 + 1 + (1 if refd else 0))     # udi, sync, (refd)
+    iod = r.u(4)
+    r.u(16 + 4)
+    nsat = r.u(6)
+    return dict(msg=msg, tow_s=float(tow), iod=iod, system=system), \
+        nsat, system
+
+
+def encode_ssr_orbit(tow_s: float, corrections: list[SsrOrbitCorrection],
+                     iod: int = 0, system: str = "G") -> np.ndarray:
+    """RTCM 1057 / 1063 / 1240: SSR orbit corrections (GPS/GLONASS/Gal).
+    GLONASS passes ``tow_s`` as GLONASS time-of-day seconds."""
+    _ne, np_, ni = _SSR_WIDTHS[system]
     w = BitWriter()
-    _ssr_head(w, 1057, int(tow_s), iod, len(corrections), refd=False)
+    _ssr_head(w, _SSR_MSGS[system][0], int(tow_s), iod, len(corrections),
+              refd=False, system=system)
     for c in corrections:
-        w.u(c.prn, 6)
-        w.u(c.iode & 255, 8)
+        w.u(c.prn, np_)
+        w.u(c.iode & ((1 << ni) - 1), ni)
         w.sq(c.radial_m, 1e-4, 22)
         w.sq(c.along_m, 4e-4, 20)
         w.sq(c.cross_m, 4e-4, 20)
@@ -1008,56 +1123,68 @@ def encode_ssr_orbit_gps(tow_s: float, corrections: list[SsrOrbitCorrection],
     return w.array()
 
 
-def decode_ssr_orbit_gps(bits: np.ndarray
-                         ) -> tuple[dict, list[SsrOrbitCorrection]]:
+def decode_ssr_orbit(bits: np.ndarray
+                     ) -> tuple[dict, list[SsrOrbitCorrection]]:
     r = BitReader(bits)
-    msg = r.u(12)
-    tow = r.u(20)
-    r.u(4 + 1 + 1)              # udi, sync, refd
-    iod = r.u(4)
-    r.u(16 + 4)
-    nsat = r.u(6)
+    hdr, nsat, system = _ssr_head_dec(r, refd=True)
+    _ne, np_, ni = _SSR_WIDTHS[system]
     out = []
     for _ in range(nsat):
-        prn = r.u(6)
-        iode = r.u(8)
+        prn = r.u(np_)
+        iode = r.u(ni)
         out.append(SsrOrbitCorrection(
             prn=prn, iode=iode,
             radial_m=r.sq(1e-4, 22), along_m=r.sq(4e-4, 20),
             cross_m=r.sq(4e-4, 20), dot_radial_m_s=r.sq(1e-6, 21),
-            dot_along_m_s=r.sq(4e-6, 19), dot_cross_m_s=r.sq(4e-6, 19)))
-    return dict(msg=msg, tow_s=float(tow), iod=iod), out
+            dot_along_m_s=r.sq(4e-6, 19), dot_cross_m_s=r.sq(4e-6, 19),
+            system=system))
+    return hdr, out
 
 
-def encode_ssr_clock_gps(tow_s: float, corrections: list[SsrClockCorrection],
-                         iod: int = 0) -> np.ndarray:
-    """RTCM 1058: GPS SSR clock corrections."""
+def encode_ssr_clock(tow_s: float, corrections: list[SsrClockCorrection],
+                     iod: int = 0, system: str = "G") -> np.ndarray:
+    """RTCM 1058 / 1064 / 1241: SSR clock corrections."""
+    _ne, np_, _ni = _SSR_WIDTHS[system]
     w = BitWriter()
-    _ssr_head(w, 1058, int(tow_s), iod, len(corrections), refd=None)
+    _ssr_head(w, _SSR_MSGS[system][1], int(tow_s), iod, len(corrections),
+              refd=None, system=system)
     for c in corrections:
-        w.u(c.prn, 6)
+        w.u(c.prn, np_)
         w.sq(c.c0_m, 1e-4, 22)
         w.sq(c.c1_m_s, 1e-6, 21)
         w.sq(c.c2_m_s2, 2e-8, 27)
     return w.array()
 
 
-def decode_ssr_clock_gps(bits: np.ndarray
-                         ) -> tuple[dict, list[SsrClockCorrection]]:
+def decode_ssr_clock(bits: np.ndarray
+                     ) -> tuple[dict, list[SsrClockCorrection]]:
     r = BitReader(bits)
-    msg = r.u(12)
-    tow = r.u(20)
-    r.u(4 + 1)
-    iod = r.u(4)
-    r.u(16 + 4)
-    nsat = r.u(6)
+    hdr, nsat, system = _ssr_head_dec(r, refd=False)
+    _ne, np_, _ni = _SSR_WIDTHS[system]
     out = []
     for _ in range(nsat):
-        prn = r.u(6)
+        prn = r.u(np_)
         out.append(SsrClockCorrection(
             prn=prn, c0_m=r.sq(1e-4, 22), c1_m_s=r.sq(1e-6, 21),
-            c2_m_s2=r.sq(2e-8, 27)))
-    return dict(msg=msg, tow_s=float(tow), iod=iod), out
+            c2_m_s2=r.sq(2e-8, 27), system=system))
+    return hdr, out
+
+
+# GPS-named aliases (original entry points)
+def encode_ssr_orbit_gps(tow_s, corrections, iod=0):
+    return encode_ssr_orbit(tow_s, corrections, iod, system="G")
+
+
+def decode_ssr_orbit_gps(bits):
+    return decode_ssr_orbit(bits)
+
+
+def encode_ssr_clock_gps(tow_s, corrections, iod=0):
+    return encode_ssr_clock(tow_s, corrections, iod, system="G")
+
+
+def decode_ssr_clock_gps(bits):
+    return decode_ssr_clock(bits)
 
 
 def apply_ssr_orbit(pos_ecef: np.ndarray, vel_ecef: np.ndarray,
@@ -1091,21 +1218,25 @@ def apply_ssr_clock(dts_s: float, corr: SsrClockCorrection,
 
 @dataclasses.dataclass
 class SsrCodeBias:
-    """One satellite's per-signal code biases (RTCM 1059; signal ids are
-    the RTCM signal-and-tracking-mode table indices)."""
+    """One satellite's per-signal code biases (RTCM 1059/1065/1242;
+    signal ids are the per-system RTCM signal-and-tracking-mode table
+    indices)."""
 
     prn: int
     biases: dict = dataclasses.field(default_factory=dict)  # sig_id -> m
+    system: str = "G"
 
 
-def encode_ssr_code_bias_gps(tow_s: float, biases: list[SsrCodeBias],
-                             iod: int = 0) -> np.ndarray:
-    """RTCM 1059: GPS SSR code biases (reference rtklib_rtcm3.cc
-    decode_ssr3 field layout)."""
+def encode_ssr_code_bias(tow_s: float, biases: list[SsrCodeBias],
+                         iod: int = 0, system: str = "G") -> np.ndarray:
+    """RTCM 1059 / 1065 / 1242: SSR code biases (reference
+    rtklib_rtcm3.cc decode_ssr3 field layout)."""
+    _ne, np_, _ni = _SSR_WIDTHS[system]
     w = BitWriter()
-    _ssr_head(w, 1059, int(tow_s), iod, len(biases), refd=None)
+    _ssr_head(w, _SSR_MSGS[system][2], int(tow_s), iod, len(biases),
+              refd=None, system=system)
     for b in biases:
-        w.u(b.prn, 6)
+        w.u(b.prn, np_)
         w.u(len(b.biases), 5)
         for sig_id, bias_m in sorted(b.biases.items()):
             w.u(sig_id, 5)
@@ -1113,25 +1244,29 @@ def encode_ssr_code_bias_gps(tow_s: float, biases: list[SsrCodeBias],
     return w.array()
 
 
-def decode_ssr_code_bias_gps(bits: np.ndarray
-                             ) -> tuple[dict, list[SsrCodeBias]]:
+def decode_ssr_code_bias(bits: np.ndarray
+                         ) -> tuple[dict, list[SsrCodeBias]]:
     r = BitReader(bits)
-    msg = r.u(12)
-    tow = r.u(20)
-    r.u(4 + 1)
-    iod = r.u(4)
-    r.u(16 + 4)
-    nsat = r.u(6)
+    hdr, nsat, system = _ssr_head_dec(r, refd=False)
+    _ne, np_, _ni = _SSR_WIDTHS[system]
     out = []
     for _ in range(nsat):
-        prn = r.u(6)
+        prn = r.u(np_)
         nb = r.u(5)
         biases = {}
         for _ in range(nb):
             sig = r.u(5)
             biases[sig] = r.sq(0.01, 14)
-        out.append(SsrCodeBias(prn=prn, biases=biases))
-    return dict(msg=msg, tow_s=float(tow), iod=iod), out
+        out.append(SsrCodeBias(prn=prn, biases=biases, system=system))
+    return hdr, out
+
+
+def encode_ssr_code_bias_gps(tow_s, biases, iod=0):
+    return encode_ssr_code_bias(tow_s, biases, iod, system="G")
+
+
+def decode_ssr_code_bias_gps(bits):
+    return decode_ssr_code_bias(bits)
 
 
 def apply_ssr_code_bias(pseudorange_m: float, corr: SsrCodeBias,

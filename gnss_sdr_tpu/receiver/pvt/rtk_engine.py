@@ -38,7 +38,8 @@ class RtcmBaseStation:
         self.base_ecef: np.ndarray | None = None
         self.antenna_height_m: float = 0.0
         self.ephemerides: dict = {}
-        # SSR state (1057/1058/1059), keyed by PRN
+        # SSR state (1057-1059 GPS / 1063-1065 GLONASS / 1240-1242
+        # Galileo), keyed by (system, prn)
         self.ssr_orbit: dict = {}
         self.ssr_clock: dict = {}
         self.ssr_code_bias: dict = {}
@@ -84,18 +85,21 @@ class RtcmBaseStation:
         elif msg == 1045:
             e = rtcm.decode_1045(payload_bits)
             self.ephemerides[("E", e.prn)] = e
-        elif msg == 1057:
-            _, corrs = rtcm.decode_ssr_orbit_gps(payload_bits)
+        elif msg == 1046:
+            e, _info = rtcm.decode_1046(payload_bits)
+            self.ephemerides[("E", e.prn)] = e
+        elif msg in (1057, 1063, 1240):
+            _, corrs = rtcm.decode_ssr_orbit(payload_bits)
             for c in corrs:
-                self.ssr_orbit[c.prn] = c
-        elif msg == 1058:
-            _, corrs = rtcm.decode_ssr_clock_gps(payload_bits)
+                self.ssr_orbit[(c.system, c.prn)] = c
+        elif msg in (1058, 1064, 1241):
+            _, corrs = rtcm.decode_ssr_clock(payload_bits)
             for c in corrs:
-                self.ssr_clock[c.prn] = c
-        elif msg == 1059:
-            _, biases = rtcm.decode_ssr_code_bias_gps(payload_bits)
+                self.ssr_clock[(c.system, c.prn)] = c
+        elif msg in (1059, 1065, 1242):
+            _, biases = rtcm.decode_ssr_code_bias(payload_bits)
             for b in biases:
-                self.ssr_code_bias[b.prn] = b
+                self.ssr_code_bias[(b.system, b.prn)] = b
         elif msg in rtcm.MSM_MESSAGES:
             hdr, obs = rtcm.decode_msm(payload_bits)
             _level, system = rtcm.MSM_MESSAGES[msg]

@@ -536,7 +536,7 @@ def test_base_station_ingests_new_messages():
     assert ("R", 4) in bs.ephemerides
     assert bs.ephemerides[("R", 4)].freq_slot == 5
     assert ("C", beph.prn) in bs.ephemerides
-    assert 7 in bs.ssr_code_bias
+    assert ("G", 7) in bs.ssr_code_bias
 
 
 def test_msm_glonass_freq_slot_in_extended_info():
@@ -569,3 +569,104 @@ def test_ppp_engine_applies_code_biases():
     assert eng._corrected_pr(O()) == 99.0
     O.prn = 5
     assert eng._corrected_pr(O()) == 100.0
+
+
+def test_1046_galileo_inav_ephemeris_roundtrip():
+    """MT1046 carries the I/NAV Kepler set with BOTH BGDs and the E5b/E1-B
+    health flags (rtklib decode_type1046 field order)."""
+    eph = sample_ephemeris()
+    eph.prn = 11
+    eph.week = 1234
+    eph.iode = 87
+    eph.tgd = -4.7e-9                          # BGD E1/E5a
+    eph.toc = eph.toe = 345600.0               # 60 s resolution
+    bits = rtcm.encode_1046(eph, bgd_e5b=-5.1e-9, e5b_health=1,
+                            e1b_health=2)
+    dec, info = rtcm.decode_1046(rtcm.deframe(rtcm.frame(bits))[0])
+    assert dec.prn == 11 and dec.week == 1234 and dec.iode == 87
+    assert dec.toe == 345600.0
+    assert abs(dec.tgd - eph.tgd) < 2.0 ** -32
+    assert abs(info["bgd_e5b"] + 5.1e-9) < 2.0 ** -32
+    assert info["e5b_health"] == 1 and info["e1b_health"] == 2
+    assert dec.health == 2                     # E1-B HS drives the flag
+    assert abs(dec.sqrt_a - eph.sqrt_a) < 2.0 ** -19
+    assert abs(dec.m0 - eph.m0) < 1e-8
+
+
+def test_ssr_glonass_galileo_roundtrips():
+    """1063/1064/1065 (GLONASS, 17-bit time-of-day epoch, 5-bit slot) and
+    1240/1241/1242 (Galileo, 10-bit IODnav) mirror the GPS triplet
+    (rtklib decode_ssr1_head np/ni tables)."""
+    orb = [rtcm.SsrOrbitCorrection(prn=4, iode=21, radial_m=0.8,
+                                   along_m=-1.2, cross_m=0.4,
+                                   dot_radial_m_s=1e-4)]
+    bits = rtcm.encode_ssr_orbit(40000.0, orb, iod=2, system="R")
+    hdr, dec = rtcm.decode_ssr_orbit(rtcm.deframe(rtcm.frame(bits))[0])
+    assert hdr["msg"] == 1063 and hdr["system"] == "R"
+    assert hdr["tow_s"] == 40000.0             # GLONASS tod fits 17 bits
+    assert dec[0].system == "R" and dec[0].prn == 4 and dec[0].iode == 21
+    assert abs(dec[0].radial_m - 0.8) < 1e-4
+
+    clk = [rtcm.SsrClockCorrection(prn=4, c0_m=1.5, c1_m_s=2e-5)]
+    bits = rtcm.encode_ssr_clock(40000.0, clk, system="R")
+    hdr, dec = rtcm.decode_ssr_clock(rtcm.deframe(rtcm.frame(bits))[0])
+    assert hdr["msg"] == 1064 and dec[0].system == "R"
+    assert abs(dec[0].c0_m - 1.5) < 1e-4
+
+    # Galileo: 10-bit IODnav survives values > 255
+    orb_e = [rtcm.SsrOrbitCorrection(prn=12, iode=600, radial_m=-0.3,
+                                     along_m=0.1, cross_m=0.0)]
+    bits = rtcm.encode_ssr_orbit(345600.0, orb_e, system="E")
+    hdr, dec = rtcm.decode_ssr_orbit(rtcm.deframe(rtcm.frame(bits))[0])
+    assert hdr["msg"] == 1240 and dec[0].iode == 600
+
+    bia = [rtcm.SsrCodeBias(prn=12, biases={1: 0.8, 14: -0.6},
+                            system="E")]
+    bits = rtcm.encode_ssr_code_bias(345600.0, bia, system="E")
+    hdr, dec = rtcm.decode_ssr_code_bias(rtcm.deframe(rtcm.frame(bits))[0])
+    assert hdr["msg"] == 1242 and dec[0].system == "E"
+    assert abs(dec[0].biases[1] - 0.8) < 0.01
+
+
+def test_base_station_ingests_multi_system_ssr_and_1046():
+    from gnss_sdr_tpu.receiver.pvt.rtk_engine import RtcmBaseStation
+
+    eph = sample_ephemeris()
+    eph.prn = 19
+    eph.toc = eph.toe = 345600.0
+    stream = (
+        rtcm.frame(rtcm.encode_1046(eph, bgd_e5b=1e-9))
+        + rtcm.frame(rtcm.encode_ssr_orbit(
+            40000.0, [rtcm.SsrOrbitCorrection(
+                prn=4, iode=3, radial_m=0.5, along_m=0.0, cross_m=0.0,
+                system="R")], system="R"))
+        + rtcm.frame(rtcm.encode_ssr_clock(
+            345600.0, [rtcm.SsrClockCorrection(prn=19, c0_m=0.9,
+                                               system="E")], system="E"))
+        + rtcm.frame(rtcm.encode_ssr_code_bias(
+            40000.0, [rtcm.SsrCodeBias(prn=4, biases={0: 0.4},
+                                       system="R")], system="R")))
+    bs = RtcmBaseStation()
+    bs.push_bytes(stream)
+    assert ("E", 19) in bs.ephemerides
+    assert ("R", 4) in bs.ssr_orbit and bs.ssr_orbit[("R", 4)].system == "R"
+    assert ("E", 19) in bs.ssr_clock
+    assert ("R", 4) in bs.ssr_code_bias
+
+
+def test_ppp_engine_multi_system_bias_keys():
+    """Galileo biases keyed ('E', prn) do not collide with GPS prn."""
+    from gnss_sdr_tpu.receiver.pvt.ppp_engine import PppEngine
+
+    eng = PppEngine({}, x0_ecef=(0, 0, 0))
+    eng.set_code_biases([
+        rtcm.SsrCodeBias(prn=3, biases={0: 2.0}, system="G"),
+        rtcm.SsrCodeBias(prn=3, biases={1: -1.5}, system="E")])
+
+    class O:
+        prn = 3
+        signal = "1C"
+        pseudorange_m = 100.0
+    assert eng._corrected_pr(O()) == 102.0
+    O.signal = "1B"
+    assert eng._corrected_pr(O()) == 98.5
