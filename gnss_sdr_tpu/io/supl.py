@@ -731,7 +731,29 @@ def to_assistance(assist: SuplAssist):
         pos = np.asarray(geodetic_to_ecef(
             np.radians(assist.ref_lat), np.radians(assist.ref_lon), 0.0))
     return Assistance(ephemerides=ephs, almanacs=alms, iono=iono, utc=utc,
-                      position_ecef=pos, tow_s=assist.gps_tow)
+                      position_ecef=pos, tow_s=assist.gps_tow,
+                      acq=acq_hints(assist))
+
+
+def acq_hints(assist: SuplAssist) -> dict:
+    """RRLP AcquisAssist -> per-satellite Doppler/code-phase hints with
+    ICD scalings (3GPP TS 44.031: doppler0 in 2.5 Hz units, doppler1 as
+    -42 + raw at 1/42 Hz/s). The reference narrows the acquisition
+    Doppler window to these (pcps_assisted_acquisition_cc.cc:180-186)."""
+    out = {}
+    for el in assist.acq_assist:
+        d1 = el.get("addionalDoppler")
+        out[("G", el["svid"] + 1)] = {
+            "doppler_hz": el["doppler0"] * 2.5,
+            "doppler_rate_hz_s": ((d1["doppler1"] - 42) / 42.0
+                                  if d1 else 0.0),
+            "doppler_uncert_hz": ({0: 12.5, 1: 25.0, 2: 50.0, 3: 100.0,
+                                   4: 200.0}.get(d1["dopplerUncertainty"],
+                                                 200.0) if d1 else 1000.0),
+            "code_phase_chips": float(el["codePhase"]),
+            "code_phase_int_ms": int(el["intCodePhase"]),
+            "tow_s": assist.acq_tow}
+    return out
 
 
 # =========================================================================
@@ -879,8 +901,24 @@ def fetch_supl_assistance(conf) -> "object | None":
     if assist.ref_lat is None:
         assist.ref_lat, assist.ref_lon = alm.ref_lat, alm.ref_lon
         assist.ref_uncert_m = alm.ref_uncert_m
-    log.info("SUPL: %d ephemerides, %d almanacs from %s",
-             len(assist.ephemerides), len(assist.almanacs), server)
+    # third session against the (possibly distinct) acquisition server
+    # (reference supl_client_acquisition_, request=2)
+    acq_server = str(conf.property("GNSS-SDR.SUPL_gps_acquisition_server",
+                                   server))
+    acq_port = int(conf.property("GNSS-SDR.SUPL_gps_acquisition_port",
+                                 port))
+    try:
+        acq = SuplClient(acq_server, acq_port, mcc=mcc, mnc=mnc,
+                         lac=lac, ci=ci).get_assist(REQUEST_ACQUISITION)
+        assist.acq_assist = acq.acq_assist
+        assist.acq_tow = acq.acq_tow
+        if assist.ref_lat is None:
+            assist.ref_lat, assist.ref_lon = acq.ref_lat, acq.ref_lon
+    except (OSError, ValueError) as e:
+        log.warning("SUPL: acquisition-assist request failed: %s", e)
+    log.info("SUPL: %d ephemerides, %d almanacs, %d acq hints from %s",
+             len(assist.ephemerides), len(assist.almanacs),
+             len(assist.acq_assist), server)
     return to_assistance(assist)
 
 
@@ -915,7 +953,7 @@ class SuplServer(threading.Thread):
     def __init__(self, *, ephemerides=(), almanacs=(), wna: int = 0,
                  iono=None, utc=None, ref_llh=None, gps_week: int = 0,
                  gps_tow: float = 0.0, n_batches: int = 2,
-                 port: int = 0, n_sessions: int = 1):
+                 port: int = 0, n_sessions: int = 1, acq_assist=()):
         super().__init__(daemon=True)
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -930,6 +968,8 @@ class SuplServer(threading.Thread):
         self.gps_week, self.gps_tow = gps_week, gps_tow
         self.n_batches = max(1, n_batches)
         self.n_sessions = max(1, n_sessions)
+        # (prn, doppler_hz, code_phase_chips) acquisition-assist entries
+        self.acq_assist = list(acq_assist)
         self.error: Exception | None = None
         self.got_start: dict | None = None
         self.got_posinit: dict | None = None
@@ -977,6 +1017,18 @@ class SuplServer(threading.Thread):
             hdr["almanac"] = {
                 "alamanacWNa": self.wna % 256,
                 "almanacList": [alm_to_rrlp(a) for a in self.almanacs]}
+        if req.get("acquisitionAssistanceRequested") and self.acq_assist:
+            hdr["acquisAssist"] = {
+                "timeRelation": {"gpsTOW": int(self.gps_tow / 0.08)},
+                "acquisList": [
+                    {"svid": prn - 1,
+                     "doppler0": int(round(fd / 2.5)),
+                     "addionalDoppler": {"doppler1": 42,   # 0 Hz/s
+                                         "dopplerUncertainty": 4},
+                     "codePhase": int(cp) % 1023,
+                     "intCodePhase": 0, "gpsBitNumber": 0,
+                     "codePhaseSearchWindow": 15}
+                    for prn, fd, cp in self.acq_assist]}
         headers = [dict(hdr)] if hdr else []
         if req.get("navigationModelRequested") and self.ephemerides:
             # split the ephemeris set over the remaining batches the way

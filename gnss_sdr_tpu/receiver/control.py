@@ -228,6 +228,10 @@ class Assistance:
     utc: UtcParams | None = None
     position_ecef: object = None       # np.ndarray [3] or None
     tow_s: float | None = None
+    # SUPL acquisition assistance: (system, prn) -> Doppler/code-phase
+    # hints (io/supl.acq_hints). Short-lived — not persisted to JSON
+    # (reference keeps it in the in-memory global_gps_acq_assist_map)
+    acq: dict = dataclasses.field(default_factory=dict)
 
 
 def predicted_doppler(eph: KeplerEphemeris, rcv_ecef: np.ndarray,

@@ -262,6 +262,10 @@ class Receiver:
         # time injection); used when no fix exists yet
         self.assist_pos = None
         self.assist_tow = None
+        # SUPL acquisition assistance: (system, prn) -> Doppler hints
+        # (reference global_gps_acq_assist_map feeding
+        # pcps_assisted_acquisition)
+        self.acq_assist: dict = {}
         self.fixes: list[pvt_solver.PvtSolution] = []
         self.obs_log: list[tuple[int, list[ChannelObservable]]] = []
         self._sample_base = 0           # absolute sample index of chunk start
@@ -373,11 +377,28 @@ class Receiver:
             pos = self.assist_pos
             tow = self.assist_tow + self._sample_base / self.cfg.fs
         else:
+            pos = tow = None
+        if pos is None and not self.acq_assist:
             return None
-        if not self.ephemerides and not self.almanacs:
+        if not self.ephemerides and not self.almanacs \
+                and not self.acq_assist:
             return None
         out = []
         for p in candidates:
+            # direct SUPL acquisition assistance first (reference
+            # pcps_assisted_acquisition_cc.cc:180-186 narrows the search
+            # window to Doppler0); fresh for minutes at most
+            hint = self.acq_assist.get((g.spec.system, p))
+            if hint is not None:
+                dt = 0.0 if tow is None or hint.get("tow_s") is None \
+                    else tow - hint["tow_s"]
+                if abs(dt) < 600.0:
+                    fd = hint["doppler_hz"] \
+                        + hint.get("doppler_rate_hz_s", 0.0) * dt
+                    out.append(fd + g.if_freq_for(p) - self.cfg.if_freq_hz)
+                    continue
+            if pos is None:
+                return None
             # ephemeris preferred; the weeks-valid almanac covers the
             # common warm-start case where no ephemeris is stored
             eph = self.ephemerides.get((g.spec.system, p))
@@ -877,6 +898,7 @@ class Receiver:
         SUPL A-GNSS fetch) into the warm-start state."""
         self.ephemerides.update(a.ephemerides)
         self.almanacs.update(a.almanacs)
+        self.acq_assist.update(getattr(a, "acq", {}) or {})
         if a.iono is not None:
             self.iono = a.iono
         if a.position_ecef is not None:

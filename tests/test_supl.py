@@ -203,7 +203,8 @@ def test_fetch_supl_assistance_from_ini():
     # payloads from each session's RequestedAssistData flags
     srv = supl.SuplServer(ephemerides=ephs, iono=iono,
                           ref_llh=(41.0, 2.0, 50.0), gps_week=2240,
-                          gps_tow=1000.0, n_batches=1, n_sessions=2)
+                          gps_tow=1000.0, n_batches=1, n_sessions=3,
+                          acq_assist=[(7, 1250.0, 431.0)])
     srv.start()
     conf = InMemoryConfiguration({
         "GNSS-SDR.SUPL_gps_enabled": "true",
@@ -218,6 +219,10 @@ def test_fetch_supl_assistance_from_ini():
     assert ("G", 7) in a.ephemerides
     assert a.iono is not None and a.iono.valid
     assert a.position_ecef is not None
+    # third (acquisition) session produced direct Doppler hints
+    hint = a.acq[("G", 7)]
+    assert hint["doppler_hz"] == pytest.approx(1250.0, abs=2.5)
+    assert hint["code_phase_chips"] == 431.0
 
 
 def test_fetch_supl_disabled_returns_none():
@@ -254,3 +259,31 @@ def test_receiver_applies_supl_assistance():
     assert ("G", 9) in rx.ephemerides
     assert rx.assist_pos is not None
     assert rx.assist_tow == pytest.approx(1000.0, abs=0.08)
+
+
+def test_acq_assist_drives_predicted_dopplers():
+    """SUPL acquisition assistance narrows assisted acquisition directly,
+    without ephemerides (reference pcps_assisted_acquisition window)."""
+    from gnss_sdr_tpu.receiver.control import Assistance
+    from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+
+    rx = Receiver(ReceiverConfig(signal="1C", fs=2.0e6, n_channels=2,
+                                 prns=(4, 9)))
+    rx.apply_assistance(Assistance(acq={
+        ("G", 4): {"doppler_hz": -2200.0, "doppler_rate_hz_s": 0.5,
+                   "tow_s": 1000.0},
+        ("G", 9): {"doppler_hz": 3100.0, "doppler_rate_hz_s": 0.0,
+                   "tow_s": 1000.0}}))
+    g = rx.groups[0]
+    preds = rx._predicted_dopplers(g, [4, 9])
+    assert preds is not None
+    assert preds[0] == pytest.approx(-2200.0)
+    assert preds[1] == pytest.approx(3100.0)
+    # candidate without any hint or ephemeris -> no full coverage
+    assert rx._predicted_dopplers(g, [4, 5]) is None
+    # stale hints (> 10 min old receiver time) are ignored
+    rx.assist_pos = __import__("numpy").zeros(3)
+    rx.assist_tow = 2000.0
+    rx.almanacs.clear(); rx.ephemerides.clear()
+    rx.acq_assist[("G", 4)]["tow_s"] = 100.0
+    assert rx._predicted_dopplers(g, [4]) is None
