@@ -359,6 +359,14 @@ def multisource_from_ini(conf: Configuration):
     from gnss_sdr_tpu.receiver.multisource import SourceBranchConfig
 
     n_src = int(conf.property("Receiver.sources_count", 1))
+    # Multichannel_File_Signal_Source: ONE SignalSource section with
+    # total_channels files (filename0..filenameN-1), one per RF chain at a
+    # common rate (reference multichannel_file_signal_source.cc:54-60) —
+    # expressed here as N file-source branches
+    multichannel = (str(conf.property("SignalSource.implementation", ""))
+                    == "Multichannel_File_Signal_Source")
+    if multichannel and n_src <= 1:
+        n_src = int(conf.property("SignalSource.total_channels", 1))
     if n_src <= 1:
         return None
     base_cfg = receiver_config_from_ini(conf)
@@ -392,7 +400,17 @@ def multisource_from_ini(conf: Configuration):
         rcfg = _dc.replace(
             base_cfg, signal=sigs[0][0], n_channels=sigs[0][1],
             signal_plan=tuple(sigs), fs=fs_k)
-        source = source_from_ini(conf, role=f"SignalSource{k}")
+        if multichannel:
+            from gnss_sdr_tpu.io import sources as _sources
+            source = _sources.FileSignalSource(
+                conf.property(f"SignalSource.filename{k}", ""),
+                item_type=conf.property("SignalSource.item_type",
+                                        "gr_complex"),
+                sampling_frequency=float(conf.property(
+                    "SignalSource.sampling_frequency", fs_global)),
+                samples=int(conf.property("SignalSource.samples", 0)))
+        else:
+            source = source_from_ini(conf, role=f"SignalSource{k}")
         filt = input_filter_from_ini(conf, role=f"InputFilter{k}")
         branches.append(SourceBranchConfig(
             receiver=rcfg, source=source, input_filter=filt))

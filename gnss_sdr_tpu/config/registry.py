@@ -75,13 +75,13 @@ SOURCES = {"File_Signal_Source", "Custom_UDP_Signal_Source",
            "Spir_File_Signal_Source", "Spir_GSS6450_File_Signal_Source",
            "Raw_Array_Signal_Source", "Nsr_File_Signal_Source",
            "Two_Bit_Packed_File_Signal_Source",
-           "Two_Bit_Cpx_File_Signal_Source"}
+           "Two_Bit_Cpx_File_Signal_Source",
+           "Multichannel_File_Signal_Source"}
 # hardware front-ends require drivers absent in this environment
 HARDWARE_SOURCES = {"UHD_Signal_Source", "Osmosdr_Signal_Source",
                     "Plutosdr_Signal_Source", "Fmcomms2_Signal_Source",
                     "Ad9361_Fpga_Signal_Source", "Flexiband_Signal_Source",
-                    "GN3S_Signal_Source",
-                    "Multichannel_File_Signal_Source"}
+                    "GN3S_Signal_Source"}
 
 DATA_TYPE_ADAPTERS = {"Byte_To_Short", "Ibyte_To_Cbyte", "Ibyte_To_Complex",
                       "Ibyte_To_Cshort", "Ishort_To_Complex",

@@ -163,3 +163,36 @@ def test_clock_origin_shared_across_branches(world):
     ms.receivers[0].observables._rx_origin_tow = 345601.234
     ms._share_clock_origin()
     assert ms.receivers[1].observables.rx_clock_tow == 345601.234
+
+
+MULTICHANNEL_CONF = """
+GNSS-SDR.internal_fs_sps=2046000
+
+SignalSource.implementation=Multichannel_File_Signal_Source
+SignalSource.total_channels=2
+SignalSource.filename0={f0}
+SignalSource.filename1={f1}
+SignalSource.item_type=ishort
+SignalSource.sampling_frequency=2046000
+
+Channels_1C.count=6
+Channels_1B.count=4
+Channel0.RF_channel_ID=0
+Channel6.RF_channel_ID=1
+"""
+
+
+def test_multichannel_file_source_maps_to_branches(tmp_path):
+    """Multichannel_File_Signal_Source (one section, filename0..N-1 at a
+    common rate, reference multichannel_file_signal_source.cc:54-60)
+    expands into per-RF-chain file-source branches."""
+    conf = ini.FileConfiguration(_write_conf(tmp_path, MULTICHANNEL_CONF))
+    branches, base = ini.multisource_from_ini(conf)
+    assert len(branches) == 2
+    b0, b1 = branches
+    assert b0.receiver.signal_plan == (("1C", 6),)
+    assert b1.receiver.signal_plan == (("1B", 4),)
+    assert b0.source.path.name == "l1.ishort"
+    assert b1.source.path.name == "l5.ishort"
+    assert b0.source.fs == b1.source.fs == 2046000.0
+    assert base.signal_plan == (("1C", 6), ("1B", 4))
