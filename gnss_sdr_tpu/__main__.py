@@ -105,12 +105,25 @@ def main(argv=None) -> int:
         rx.apply_assistance(supl_assist)
     from gnss_sdr_tpu.receiver.outputs import attach_outputs
     outputs = attach_outputs(rx, conf)
+    # TCP telecommand interface (reference ControlThread::telecommand_listener,
+    # control_thread.cc:227-233: GNSS-SDR.telecommand_enabled / _tcp_port)
+    telecmd = None
+    if str(conf.property("GNSS-SDR.telecommand_enabled", "false")
+           ).strip().lower() in ("true", "1"):
+        from gnss_sdr_tpu.receiver.control import TelecommandServer
+        port = int(conf.property("GNSS-SDR.telecommand_tcp_port", 3333))
+        telecmd = TelecommandServer(rx.control_queue, rx.status_text,
+                                    port=port)
+        logging.getLogger("gnss_sdr_tpu").info(
+            "telecommand server on tcp port %d", telecmd.port)
     try:
         rx.run_file_source(source, max_chunks=args.max_chunks,
                            input_filter=input_filter)
     finally:
         if assist:
             rx.checkpoint(assist)
+        if telecmd is not None:
+            telecmd.close()
         outputs.close()
         rx.close_dumps()
 
@@ -121,7 +134,10 @@ def main(argv=None) -> int:
         print(f"last fix: lat={f.lat_rad*57.29577951308232:.6f} "
               f"lon={f.lon_rad*57.29577951308232:.6f} h={f.height_m:.1f} m "
               f"({f.n_sats} sats, pdop {f.pdop:.2f})")
-    return 0
+    # the reset telecommand requests a full receiver restart; the harness
+    # script relaunches on this exit code (reference main.cc / the
+    # gnss-sdr-harness.sh contract: exit 42 = restart, control_thread.cc:381)
+    return 42 if rx.restart_requested else 0
 
 
 if __name__ == "__main__":

@@ -577,17 +577,30 @@ class Receiver:
 
     # ------------------------------------------------------------ tracking
     def _run_tracking(self, g: SignalGroup, chunk_dev) -> None:
+        pend = self._dispatch_tracking(g, chunk_dev)
+        if pend is not None:
+            self._finish_tracking(g, pend)
+
+    def _dispatch_tracking(self, g: SignalGroup, chunk_dev):
+        """Launch this group's tracking scan without blocking on the result.
+
+        JAX dispatch is asynchronous, so returning the packed device arrays
+        (futures) lets the chunk loop launch EVERY group's scan before the
+        first blocking download — multi-constellation receivers overlap one
+        group's host-side consume / tunnel RPC latency with the other
+        groups' device compute (SURVEY §2.4 pipeline-parallelism row; the
+        reference gets the same overlap from its thread-per-block
+        scheduler). Returns None when the group has no tracking channels.
+        """
         if not any(ch.state == "tracking" for ch in g.channels):
-            return
+            return None
         if g.tcp_engine is not None:
             # host-stepped loop closure through the external TCP peers; the
             # packed layout matches pack_host_outputs so everything below
             # the unpack is shared with the scan path
-            f32p, i32p, lol = g.tcp_engine.process_chunk(
+            return g.tcp_engine.process_chunk(
                 np.asarray(jax.device_get(
                     chunk_dev[: self.chunk_len + g.n_max])), self.chunk_len)
-            self._consume_tracking(g, f32p, i32p, lol)
-            return
         chunk2 = chunk_dev[: self.chunk_len + g.n_max]
         state, tables, sec = g.trk_state, g.code_tables, g.sec_tables
         if self.mesh is not None:
@@ -610,8 +623,10 @@ class Receiver:
         # pack the host-consumed fields on device and fetch in 3 RPCs (the
         # per-RPC tunnel latency dominated the chunk loop when the ~16
         # leaves were fetched one by one)
-        f32p, i32p, lol = jax.device_get(
-            trk.pack_host_outputs(out, g.trk_state.loss_of_lock))
+        return trk.pack_host_outputs(out, g.trk_state.loss_of_lock)
+
+    def _finish_tracking(self, g: SignalGroup, pend) -> None:
+        f32p, i32p, lol = jax.device_get(pend)
         self._consume_tracking(g, f32p, i32p, lol)
 
     def _consume_tracking(self, g: SignalGroup, f32p, i32p, lol) -> None:
@@ -821,7 +836,15 @@ class Receiver:
                 chunk_dev = jax.device_put(iq.split(chunk))
                 for g in self.groups:
                     self._run_acquisition(g, chunk, chunk_dev)
-                    self._run_tracking(g, chunk_dev)
+                # dispatch every group's scan before the first blocking
+                # download: group k+1's device compute overlaps group k's
+                # host consume + download latency (the hybrid-group
+                # serialization noted in bench.py's hybrid_serialization)
+                pends = [(g, self._dispatch_tracking(g, chunk_dev))
+                         for g in self.groups]
+                for g, pend in pends:
+                    if pend is not None:
+                        self._finish_tracking(g, pend)
                 self._run_observables()
             self._buf = self._buf[self.chunk_len:]
             self._sample_base += self.chunk_len
@@ -928,7 +951,8 @@ class Receiver:
             return self._run_pipelined(source, None, self.chunk_len,
                                        input_filter, max_chunks)
         n = 0
-        while max_chunks is None or n < max_chunks:
+        while ((max_chunks is None or n < max_chunks)
+               and not self.restart_requested):
             block = source.read(self.chunk_len)
             if input_filter is not None and len(block):
                 block = input_filter(block)
@@ -972,7 +996,7 @@ class Receiver:
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
-            while True:
+            while not self.restart_requested:
                 block = q.get()
                 if block is None:
                     break
@@ -1004,7 +1028,8 @@ class Receiver:
             return self._run_pipelined(source, cond, block_len,
                                        input_filter, max_chunks)
         n = 0
-        while max_chunks is None or n < max_chunks:
+        while ((max_chunks is None or n < max_chunks)
+               and not self.restart_requested):
             block = source.read(block_len)
             if input_filter is not None and len(block):
                 block = input_filter(block)

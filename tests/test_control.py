@@ -92,6 +92,79 @@ def test_receiver_command_dispatch():
     assert "NO FIX" in rx.status_text()
 
 
+def test_reset_stops_run_loop(tmp_path):
+    """The reset telecommand aborts the chunk loop early (reference: the
+    restart path, control_thread.cc:381) — both the plain and the
+    double-buffered run loops must honor it."""
+    rng = np.random.default_rng(1)
+    fs = 1.023e6
+    raw = (rng.standard_normal(int(fs)) * 40).astype(np.int16)  # ~0.5 s I/Q
+    f = tmp_path / "noise.dat"
+    raw.tofile(f)
+    from gnss_sdr_tpu.io.sources import FileSignalSource
+    for double_buffer in (False, True):
+        cfg = ReceiverConfig(signal="1C", fs=fs, n_channels=1, chunk_ms=20,
+                             prns=(1,))
+        rx = Receiver(cfg)
+        rx.control_queue.push(control.CommandEvent("reset"))
+        src = FileSignalSource(str(f), item_type="ishort",
+                               sampling_frequency=fs)
+        rx.run_file_source(src, double_buffer=double_buffer)
+        assert rx.restart_requested
+        # reset fired on the first chunk; the loop must not consume the file
+        assert rx._sample_base <= 2 * rx.chunk_len
+
+
+def test_cli_reset_returns_42(tmp_path):
+    """End-to-end restart-harness contract: a `reset` sent over the
+    telecommand TCP interface makes the CLI exit with code 42 (reference
+    main.cc + gnss-sdr-harness.sh)."""
+    import socket as socket_mod
+    import threading
+
+    from gnss_sdr_tpu import __main__ as cli
+
+    rng = np.random.default_rng(2)
+    fs = 1.023e6
+    raw = (rng.standard_normal(int(fs) * 4) * 40).astype(np.int16)  # ~2 s I/Q
+    data = tmp_path / "noise.dat"
+    raw.tofile(data)
+    # pick a free port for the command server
+    probe = socket_mod.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    conf = tmp_path / "rx.conf"
+    conf.write_text(f"""
+[GNSS-SDR]
+GNSS-SDR.internal_fs_sps={int(fs)}
+GNSS-SDR.telecommand_enabled=true
+GNSS-SDR.telecommand_tcp_port={port}
+SignalSource.implementation=File_Signal_Source
+SignalSource.filename={data}
+SignalSource.item_type=ishort
+SignalSource.sampling_frequency={int(fs)}
+Channels_1C.count=1
+Channels.in_acquisition=1
+PVT.implementation=RTKLIB_PVT
+""")
+
+    def send_reset():
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                assert _send(port, "reset") == "OK: reset"
+                return
+            except OSError:
+                time.sleep(0.1)
+
+    t = threading.Thread(target=send_reset, daemon=True)
+    t.start()
+    rc = cli.main(["-c", str(conf)])
+    t.join(timeout=5)
+    assert rc == 42
+
+
 def test_receiver_checkpoint_restore(tmp_path):
     cfg = ReceiverConfig(signal="1C", fs=1.023e6, n_channels=1)
     rx = Receiver(cfg)
