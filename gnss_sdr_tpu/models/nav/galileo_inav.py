@@ -116,6 +116,87 @@ def encode_word(wtype: int, eph: KeplerEphemeris, *, wn: int = 0,
     return w
 
 
+def encode_almanac_words(alms, *, wn_a: int, t0a: float, ioda: int = 1,
+                         ggto: tuple | None = None) -> list[np.ndarray]:
+    """Encode up to 3 almanacs into I/NAV words 7-10 (ICD 4.3.5 tables 75-78;
+    field positions cross-checked against the reference's Galileo_E1.h
+    *_7..10_BIT constants). ``ggto`` = (a0g, a1g, t0g, wn0g) GST-GPS
+    conversion parameters carried in word 10 (zeros when None)."""
+    from gnss_sdr_tpu.models.almanac import GalileoAlmanac
+    alms = list(alms) + [None] * (3 - len(alms))
+    if len(alms) > 3:
+        raise ValueError("words 7-10 carry at most 3 almanacs per IODa")
+    sc = PI
+
+    def part1(w, p, a: "GalileoAlmanac"):
+        """svid + delta_a/e/omega/delta_i starting at bit p (w7/w8/w9)."""
+        w[p:p + 6] = _u2b(a.svid & 0x3F, 6)
+        w[p + 6:p + 19] = _q(a.delta_sqrt_a, 2.0 ** -9, 13)
+        w[p + 19:p + 30] = _q(a.e, 2.0 ** -16, 11, signed=False)
+        w[p + 30:p + 46] = _q(a.omega / sc, 2.0 ** -15, 16)
+        w[p + 46:p + 57] = _q(a.delta_i / sc, 2.0 ** -14, 11)
+
+    w7 = np.zeros(128, np.uint8)
+    w7[0:6] = _u2b(7, 6)
+    w7[6:10] = _u2b(ioda & 0xF, 4)
+    w7[10:12] = _u2b(wn_a & 0x3, 2)
+    w7[12:22] = _u2b(int(t0a / 600.0) & 0x3FF, 10)
+    a1 = alms[0]
+    if a1 is not None:
+        part1(w7, 22, a1)
+        w7[79:95] = _q(a1.omega0 / sc, 2.0 ** -15, 16)
+        w7[95:106] = _q(a1.omega_dot / sc, 2.0 ** -33, 11)
+        w7[106:122] = _q(a1.m0 / sc, 2.0 ** -15, 16)
+
+    w8 = np.zeros(128, np.uint8)
+    w8[0:6] = _u2b(8, 6)
+    w8[6:10] = _u2b(ioda & 0xF, 4)
+    if a1 is not None:
+        w8[10:26] = _q(a1.af0, 2.0 ** -19, 16)
+        w8[26:39] = _q(a1.af1, 2.0 ** -38, 13)
+        w8[39:41] = _u2b(a1.e5b_hs & 0x3, 2)
+        w8[41:43] = _u2b(a1.e1b_hs & 0x3, 2)
+    a2 = alms[1]
+    if a2 is not None:
+        part1(w8, 43, a2)
+        w8[100:116] = _q(a2.omega0 / sc, 2.0 ** -15, 16)
+        w8[116:127] = _q(a2.omega_dot / sc, 2.0 ** -33, 11)
+
+    w9 = np.zeros(128, np.uint8)
+    w9[0:6] = _u2b(9, 6)
+    w9[6:10] = _u2b(ioda & 0xF, 4)
+    w9[10:12] = _u2b(wn_a & 0x3, 2)
+    w9[12:22] = _u2b(int(t0a / 600.0) & 0x3FF, 10)
+    if a2 is not None:
+        w9[22:38] = _q(a2.m0 / sc, 2.0 ** -15, 16)
+        w9[38:54] = _q(a2.af0, 2.0 ** -19, 16)
+        w9[54:67] = _q(a2.af1, 2.0 ** -38, 13)
+        w9[67:69] = _u2b(a2.e5b_hs & 0x3, 2)
+        w9[69:71] = _u2b(a2.e1b_hs & 0x3, 2)
+    a3 = alms[2]
+    if a3 is not None:
+        part1(w9, 71, a3)
+
+    w10 = np.zeros(128, np.uint8)
+    w10[0:6] = _u2b(10, 6)
+    w10[6:10] = _u2b(ioda & 0xF, 4)
+    if a3 is not None:
+        w10[10:26] = _q(a3.omega0 / sc, 2.0 ** -15, 16)
+        w10[26:37] = _q(a3.omega_dot / sc, 2.0 ** -33, 11)
+        w10[37:53] = _q(a3.m0 / sc, 2.0 ** -15, 16)
+        w10[53:69] = _q(a3.af0, 2.0 ** -19, 16)
+        w10[69:82] = _q(a3.af1, 2.0 ** -38, 13)
+        w10[82:84] = _u2b(a3.e5b_hs & 0x3, 2)
+        w10[84:86] = _u2b(a3.e1b_hs & 0x3, 2)
+    if ggto is not None:
+        a0g, a1g, t0g, wn0g = ggto
+        w10[86:102] = _q(a0g, 2.0 ** -35, 16)
+        w10[102:114] = _q(a1g, 2.0 ** -51, 12)
+        w10[114:122] = _u2b(int(t0g / 3600.0) & 0xFF, 8)
+        w10[122:128] = _u2b(wn0g & 0x3F, 6)
+    return [w7, w8, w9, w10]
+
+
 def decode_word(w: np.ndarray) -> tuple[int, dict]:
     wtype = _b2u(w[0:6])
     sc = PI
@@ -156,6 +237,54 @@ def decode_word(w: np.ndarray) -> tuple[int, dict]:
         f["tow"] = float(_b2u(w[85:105]))
     elif wtype == 6:
         f["tow"] = float(_b2u(w[105:125]))
+    elif wtype in (7, 8, 9, 10):
+        f["ioda"] = _b2u(w[6:10])
+
+        def alm_part1(p):
+            return {
+                "svid": _b2u(w[p:p + 6]),
+                "delta_sqrt_a": _b2s(w[p + 6:p + 19]) * 2.0 ** -9,
+                "e": _b2u(w[p + 19:p + 30]) * 2.0 ** -16,
+                "omega": _b2s(w[p + 30:p + 46]) * 2.0 ** -15 * sc,
+                "delta_i": _b2s(w[p + 46:p + 57]) * 2.0 ** -14 * sc,
+            }
+
+        if wtype in (7, 9):
+            f["wn_a"] = _b2u(w[10:12])
+            f["t0a"] = _b2u(w[12:22]) * 600.0
+        if wtype == 7:
+            f.update(alm_part1(22))
+            f["omega0"] = _b2s(w[79:95]) * 2.0 ** -15 * sc
+            f["omega_dot"] = _b2s(w[95:106]) * 2.0 ** -33 * sc
+            f["m0"] = _b2s(w[106:122]) * 2.0 ** -15 * sc
+        elif wtype == 8:
+            f["af0"] = _b2s(w[10:26]) * 2.0 ** -19
+            f["af1"] = _b2s(w[26:39]) * 2.0 ** -38
+            f["e5b_hs"] = _b2u(w[39:41])
+            f["e1b_hs"] = _b2u(w[41:43])
+            nxt = alm_part1(43)
+            nxt["omega0"] = _b2s(w[100:116]) * 2.0 ** -15 * sc
+            nxt["omega_dot"] = _b2s(w[116:127]) * 2.0 ** -33 * sc
+            f["next"] = nxt
+        elif wtype == 9:
+            f["m0"] = _b2s(w[22:38]) * 2.0 ** -15 * sc
+            f["af0"] = _b2s(w[38:54]) * 2.0 ** -19
+            f["af1"] = _b2s(w[54:67]) * 2.0 ** -38
+            f["e5b_hs"] = _b2u(w[67:69])
+            f["e1b_hs"] = _b2u(w[69:71])
+            f["next"] = alm_part1(71)
+        elif wtype == 10:
+            f["omega0"] = _b2s(w[10:26]) * 2.0 ** -15 * sc
+            f["omega_dot"] = _b2s(w[26:37]) * 2.0 ** -33 * sc
+            f["m0"] = _b2s(w[37:53]) * 2.0 ** -15 * sc
+            f["af0"] = _b2s(w[53:69]) * 2.0 ** -19
+            f["af1"] = _b2s(w[69:82]) * 2.0 ** -38
+            f["e5b_hs"] = _b2u(w[82:84])
+            f["e1b_hs"] = _b2u(w[84:86])
+            f["a0g"] = _b2s(w[86:102]) * 2.0 ** -35
+            f["a1g"] = _b2s(w[102:114]) * 2.0 ** -51
+            f["t0g"] = _b2u(w[114:122]) * 3600.0
+            f["wn0g"] = _b2u(w[122:128])
     return wtype, f
 
 
@@ -216,19 +345,39 @@ def decode_page(symbols: np.ndarray) -> tuple[int, dict] | None:
 
 
 def encode_stream(eph: KeplerEphemeris, tow_start_s: float,
-                  n_pages: int) -> np.ndarray:
-    """Continuous E1-B symbol stream: pages cycle word types 1,2,3,4,5.
+                  n_pages: int, almanacs=None,
+                  ggto: tuple | None = None) -> np.ndarray:
+    """Continuous E1-B symbol stream: pages cycle word types 1,2,3,4,5
+    (plus 7,8,9,10 almanac batches when ``almanacs`` is given, mirroring
+    the nominal I/NAV sub-frame layout's almanac slots).
 
     Page k starts at GST tow_start_s + 2k; word 5 carries the TOW of its own
-    page start (the receiver anchors time there).
+    page start (the receiver anchors time there). Almanacs rotate in
+    batches of 3 SVIDs per 4-word set, one IODa per batch.
     """
-    wtypes = (1, 2, 3, 4, 5)
+    wtypes = (1, 2, 3, 4, 5) if not almanacs else (1, 2, 3, 4, 5,
+                                                   7, 8, 9, 10, 5)
+    alm_batches = []
+    if almanacs:
+        alms = list(almanacs)
+        for b in range(0, len(alms), 3):
+            batch = alms[b:b + 3]
+            alm_batches.append(encode_almanac_words(
+                batch, wn_a=batch[0].wna, t0a=batch[0].toa,
+                ioda=(batch[0].ioda + b // 3) & 0xF, ggto=ggto))
     out = []
     wn = eph.week
+    n_cycles = 0
     for k in range(n_pages):
         wt = wtypes[k % len(wtypes)]
+        if k and k % len(wtypes) == 0:
+            n_cycles += 1
         tow = tow_start_s + 2.0 * k
-        word = encode_word(wt, eph, wn=wn, tow=tow)
+        if wt in (7, 8, 9, 10):
+            batch = alm_batches[n_cycles % len(alm_batches)]
+            word = batch[wt - 7]
+        else:
+            word = encode_word(wt, eph, wn=wn, tow=tow)
         out.append(encode_page(word))
     return np.concatenate(out)
 
@@ -247,11 +396,57 @@ class InavAssembler:
         self.prn = prn
         self.words: dict[int, dict] = {}
         self.tow_anchor: tuple[float, int] | None = None  # (tow_s, symbol_idx)
+        # constellation almanac from words 7-10 (reference
+        # galileo_navigation_message.cc have_new_almanac/get_almanac),
+        # keyed by the almanac's own SVID — harvested by the receiver
+        self.almanacs: dict[int, object] = {}
+        self.ggto: tuple | None = None  # (a0g, a1g, t0g, wn0g) GST-GPS
 
     def push(self, page: InavPage) -> None:
         self.words[page.wtype] = page.fields
         if page.wtype == 5 and "tow" in page.fields:
             self.tow_anchor = (page.fields["tow"], page.first_symbol_index)
+        if page.wtype in (7, 8, 9, 10):
+            self._assemble_almanacs()
+
+    def _assemble_almanacs(self) -> None:
+        """Merge words 7-10 of one IODa set into up to three GalileoAlmanac
+        records (word pairing per ICD 4.3.5: SVID1=7+8, SVID2=8+9,
+        SVID3=9+10; svid 0 = empty slot)."""
+        need = (7, 8, 9, 10)
+        if not all(k in self.words for k in need):
+            return
+        w7, w8, w9, w10 = (self.words[k] for k in need)
+        if len({w["ioda"] for w in (w7, w8, w9, w10)}) != 1:
+            return
+        from gnss_sdr_tpu.models.almanac import GalileoAlmanac
+        ioda, wn_a, t0a = w7["ioda"], w7["wn_a"], w7["t0a"]
+        common = dict(ioda=ioda, wna=wn_a, toa=t0a)
+        sets = [
+            ({k: w7[k] for k in ("svid", "delta_sqrt_a", "e", "omega",
+                                 "delta_i", "omega0", "omega_dot", "m0")},
+             {k: w8[k] for k in ("af0", "af1", "e5b_hs", "e1b_hs")}),
+            (w8["next"],
+             {k: w9[k] for k in ("m0", "af0", "af1", "e5b_hs", "e1b_hs")}),
+            (w9["next"],
+             {k: w10[k] for k in ("omega0", "omega_dot", "m0", "af0", "af1",
+                                  "e5b_hs", "e1b_hs")}),
+        ]
+        for part1, part2 in sets:
+            svid = part1["svid"]
+            if svid == 0:
+                continue
+            fields = {**part1, **part2, **common}
+            self.almanacs[svid] = GalileoAlmanac(
+                svid=svid,
+                delta_sqrt_a=fields["delta_sqrt_a"], e=fields["e"],
+                delta_i=fields["delta_i"], omega0=fields["omega0"],
+                omega_dot=fields["omega_dot"], omega=fields["omega"],
+                m0=fields["m0"], af0=fields["af0"], af1=fields["af1"],
+                ioda=ioda, wna=wn_a, toa=t0a,
+                e5b_hs=fields["e5b_hs"], e1b_hs=fields["e1b_hs"])
+        if "a0g" in w10:
+            self.ggto = (w10["a0g"], w10["a1g"], w10["t0g"], w10["wn0g"])
 
     def ephemeris(self) -> KeplerEphemeris | None:
         need = (1, 2, 3, 4)

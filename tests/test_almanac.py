@@ -235,3 +235,91 @@ def test_gnav_frame_stream_carries_almanac():
     assert set(asm.almanacs) == {3, 9, 17}
     assert asm.almanacs[9].freq_slot == -2
     assert asm.ephemeris() is not None
+
+
+# ---------------------------------------------------------------- Galileo
+
+
+def _gal_constellation(n: int = 4) -> dict:
+    """Realistic Galileo orbits (nominal a/i of the OS constellation) so
+    the almanac delta fields stay inside their narrow broadcast ranges."""
+    from gnss_sdr_tpu import constants as C
+    from gnss_sdr_tpu.models.almanac import (GAL_ALMANAC_I0_REF,
+                                             GAL_ALMANAC_SQRT_A_REF)
+    from gnss_sdr_tpu.models.ephemeris import KeplerEphemeris
+
+    out = {}
+    rng = np.random.default_rng(7)
+    for prn in range(1, n + 1):
+        out[prn] = KeplerEphemeris(
+            prn=prn, week=102, toe=352800.0, toc=352800.0,
+            sqrt_a=GAL_ALMANAC_SQRT_A_REF + rng.normal(0, 1.0),
+            e=0.0003 + 0.002 * rng.random(),
+            m0=rng.uniform(-np.pi, np.pi),
+            omega0=rng.uniform(-np.pi, np.pi),
+            omega_dot=-5.5e-9 + rng.normal(0, 2e-10),
+            omega=rng.uniform(-np.pi, np.pi),
+            i0=GAL_ALMANAC_I0_REF + rng.normal(0, 0.01),
+            af0=rng.normal(0, 1e-4), af1=rng.normal(0, 1e-12),
+            iode=prn, iodc=prn, gm=C.GM_EARTH_GAL)
+    return out
+
+
+def test_galileo_almanac_words_roundtrip():
+    """INAV words 7-10 carry 3 almanacs + GGTO; the assembler rebuilds them
+    within broadcast quantization (reference galileo_navigation_message.cc
+    cases 7-10 / Galileo_E1.h bit tables)."""
+    from gnss_sdr_tpu.models.almanac import GalileoAlmanac
+    from gnss_sdr_tpu.models.nav import galileo_inav as gi
+
+    ephs = _gal_constellation(3)
+    alms = [GalileoAlmanac.from_ephemeris(ephs[p], ioda=5) for p in (1, 2, 3)]
+    ggto = (3.2e-9, 1.1e-14, 3600.0 * 50, 102 & 0x3F)
+    words = gi.encode_almanac_words(alms, wn_a=alms[0].wna, t0a=alms[0].toa,
+                                    ioda=5, ggto=ggto)
+    asm = gi.InavAssembler(prn=1)
+    for k, w in enumerate(words):
+        wt, fields = gi.decode_word(w)
+        assert wt == 7 + k
+        asm.push(gi.InavPage(wt, fields, first_symbol_index=0))
+    assert sorted(asm.almanacs) == [1, 2, 3]
+    for a in alms:
+        d = asm.almanacs[a.svid]
+        assert d.ioda == 5 and d.toa == a.toa and d.wna == a.wna
+        assert abs(d.e - a.e) <= 2.0 ** -17
+        assert abs(d.delta_sqrt_a - a.delta_sqrt_a) <= 2.0 ** -10
+        assert abs(d.m0 - a.m0) <= 2.0 ** -15 * np.pi
+        assert abs(d.omega0 - a.omega0) <= 2.0 ** -15 * np.pi
+        assert abs(d.af0 - a.af0) <= 2.0 ** -20
+        # decoded orbit within a few km of the ephemeris it projects
+        # (almanac quantization: ~2.8 km from the 2^-15-semicircle angles)
+        for dt in (0.0, 7200.0):
+            p1, _ = ephs[a.svid].position_velocity(a.toa + dt)
+            p2, _ = d.position_velocity(a.toa + dt)
+            assert np.linalg.norm(p1 - p2) < 10_000.0, (a.svid, dt)
+    # GST-GPS conversion parameters survive the trip
+    a0g, a1g, t0g, wn0g = asm.ggto
+    assert abs(a0g - ggto[0]) <= 2.0 ** -36
+    assert abs(a1g - ggto[1]) <= 2.0 ** -52
+    assert t0g == ggto[2] and wn0g == ggto[3]
+
+
+def test_inav_stream_carries_almanac():
+    """encode_stream rotates almanac batches through words 7-10 and the
+    E1-B telemetry assembler recovers both the ephemeris and the
+    constellation almanac from the symbol stream."""
+    from gnss_sdr_tpu.models.almanac import GalileoAlmanac
+    from gnss_sdr_tpu.models.nav import galileo_inav as gi
+
+    ephs = _gal_constellation(5)
+    alms = [GalileoAlmanac.from_ephemeris(ephs[p]) for p in sorted(ephs)]
+    sym = gi.encode_stream(ephs[1], 352800.0, n_pages=30, almanacs=alms)
+    asm = gi.InavAssembler(prn=1)
+    for k in range(len(sym) // 500):
+        res = gi.decode_page(1.0 - 2.0 * sym[k * 500:(k + 1) * 500].astype(float))
+        assert res is not None
+        asm.push(gi.InavPage(res[0], res[1], first_symbol_index=k * 500))
+    assert asm.ephemeris() is not None
+    # 30 pages = 3 cycles of (1,2,3,4,5,7,8,9,10,5) -> batches 1-3 and 4-5
+    assert sorted(asm.almanacs) == [1, 2, 3, 4, 5]
+    assert asm.almanacs[4].svid == 4
