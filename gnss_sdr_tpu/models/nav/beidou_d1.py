@@ -136,6 +136,27 @@ _SF3 = {
     "omega0": ([(212, 21), (241, 11)], 1, PI * 2.0 ** -31),
     "omega": ([(252, 11), (271, 21)], 1, PI * 2.0 ** -31),
 }
+# subframe 4 (all pages) and subframe 5 pages 1-6: one almanac per page
+# (BDS ICD 5.2.4.14; Beidou_DNAV.h D1_*_ALMANAC tables)
+_SFALM = {
+    "pnum": ([(44, 7)], 0, 0),
+    "sqrt_a": ([(51, 2), (61, 22)], 0, 2.0 ** -11),
+    "af1": ([(91, 11)], 1, 2.0 ** -38),
+    "af0": ([(102, 11)], 1, 2.0 ** -20),
+    "omega0": ([(121, 22), (151, 2)], 1, PI * 2.0 ** -23),
+    "e": ([(153, 17)], 0, 2.0 ** -21),
+    "delta_i": ([(170, 3), (181, 13)], 1, PI * 2.0 ** -19),
+    "toa": ([(194, 8)], 0, 2.0 ** 12),
+    "omega_dot": ([(202, 1), (211, 16)], 1, PI * 2.0 ** -38),
+    "omega": ([(227, 6), (241, 18)], 1, PI * 2.0 ** -23),
+    "m0": ([(259, 4), (271, 20)], 1, PI * 2.0 ** -23),
+}
+# subframe 5 page 8: health 20-30 + almanac reference week/time
+_SF5P8 = {
+    "pnum": ([(44, 7)], 0, 0),
+    "wna": ([(190, 8)], 0, 0),
+    "toa2": ([(198, 5), (211, 3)], 0, 2.0 ** 12),
+}
 _TABLES = {1: _SF1, 2: _SF2, 3: _SF3}
 
 
@@ -204,6 +225,48 @@ def encode_subframe(fraid: int, sow_s: float, eph: KeplerEphemeris,
     return out
 
 
+def encode_almanac_page(fraid: int, sow_s: float, alm,
+                        pnum: int) -> np.ndarray:
+    """One SF4 (pages 1-24, SV=pnum) or SF5 (pages 1-6, SV=24+pnum) almanac
+    subframe (reference beidou_dnav_navigation_message.cc cases 4/5)."""
+    sf = np.zeros(300, np.uint8)
+    sf[0:11] = PREAMBLE
+    _place(sf, [(16, 3)], fraid)
+    _place(sf, [(19, 8), (31, 12)], int(sow_s) % 604800)
+    vals = dict(pnum=pnum, sqrt_a=alm.sqrt_a, af1=alm.af1, af0=alm.af0,
+                omega0=alm.omega0, e=alm.e, delta_i=alm.delta_i,
+                toa=alm.toa, omega_dot=alm.omega_dot, omega=alm.omega,
+                m0=alm.m0)
+    for name, (spec, signed, lsb) in _SFALM.items():
+        v = vals[name]
+        q = int(round(v / lsb)) if lsb else int(v)
+        _place(sf, spec, q)
+    out = sf.copy()
+    out[0:30] = encode_word(sf[0:26], first=True)
+    for w in range(1, 10):
+        out[w * 30: (w + 1) * 30] = encode_word(sf[w * 30: w * 30 + 22],
+                                                first=False)
+    return out
+
+
+def encode_almanac_reference_page(sow_s: float, toa: float,
+                                  wna: int) -> np.ndarray:
+    """SF5 page 8: almanac reference week + time (health words zeroed)."""
+    sf = np.zeros(300, np.uint8)
+    sf[0:11] = PREAMBLE
+    _place(sf, [(16, 3)], 5)
+    _place(sf, [(19, 8), (31, 12)], int(sow_s) % 604800)
+    _place(sf, _SF5P8["pnum"][0], 8)
+    _place(sf, _SF5P8["wna"][0], wna & 0xFF)
+    _place(sf, _SF5P8["toa2"][0], int(toa / 4096.0) & 0xFF)
+    out = sf.copy()
+    out[0:30] = encode_word(sf[0:26], first=True)
+    for w in range(1, 10):
+        out[w * 30: (w + 1) * 30] = encode_word(sf[w * 30: w * 30 + 22],
+                                                first=False)
+    return out
+
+
 def decode_subframe(tx: np.ndarray) -> tuple[int, float, dict] | None:
     """300 transmitted bits -> (fraid, sow, fields) or None."""
     if not np.array_equal(tx[0:11], PREAMBLE):
@@ -220,8 +283,17 @@ def decode_subframe(tx: np.ndarray) -> tuple[int, float, dict] | None:
         sf[w * 30: w * 30 + 22] = info
     fraid = _extract(sf, [(16, 3)], False)
     sow = float(_extract(sf, [(19, 8), (31, 12)], False))
-    table = _TABLES.get(fraid)
     f: dict = {}
+    if fraid in (4, 5):
+        pnum = _extract(sf, _SFALM["pnum"][0], False)
+        if fraid == 5 and pnum == 8:
+            table = _SF5P8
+        elif fraid == 4 or pnum <= 6:
+            table = _SFALM
+        else:
+            table = {"pnum": _SFALM["pnum"]}
+    else:
+        table = _TABLES.get(fraid)
     if table:
         for name, (spec, signed, lsb) in table.items():
             q = _extract(sf, spec, bool(signed))
@@ -234,13 +306,42 @@ class D1Assembler:
         self.prn = prn
         self.sf: dict[int, dict] = {}
         self.iono = IonoParams()
+        # constellation almanac from SF4 (SV 1-24) / SF5 pages 1-6
+        # (SV 25-30), keyed by the almanac's own SV; SF5 page 8 carries the
+        # reference week applied to all collected records
+        self.almanacs: dict[int, object] = {}
+        self.alm_wna: int | None = None
+        self.alm_toa: float | None = None
 
     def push(self, fraid: int, fields: dict) -> None:
+        if fraid in (4, 5):
+            self._push_almanac(fraid, fields)
+            return
         self.sf[fraid] = fields
         if fraid == 1 and "alpha0" in fields:
             self.iono = IonoParams(
                 alpha=tuple(fields[f"alpha{i}"] for i in range(4)),
                 beta=tuple(fields[f"beta{i}"] for i in range(4)), valid=True)
+
+    def _push_almanac(self, fraid: int, fields: dict) -> None:
+        from gnss_sdr_tpu.models.almanac import BeidouAlmanac
+        pnum = int(fields.get("pnum", 0))
+        if fraid == 5 and pnum == 8:
+            self.alm_wna = int(fields["wna"])
+            self.alm_toa = float(fields["toa2"])
+            for a in self.almanacs.values():
+                a.wna = self.alm_wna
+            return
+        if "sqrt_a" not in fields or fields["sqrt_a"] <= 0.0:
+            return  # empty/reserved page
+        sv = pnum if fraid == 4 else 24 + pnum
+        self.almanacs[sv] = BeidouAlmanac(
+            prn=sv, sqrt_a=fields["sqrt_a"], e=fields["e"],
+            delta_i=fields["delta_i"], toa=fields["toa"],
+            omega0=fields["omega0"], omega=fields["omega"],
+            m0=fields["m0"], omega_dot=fields["omega_dot"],
+            af0=fields["af0"], af1=fields["af1"],
+            wna=self.alm_wna or 0)
 
     def ephemeris(self) -> KeplerEphemeris | None:
         if not all(k in self.sf for k in (1, 2, 3)):

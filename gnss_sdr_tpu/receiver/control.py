@@ -181,8 +181,8 @@ def save_assistance(path, ephemerides: dict,
 def load_assistance(path):
     """Returns an Assistance record; missing file -> empty assistance.
     Ephemerides/almanacs come back keyed by (system, prn)."""
-    from gnss_sdr_tpu.models.almanac import (GalileoAlmanac, GlonassAlmanac,
-                                             GpsAlmanac)
+    from gnss_sdr_tpu.models.almanac import (BeidouAlmanac, GalileoAlmanac,
+                                             GlonassAlmanac, GpsAlmanac)
     from gnss_sdr_tpu.models.nav.glonass_gnav import GlonassEphemeris
     p = pathlib.Path(path)
     if not p.exists():
@@ -203,7 +203,8 @@ def load_assistance(path):
     for key, d in data.get("almanacs", {}).items():
         cls_name = d.pop("__cls__", "GpsAlmanac")
         cls = {"GlonassAlmanac": GlonassAlmanac,
-               "GalileoAlmanac": GalileoAlmanac}.get(cls_name, GpsAlmanac)
+               "GalileoAlmanac": GalileoAlmanac,
+               "BeidouAlmanac": BeidouAlmanac}.get(cls_name, GpsAlmanac)
         alms[_eph_key_parse(key)] = cls(**d)
     iono = None
     if data.get("iono"):

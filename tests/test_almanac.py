@@ -323,3 +323,75 @@ def test_inav_stream_carries_almanac():
     # 30 pages = 3 cycles of (1,2,3,4,5,7,8,9,10,5) -> batches 1-3 and 4-5
     assert sorted(asm.almanacs) == [1, 2, 3, 4, 5]
     assert asm.almanacs[4].svid == 4
+
+
+# ----------------------------------------------------------------- BeiDou
+
+
+def test_beidou_almanac_page_roundtrip():
+    """D1 SF4/SF5 almanac pages encode->BCH->decode within quantization
+    (reference beidou_dnav_navigation_message.cc cases 4/5 + the
+    Beidou_DNAV.h D1_*_ALMANAC tables), SF5 page 8 applies WNa."""
+    from gnss_sdr_tpu import constants as C
+    from gnss_sdr_tpu.models.almanac import BDS_ALMANAC_I0_REF, BeidouAlmanac
+    from gnss_sdr_tpu.models.ephemeris import KeplerEphemeris
+    from gnss_sdr_tpu.models.nav import beidou_d1 as d1
+
+    rng = np.random.default_rng(11)
+
+    def bds_eph(prn, geo=False):
+        return KeplerEphemeris(
+            prn=prn, week=310, toe=352800.0, toc=352800.0,
+            sqrt_a=np.sqrt(42.16e6 if geo else 27.9e6),
+            e=0.001 + 0.002 * rng.random(),
+            m0=rng.uniform(-np.pi, np.pi),
+            omega0=rng.uniform(-np.pi, np.pi),
+            omega_dot=(-2e-9 if geo else -7e-9),
+            omega=rng.uniform(-np.pi, np.pi),
+            i0=(0.01 if geo else BDS_ALMANAC_I0_REF + 0.02),
+            af0=rng.normal(0, 1e-4), af1=rng.normal(0, 1e-11),
+            gm=C.GM_EARTH_BDS)
+
+    asm = d1.D1Assembler(prn=6)
+    cases = [(8, False, 4, 8),    # MEO SV 8 on SF4 page 8 (PRN>5: MEO/IGSO)
+             (1, True, 4, 1),     # GEO SV 1 on SF4 page 1
+             (27, False, 5, 3)]   # SV 27 on SF5 page 3
+    ephs = {}
+    for sv, geo, fraid, pnum in cases:
+        eph = bds_eph(sv, geo)
+        ephs[sv] = eph
+        alm = BeidouAlmanac.from_ephemeris(eph)
+        out = d1.decode_subframe(
+            d1.encode_almanac_page(fraid, 352806.0, alm, pnum))
+        assert out is not None and out[0] == fraid
+        asm.push(out[0], out[2])
+    ref = d1.decode_subframe(
+        d1.encode_almanac_reference_page(352812.0, 352800.0, wna=310 & 0xFF))
+    assert ref is not None and ref[2]["pnum"] == 8
+    asm.push(ref[0], ref[2])
+    assert sorted(asm.almanacs) == [1, 8, 27]
+    for sv, geo, _, _ in cases:
+        a = asm.almanacs[sv]
+        assert a.wna == 310 & 0xFF
+        assert abs(a.toa - 352800.0) <= 2048.0
+        # decoded orbit within km of the ephemeris it projects (coarsest
+        # field: the 2^-23-semicircle angles ~ 5 m, delta_i 2^-19 sc ~ 160 m
+        # ... dominated by the dropped harmonic terms)
+        for dt in (0.0, 7200.0):
+            p1, _ = ephs[sv].position_velocity(a.toa + dt)
+            p2, _ = a.position_velocity(a.toa + dt)
+            assert np.linalg.norm(p1 - p2) < 5_000.0, (sv, dt)
+
+
+def test_beidou_assembler_ignores_empty_pages():
+    from gnss_sdr_tpu.models.nav import beidou_d1 as d1
+
+    asm = d1.D1Assembler(prn=6)
+    # an all-zero SF4 page (sqrt_a = 0) must not create a record
+    sf = d1.decode_subframe(d1.encode_almanac_reference_page(
+        352812.0, 352800.0, wna=0))
+    asm.push(sf[0], sf[2])
+    out = d1.decode_subframe(d1.encode_subframe(1, 352800.0,
+                                                _gal_constellation(1)[1]))
+    assert out is not None
+    assert asm.almanacs == {}
