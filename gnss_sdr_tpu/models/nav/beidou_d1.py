@@ -151,9 +151,43 @@ _SFALM = {
     "omega": ([(227, 6), (241, 18)], 1, PI * 2.0 ** -23),
     "m0": ([(259, 4), (271, 20)], 1, PI * 2.0 ** -23),
 }
-# subframe 5 page 8: health 20-30 + almanac reference week/time
+# subframe 5 page 7: satellite health SV 1-19 (9-bit words)
+_SF5P7 = {
+    "pnum": ([(44, 7)], 0, 0),
+    "hea1": ([(51, 2), (61, 7)], 0, 0),
+    "hea2": ([(68, 9)], 0, 0),
+    "hea3": ([(77, 6), (91, 3)], 0, 0),
+    "hea4": ([(94, 9)], 0, 0),
+    "hea5": ([(103, 9)], 0, 0),
+    "hea6": ([(112, 1), (121, 8)], 0, 0),
+    "hea7": ([(129, 9)], 0, 0),
+    "hea8": ([(138, 5), (151, 4)], 0, 0),
+    "hea9": ([(155, 9)], 0, 0),
+    "hea10": ([(164, 9)], 0, 0),
+    "hea11": ([(181, 9)], 0, 0),
+    "hea12": ([(190, 9)], 0, 0),
+    "hea13": ([(199, 4), (211, 5)], 0, 0),
+    "hea14": ([(216, 9)], 0, 0),
+    "hea15": ([(225, 8), (241, 1)], 0, 0),
+    "hea16": ([(242, 9)], 0, 0),
+    "hea17": ([(251, 9)], 0, 0),
+    "hea18": ([(260, 3), (271, 6)], 0, 0),
+    "hea19": ([(277, 9)], 0, 0),
+}
+# subframe 5 page 8: health SV 20-30 + almanac reference week/time
 _SF5P8 = {
     "pnum": ([(44, 7)], 0, 0),
+    "hea20": ([(51, 2), (61, 7)], 0, 0),
+    "hea21": ([(68, 9)], 0, 0),
+    "hea22": ([(77, 6), (91, 3)], 0, 0),
+    "hea23": ([(94, 9)], 0, 0),
+    "hea24": ([(103, 9)], 0, 0),
+    "hea25": ([(112, 1), (121, 8)], 0, 0),
+    "hea26": ([(129, 9)], 0, 0),
+    "hea27": ([(138, 5), (151, 4)], 0, 0),
+    "hea28": ([(155, 9)], 0, 0),
+    "hea29": ([(164, 9)], 0, 0),
+    "hea30": ([(181, 9)], 0, 0),
     "wna": ([(190, 8)], 0, 0),
     "toa2": ([(198, 5), (211, 3)], 0, 2.0 ** 12),
 }
@@ -241,6 +275,10 @@ def encode_almanac_page(fraid: int, sow_s: float, alm,
         v = vals[name]
         q = int(round(v / lsb)) if lsb else int(v)
         _place(sf, spec, q)
+    return _finish_subframe(sf)
+
+
+def _finish_subframe(sf: np.ndarray) -> np.ndarray:
     out = sf.copy()
     out[0:30] = encode_word(sf[0:26], first=True)
     for w in range(1, 10):
@@ -249,22 +287,33 @@ def encode_almanac_page(fraid: int, sow_s: float, alm,
     return out
 
 
-def encode_almanac_reference_page(sow_s: float, toa: float,
-                                  wna: int) -> np.ndarray:
-    """SF5 page 8: almanac reference week + time (health words zeroed)."""
+def encode_almanac_reference_page(sow_s: float, toa: float, wna: int,
+                                  healths: dict | None = None) -> np.ndarray:
+    """SF5 page 8: almanac reference week + time, health SV 20-30
+    (``healths`` keyed by SV number; omitted SVs read 0 = healthy)."""
     sf = np.zeros(300, np.uint8)
     sf[0:11] = PREAMBLE
     _place(sf, [(16, 3)], 5)
     _place(sf, [(19, 8), (31, 12)], int(sow_s) % 604800)
     _place(sf, _SF5P8["pnum"][0], 8)
+    for sv in range(20, 31):
+        _place(sf, _SF5P8[f"hea{sv}"][0], (healths or {}).get(sv, 0) & 0x1FF)
     _place(sf, _SF5P8["wna"][0], wna & 0xFF)
     _place(sf, _SF5P8["toa2"][0], int(toa / 4096.0) & 0xFF)
-    out = sf.copy()
-    out[0:30] = encode_word(sf[0:26], first=True)
-    for w in range(1, 10):
-        out[w * 30: (w + 1) * 30] = encode_word(sf[w * 30: w * 30 + 22],
-                                                first=False)
-    return out
+    return _finish_subframe(sf)
+
+
+def encode_health_page(sow_s: float, healths: dict | None = None
+                       ) -> np.ndarray:
+    """SF5 page 7: satellite health SV 1-19 (BDS ICD 5.2.4.16)."""
+    sf = np.zeros(300, np.uint8)
+    sf[0:11] = PREAMBLE
+    _place(sf, [(16, 3)], 5)
+    _place(sf, [(19, 8), (31, 12)], int(sow_s) % 604800)
+    _place(sf, _SF5P7["pnum"][0], 7)
+    for sv in range(1, 20):
+        _place(sf, _SF5P7[f"hea{sv}"][0], (healths or {}).get(sv, 0) & 0x1FF)
+    return _finish_subframe(sf)
 
 
 def decode_subframe(tx: np.ndarray) -> tuple[int, float, dict] | None:
@@ -286,7 +335,9 @@ def decode_subframe(tx: np.ndarray) -> tuple[int, float, dict] | None:
     f: dict = {}
     if fraid in (4, 5):
         pnum = _extract(sf, _SFALM["pnum"][0], False)
-        if fraid == 5 and pnum == 8:
+        if fraid == 5 and pnum == 7:
+            table = _SF5P7
+        elif fraid == 5 and pnum == 8:
             table = _SF5P8
         elif fraid == 4 or pnum <= 6:
             table = _SFALM
@@ -312,6 +363,7 @@ class D1Assembler:
         self.almanacs: dict[int, object] = {}
         self.alm_wna: int | None = None
         self.alm_toa: float | None = None
+        self.health: dict[int, int] = {}   # SV -> 9-bit health word
 
     def push(self, fraid: int, fields: dict) -> None:
         if fraid in (4, 5):
@@ -326,11 +378,19 @@ class D1Assembler:
     def _push_almanac(self, fraid: int, fields: dict) -> None:
         from gnss_sdr_tpu.models.almanac import BeidouAlmanac
         pnum = int(fields.get("pnum", 0))
+        if fraid == 5 and pnum == 7:
+            for sv in range(1, 20):
+                self.health[sv] = int(fields.get(f"hea{sv}", 0))
+            self._apply_health()
+            return
         if fraid == 5 and pnum == 8:
             self.alm_wna = int(fields["wna"])
             self.alm_toa = float(fields["toa2"])
+            for sv in range(20, 31):
+                self.health[sv] = int(fields.get(f"hea{sv}", 0))
             for a in self.almanacs.values():
                 a.wna = self.alm_wna
+            self._apply_health()
             return
         if "sqrt_a" not in fields or fields["sqrt_a"] <= 0.0:
             return  # empty/reserved page
@@ -341,7 +401,11 @@ class D1Assembler:
             omega0=fields["omega0"], omega=fields["omega"],
             m0=fields["m0"], omega_dot=fields["omega_dot"],
             af0=fields["af0"], af1=fields["af1"],
-            wna=self.alm_wna or 0)
+            wna=self.alm_wna or 0, health=self.health.get(sv, 0))
+
+    def _apply_health(self) -> None:
+        for sv, a in self.almanacs.items():
+            a.health = self.health.get(sv, 0)
 
     def ephemeris(self) -> KeplerEphemeris | None:
         if not all(k in self.sf for k in (1, 2, 3)):

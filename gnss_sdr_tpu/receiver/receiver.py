@@ -33,6 +33,7 @@ from gnss_sdr_tpu.ops import acquisition as acq_ops
 from gnss_sdr_tpu.ops import iq
 from gnss_sdr_tpu.receiver import tracking as trk
 from gnss_sdr_tpu.receiver.observables import ChannelObservable, EpochRecord, ObservablesEngine
+from gnss_sdr_tpu.receiver.pvt import geodesy as _geodesy_mod
 from gnss_sdr_tpu.receiver.pvt import solver as pvt_solver
 from gnss_sdr_tpu.receiver.telemetry import make_telemetry
 
@@ -412,6 +413,52 @@ class Receiver:
             out.append(fd + g.if_freq_for(p) - self.cfg.if_freq_hz)
         return out
 
+    def _prioritize_candidates(self, g: SignalGroup,
+                               candidates: list) -> list:
+        """Order acquisition candidates by predicted elevation when a
+        position/time estimate and orbit data (ephemeris or almanac) exist
+        (reference ControlThread::get_visible_sats, control_thread.cc:163,
+        feeding GNSSFlowgraph::priorize_satellites): visible satellites
+        first, highest elevation first; satellites below -5 deg go to the
+        back of the pool; unknown orbits keep their place in between.
+        Elevations change slowly, so the ranking refreshes every ~100
+        chunks rather than per chunk."""
+        fix = self.latest_fix()
+        if fix is not None:
+            pos, tow = fix.pos_ecef, fix.tow_s
+        elif self.assist_pos is not None and self.assist_tow is not None:
+            pos = self.assist_pos
+            tow = self.assist_tow + self._sample_base / self.cfg.fs
+        else:
+            return candidates
+        cache = getattr(g, "_vis_rank", None)
+        if cache is None or self._chunk_index - cache[0] >= 100:
+            rank: dict = {}
+            for p in g.acq_pool:
+                eph = self.ephemerides.get((g.spec.system, p))
+                if eph is None:
+                    alm = self.almanacs.get((g.spec.system, p))
+                    if alm is None:
+                        continue
+                    eph = alm.to_ephemeris()
+                try:
+                    sat_pos, _ = eph.position_velocity(tow)
+                    _, el = _geodesy_mod.az_el(pos, sat_pos)
+                except (ValueError, FloatingPointError):
+                    continue
+                rank[p] = float(el)
+            g._vis_rank = cache = (self._chunk_index, rank)
+        rank = cache[1]
+
+        def key(p):
+            el = rank.get(p)
+            if el is None:
+                return (1, 0.0)               # unknown orbit: middle
+            if el < np.deg2rad(-5.0):
+                return (2, -el)               # set satellites: back
+            return (0, -el)                   # visible: front, high el first
+        return sorted(candidates, key=key)
+
     def _run_acquisition(self, g: SignalGroup, chunk: np.ndarray,
                          chunk_dev=None) -> None:
         idle = [ch for ch in g.channels if ch.state == "idle"]
@@ -421,6 +468,8 @@ class Receiver:
         candidates = [p for p in g.acq_pool
                       if p not in tracked
                       and g.acq_backoff.get(p, 0) <= self._chunk_index]
+        if len(candidates) > self.cfg.max_in_acquisition:
+            candidates = self._prioritize_candidates(g, candidates)
         candidates = candidates[: self.cfg.max_in_acquisition]
         if not candidates:
             return

@@ -339,13 +339,16 @@ def build_beidou_b1i_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 8
                               t0_gps: float = 352800.09,
                               duration_s: float = 30.0,
                               fs: float = 4.0e6, n_sats: int = 4,
-                              cn0_dbhz: float = 48.0) -> Scenario:
+                              cn0_dbhz: float = 48.0,
+                              almanac_pages: bool = False) -> Scenario:
     """BeiDou B1I (MEO/IGSO D1) scenario: NH20 overlay + 6 s subframes.
 
     Subframes cycle FraID (1,2,3) with per-slot SOW so the ephemeris
     (subframes 1-3, beidou_d1.D1Assembler) completes within ~20 s of NH
-    sync. PRNs are restricted to >= 6 (GEO PRNs 1-5 transmit D2 at
-    500 sps). Reference analog: the Channels_B1 chain
+    sync; with ``almanac_pages`` the cycle is (1,2,3,4,5), rotating the
+    visible constellation's almanac through SF4 and broadcasting the SF5
+    page-8 WNa/toa reference. PRNs are restricted to >= 6 (GEO PRNs 1-5
+    transmit D2 at 500 sps). Reference analog: the Channels_B1 chain
     (BEIDOU_B1I_* adapters + beidou_b1i_telemetry_decoder_gs.cc).
     """
     from gnss_sdr_tpu.models.nav import beidou_d1
@@ -374,9 +377,38 @@ def build_beidou_b1i_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 8
         tx = np.array([constellation.simulate_observation(
             eph, rcv, t0_gps + t).t_tx_sv for t in ts])
         a2, a1, a0 = np.polyfit(ts, tx, 2)
-        subframes = [beidou_d1.encode_subframe(
-            (k % 3) + 1, tow_bits_start + 6.0 * k, eph)
-            for k in range(n_subframes)]
+        if almanac_pages:
+            from gnss_sdr_tpu.models.almanac import BeidouAlmanac
+            alms = [BeidouAlmanac.from_ephemeris(ephs[p]) for p in chosen]
+            # SF4 pages carry SV 1-24; SV 25-30 ride SF5 pages 1-6,
+            # alternating with the page-8 WNa/toa reference
+            sf4_alms = [a for a in alms if a.prn <= 24] or alms[:1]
+            sf5_alms = [a for a in alms if a.prn > 24]
+            subframes = []
+            for k in range(n_subframes):
+                sow = tow_bits_start + 6.0 * k
+                fraid = (k % 5) + 1
+                cyc = k // 5
+                if fraid == 4:
+                    a = sf4_alms[cyc % len(sf4_alms)]
+                    subframes.append(beidou_d1.encode_almanac_page(
+                        4, sow, a, pnum=a.prn))
+                elif fraid == 5:
+                    if sf5_alms and cyc % 2 == 1:
+                        a = sf5_alms[(cyc // 2) % len(sf5_alms)]
+                        subframes.append(beidou_d1.encode_almanac_page(
+                            5, sow, a, pnum=a.prn - 24))
+                    else:
+                        subframes.append(
+                            beidou_d1.encode_almanac_reference_page(
+                                sow, alms[0].toa, wna=alms[0].wna))
+                else:
+                    subframes.append(beidou_d1.encode_subframe(
+                        fraid, sow, eph))
+        else:
+            subframes = [beidou_d1.encode_subframe(
+                (k % 3) + 1, tow_bits_start + 6.0 * k, eph)
+                for k in range(n_subframes)]
         bits = np.concatenate(subframes)
         sats.append(generator.SatParams(
             prn=prn, cn0_dbhz=cn0_dbhz,

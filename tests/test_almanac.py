@@ -395,3 +395,89 @@ def test_beidou_assembler_ignores_empty_pages():
                                                 _gal_constellation(1)[1]))
     assert out is not None
     assert asm.almanacs == {}
+
+
+def test_beidou_health_pages():
+    """SF5 pages 7/8 carry the 30-SV health words; the assembler applies
+    them to collected almanac records (reference almanacHealth decode)."""
+    from gnss_sdr_tpu.models.almanac import BeidouAlmanac
+    from gnss_sdr_tpu.models.nav import beidou_d1 as d1
+
+    asm = d1.D1Assembler(prn=6)
+    alm = BeidouAlmanac(prn=8, sqrt_a=5282.0, toa=352256.0)
+    out = d1.decode_subframe(d1.encode_almanac_page(4, 352806.0, alm, 8))
+    asm.push(out[0], out[2])
+    healths = {8: 0x100, 27: 3}
+    p7 = d1.decode_subframe(d1.encode_health_page(352812.0, healths))
+    assert p7 is not None and p7[2]["pnum"] == 7
+    asm.push(p7[0], p7[2])
+    p8 = d1.decode_subframe(d1.encode_almanac_reference_page(
+        352818.0, 352256.0, wna=310 & 0xFF, healths=healths))
+    asm.push(p8[0], p8[2])
+    assert asm.health[8] == 0x100 and asm.health[27] == 3
+    assert asm.health[1] == 0 and asm.health[30] == 0
+    assert asm.almanacs[8].health == 0x100
+    # a later almanac page for an SV with known health inherits it
+    alm27 = BeidouAlmanac(prn=27, sqrt_a=5282.0, toa=352256.0)
+    out = d1.decode_subframe(d1.encode_almanac_page(5, 352824.0, alm27, 3))
+    asm.push(out[0], out[2])
+    assert asm.almanacs[27].health == 3 and asm.almanacs[27].wna == 310 & 0xFF
+
+
+def test_beidou_scenario_broadcasts_almanac():
+    """build_beidou_b1i_scenario(almanac_pages=True) produces a D1 bit
+    stream whose SF4/SF5 pages rebuild the visible constellation's almanac
+    (generator source for BDS almanac-bearing captures)."""
+    from gnss_sdr_tpu.models.nav import beidou_d1 as d1
+
+    sc = scen.build_beidou_b1i_scenario(duration_s=150.0, n_sats=4,
+                                        almanac_pages=True)
+    sym = sc.sats[0].data_bits            # +/-1 symbols, 1 bit per symbol
+    bits = ((1.0 - sym) / 2.0).astype(np.uint8)
+    asm = d1.D1Assembler(prn=sc.prns[0])
+    n_sf = len(bits) // 300
+    decoded = 0
+    for k in range(n_sf):
+        out = d1.decode_subframe(bits[k * 300:(k + 1) * 300])
+        assert out is not None, k
+        asm.push(out[0], out[2])
+        decoded += 1
+    assert decoded >= 25
+    assert asm.ephemeris() is not None
+    got = set(asm.almanacs)
+    assert set(sc.prns) & got == set(sc.prns), (sc.prns, got)
+    assert all(a.wna == asm.alm_wna for a in asm.almanacs.values())
+
+
+def test_warm_start_prioritizes_visible_satellites():
+    """With a stored position/time and almanac, the acquisition candidate
+    pool is reordered: visible satellites first (descending elevation),
+    set satellites at the back (reference ControlThread::get_visible_sats
+    feeding GNSSFlowgraph::priorize_satellites)."""
+    from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+
+    ephs = constellation.almanac_constellation()
+    rcv = geodesy.geodetic_to_ecef(*TRUE_LLH)
+    t = 352800.0
+    rx = Receiver(ReceiverConfig(signal="1C", fs=1.023e6, n_channels=2))
+    for p, e in ephs.items():
+        rx.almanacs[("G", p)] = GpsAlmanac.from_ephemeris(e)
+    rx.assist_pos = rcv
+    rx.assist_tow = t
+    g = rx.groups[0]
+    order = rx._prioritize_candidates(g, list(g.acq_pool))
+    vis = constellation.visible_sats(ephs, rcv, t, el_mask_deg=5.0)
+    vis_prns = [p for p, _, _ in vis]
+    # the visible set leads the pool, in elevation order
+    assert order[: len(vis_prns)] == vis_prns
+    # everything below -5 deg sits at the back
+    els = {}
+    for p, e in ephs.items():
+        pos, _ = e.position_velocity(t)
+        els[p] = np.rad2deg(geodesy.az_el(rcv, pos)[1])
+    n_set = sum(1 for e in els.values() if e < -5.0)
+    assert all(els[p] < -5.0 for p in order[-n_set:])
+    # no assistance state -> order untouched
+    rx2 = Receiver(ReceiverConfig(signal="1C", fs=1.023e6, n_channels=2))
+    g2 = rx2.groups[0]
+    assert rx2._prioritize_candidates(g2, list(g2.acq_pool)) == list(g2.acq_pool)
