@@ -66,23 +66,25 @@ class ObservablesEngine:
         self.smoothing_m = carrier_smoothing_factor
         self._smooth: dict[tuple, tuple] = {}  # (sig,prn) -> (pr, phase, k)
 
-    def _hatch(self, key, pr: float, phase_cycles: float,
-               wavelength_m: float) -> float:
+    def _hatch(self, key, pr: float, carr_range_m: float) -> float:
+        """One Hatch-filter step; ``carr_range_m`` is the carrier range in
+        meters with the SAME sign as geometry (the caller strips the IF
+        ramp and negates the NCO phase: Doppler = -range_rate/lambda)."""
         if self.smoothing_m <= 1:
             return pr
         prev = self._smooth.get(key)
         if prev is None:
-            self._smooth[key] = (pr, phase_cycles, 1)
+            self._smooth[key] = (pr, carr_range_m, 1)
             return pr
-        pr_s_prev, phase_prev, k = prev
-        dphi = (phase_cycles - phase_prev) * wavelength_m
+        pr_s_prev, carr_prev, k = prev
+        dphi = carr_range_m - carr_prev
         # cycle-slip guard: a jump far beyond dynamics resets the filter
         if abs(dphi) > 1000.0:
-            self._smooth[key] = (pr, phase_cycles, 1)
+            self._smooth[key] = (pr, carr_range_m, 1)
             return pr
         k = min(k + 1, self.smoothing_m)
         pr_s = pr / k + (pr_s_prev + dphi) * (k - 1) / k
-        self._smooth[key] = (pr_s, phase_cycles, k)
+        self._smooth[key] = (pr_s, carr_range_m, k)
         return pr_s
 
     def ticks_for_range(self, start_sample: int, end_sample: int) -> list[int]:
@@ -139,7 +141,12 @@ class ObservablesEngine:
             if self.smoothing_m > 1:
                 lam = C.SPEED_OF_LIGHT_M_S / ch.get(
                     "carrier_freq", 1_575_420_000.0)
-                pr = self._hatch((ch["signal"], ch["prn"]), pr, phase, lam)
+                # carrier range in meters, geometry sign: the NCO phase
+                # integrates IF + Doppler and Doppler = -range_rate/lambda
+                # (RINEX dL/dt = -D), so strip the IF ramp and negate
+                carr_m = -lam * (phase
+                                 - ch["if_freq"] * tick_sample / self.fs)
+                pr = self._hatch((ch["signal"], ch["prn"]), pr, carr_m)
             out.append(ChannelObservable(
                 prn=ch["prn"], signal=ch["signal"], t_tx_sv=t_tx,
                 pseudorange_m=pr, carrier_phase_cycles=phase,

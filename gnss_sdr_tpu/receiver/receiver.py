@@ -147,6 +147,18 @@ class SignalGroup:
         self.signal = signal
         self.rx_cfg = cfg
         self.spec = constants.SIGNALS[signal]
+        # commensurate sampling trap: when fs is an exact integer multiple
+        # of the chip rate, the ZOH code replica's correlation peak grows a
+        # flat top one sample wide — a DLL dead zone with static per-channel
+        # pseudorange biases of up to c/(2*fs) (tens of meters at 2 Msps)
+        spc = cfg.fs / self.spec.code_rate_cps
+        if abs(spc - round(spc)) < 1e-6 * max(spc, 1.0):
+            log.warning(
+                "fs=%.0f Hz is an integer multiple of the %s chip rate "
+                "(%.0f samples/chip): expect a DLL dead zone with static "
+                "pseudorange biases; prefer an incommensurate rate "
+                "(e.g. the reference confs use 2.0 MHz for L1 C/A)",
+                cfg.fs, signal, spc)
         # padded channel-array width: a multiple of the mesh size so the
         # channel axis shards evenly; pad rows stay inactive in the scan
         self.c_pad = c_pad if c_pad is not None else n_channels
@@ -283,6 +295,7 @@ class Receiver:
         self._control_mod = control_mod
         self.control_queue = control_mod.ControlQueue()
         self.restart_requested = False
+        self.stop_requested = False
         self.standby = False
         # tracing dumps
         self._dumps = None
@@ -921,6 +934,11 @@ class Receiver:
                     g.acq_backoff.clear()
             elif ev.command == "reset":
                 self.restart_requested = True
+            elif ev.command in ("stop", "quit"):
+                # keyboard 'q' / stop telecommand: end the run loop without
+                # requesting a harness restart (reference keyboard_listener,
+                # control_thread.cc:180 -> stop message into the queue)
+                self.stop_requested = True
             elif ev.command == "set_ch_satellite":
                 ch_id, prn = ev.args
                 for g in self.groups:
@@ -1001,7 +1019,7 @@ class Receiver:
                                        input_filter, max_chunks)
         n = 0
         while ((max_chunks is None or n < max_chunks)
-               and not self.restart_requested):
+               and not (self.restart_requested or self.stop_requested)):
             block = source.read(self.chunk_len)
             if input_filter is not None and len(block):
                 block = input_filter(block)
@@ -1045,7 +1063,7 @@ class Receiver:
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
-            while not self.restart_requested:
+            while not (self.restart_requested or self.stop_requested):
                 block = q.get()
                 if block is None:
                     break
@@ -1078,7 +1096,7 @@ class Receiver:
                                        input_filter, max_chunks)
         n = 0
         while ((max_chunks is None or n < max_chunks)
-               and not self.restart_requested):
+               and not (self.restart_requested or self.stop_requested)):
             block = source.read(block_len)
             if input_filter is not None and len(block):
                 block = input_filter(block)

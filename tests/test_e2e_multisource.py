@@ -28,7 +28,10 @@ from gnss_sdr_tpu.utils import fixture_cache, scenario as scen
 
 T0 = 352800.08
 DUR = 34.0
-FS_L1 = 2.046e6
+# NOT an integer multiple of the 1.023 Mcps chip rate: 2.046e6 = exactly 2
+# samples/chip puts the ZOH-replica DLL in a dead zone with static
+# per-channel pseudorange biases (see the fs note in test_e2e_position.py)
+FS_L1 = 2.0e6
 FS_L5 = 12.0e6
 
 

@@ -23,7 +23,12 @@ from gnss_sdr_tpu.receiver.pvt import geodesy
 from gnss_sdr_tpu.utils import fixture_cache, scenario as scen
 
 DUR = 30.0
-FS = 2.046e6
+# NOT an integer multiple of the 1.023 Mcps chip rate: commensurate sampling
+# (e.g. 2.046e6 = exactly 2 samples/chip) flattens the ZOH correlation peak
+# into a DLL dead zone with static per-channel pseudorange biases of many
+# meters (see the fs note in test_e2e_position.py) — fatal for the tight
+# SBAS-corrected budget asserted here.
+FS = 2.0e6
 SBAS_PRN = 123
 
 
@@ -75,6 +80,9 @@ def _run(sc, x, apply_sbas: bool) -> Receiver:
         signal="1C", fs=FS, n_channels=6,
         prns=tuple(list(sc.prns) + [SBAS_PRN]), chunk_ms=100,
         pvt_apply_tropo=False, pvt_apply_iono=False,
+        # Hatch smoothing pushes the ~2-3 m code noise under the budget so
+        # the assert measures the SBAS corrections, not the noise floor
+        carrier_smoothing_factor=25,
         pvt_apply_sbas=apply_sbas))
     rx.run_source(ArraySignalSource(x, FS))
     return rx
@@ -112,10 +120,10 @@ def test_sbas_corrects_degraded_fix(corrected, sbas_run):
     def err3d(rx):
         enu = np.stack([geodesy.ecef_to_enu(f.pos_ecef - sc.rcv_ecef,
                                             lat, lon)
-                        for f in rx.fixes[-5:]]).mean(axis=0)
+                        for f in rx.fixes[-40:]]).mean(axis=0)
         return float(np.linalg.norm(enu))
 
     e_off, e_on = err3d(rx_off), err3d(rx_on)
     assert e_off > 4.0, f"degradation too small ({e_off:.1f} m)"
-    assert e_on < 2.5, f"SBAS-corrected 3D error {e_on:.2f} m"
+    assert e_on < 1.5, f"SBAS-corrected 3D error {e_on:.2f} m"
     assert e_on < e_off / 3.0
