@@ -35,6 +35,28 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _start_keyboard_listener(rx) -> None:
+    """'q' + Enter on an interactive stdin stops the receiver (reference
+    ControlThread::keyboard_listener, control_thread.h:180). Skipped when
+    stdin is not a TTY (piped runs, tests, the restart harness)."""
+    import threading
+
+    try:
+        if not sys.stdin.isatty():
+            return
+    except (ValueError, OSError):
+        return
+    from gnss_sdr_tpu.receiver.control import CommandEvent
+
+    def listen():
+        for line in sys.stdin:
+            if line.strip().lower() == "q":
+                rx.control_queue.push(CommandEvent("stop"))
+                return
+
+    threading.Thread(target=listen, daemon=True).start()
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=args.log_level,
@@ -116,6 +138,7 @@ def main(argv=None) -> int:
                                     port=port)
         logging.getLogger("gnss_sdr_tpu").info(
             "telecommand server on tcp port %d", telecmd.port)
+    _start_keyboard_listener(rx)
     try:
         rx.run_file_source(source, max_chunks=args.max_chunks,
                            input_filter=input_filter)

@@ -115,6 +115,27 @@ def test_reset_stops_run_loop(tmp_path):
         assert rx._sample_base <= 2 * rx.chunk_len
 
 
+def test_stop_command_halts_without_restart(tmp_path):
+    """The stop/quit command (keyboard 'q', control_thread.h:180) ends the
+    run loop like reset but does NOT request a harness restart."""
+    rng = np.random.default_rng(2)
+    fs = 1.023e6
+    raw = (rng.standard_normal(int(fs)) * 40).astype(np.int16)
+    f = tmp_path / "noise.dat"
+    raw.tofile(f)
+    from gnss_sdr_tpu.io.sources import FileSignalSource
+    for double_buffer in (False, True):
+        cfg = ReceiverConfig(signal="1C", fs=fs, n_channels=1, chunk_ms=20,
+                             prns=(1,))
+        rx = Receiver(cfg)
+        rx.control_queue.push(control.CommandEvent("stop"))
+        src = FileSignalSource(str(f), item_type="ishort",
+                               sampling_frequency=fs)
+        rx.run_file_source(src, double_buffer=double_buffer)
+        assert rx.stop_requested and not rx.restart_requested
+        assert rx._sample_base <= 2 * rx.chunk_len
+
+
 def test_cli_reset_returns_42(tmp_path):
     """End-to-end restart-harness contract: a `reset` sent over the
     telecommand TCP interface makes the CLI exit with code 42 (reference
