@@ -171,6 +171,10 @@ def receiver_config_from_ini(conf: Configuration):
             else 0),
         # multi-device channel sharding (TPU mesh); 0/absent = single-device
         n_mesh_devices=(conf.property("GNSS-SDR.num_devices", 0) or None),
+        # periodic channel/fix status log (reference: the channel status
+        # collector feeding the monitor, channel_status_msg_receiver.cc)
+        status_period_s=float(conf.property("GNSS-SDR.status_period_s",
+                                            0.0)),
         group_params=tuple(group_params),
         # tracing dumps (reference per-block dump=true; one directory here)
         dump_dir=(conf.property("GNSS-SDR.dump_dir", "") or None),

@@ -108,6 +108,10 @@ class ReceiverConfig:
     pvt_enabled: bool = True
     # apply SBAS fast corrections (PR + PRC) from tracked SBAS channels
     pvt_apply_sbas: bool = True
+    # periodic status log: every N seconds of stream time log the fix +
+    # tracked channels (reference: channel_status_msg_receiver collecting
+    # per-channel status for the monitors); 0 = off
+    status_period_s: float = 0.0
     # tracing dumps (reference: per-block dump=true -> .dat/.mat)
     dump_dir: str | None = None
     dump_mat: bool = False             # also write MATLAB .mat (save_matfile)
@@ -188,8 +192,12 @@ class SignalGroup:
         # Costas/FLL at exactly half a cycle per epoch, amplitude 2/pi);
         # the doubled-FFT transition-tolerant mode is therefore the default
         # for these signals (reference bit_transition_flag)
+        # ... and so do data symbols on signals whose bit period equals the
+        # code period (L2 CM: one 50 sps CNAV symbol per 20 ms code)
         self.acq_double = bool(cfg.acq_bit_transition
-                               or self.spec.secondary_code)
+                               or self.spec.secondary_code
+                               or self.spec.bit_period_ms * 1e-3
+                               <= self.spec.code_period_s + 1e-9)
         self.acq_reps: dict[int, np.ndarray] = {}
         self.acq_pool = list(prns)
         self.acq_backoff: dict[int, int] = {}
@@ -911,6 +919,13 @@ class Receiver:
             self._buf = self._buf[self.chunk_len:]
             self._sample_base += self.chunk_len
             self._chunk_index += 1
+            if self.cfg.status_period_s > 0.0:
+                period = int(round(self.cfg.status_period_s * self.cfg.fs))
+                if (self._sample_base // period
+                        != (self._sample_base - self.chunk_len) // period):
+                    log.info("status @ %.1f s: %s",
+                             self._sample_base / self.cfg.fs,
+                             self.status_text())
 
     # ------------------------------------------------------------- control
     def _dispatch_commands(self) -> None:

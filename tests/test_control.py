@@ -136,6 +136,25 @@ def test_stop_command_halts_without_restart(tmp_path):
         assert rx._sample_base <= 2 * rx.chunk_len
 
 
+def test_periodic_status_report(caplog):
+    """GNSS-SDR.status_period_s logs the channel/fix status every N seconds
+    of stream time (reference: the channel status collector feeding the
+    monitors, channel_status_msg_receiver.cc)."""
+    import logging
+    rng = np.random.default_rng(3)
+    fs = 1.023e6
+    cfg = ReceiverConfig(signal="1C", fs=fs, n_channels=1, chunk_ms=100,
+                         prns=(1,), status_period_s=0.3)
+    rx = Receiver(cfg)
+    noise = (rng.standard_normal(int(fs)) +
+             1j * rng.standard_normal(int(fs))).astype(np.complex64)
+    with caplog.at_level(logging.INFO, logger="gnss_sdr_tpu"):
+        rx.process(noise)                      # 1 s -> 3 status lines
+    lines = [r.message for r in caplog.records if "status @" in r.message]
+    assert len(lines) == 3, lines
+    assert "NO FIX" in lines[0]
+
+
 def test_cli_reset_returns_42(tmp_path):
     """End-to-end restart-harness contract: a `reset` sent over the
     telecommand TCP interface makes the CLI exit with code 42 (reference
