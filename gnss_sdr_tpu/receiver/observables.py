@@ -41,6 +41,10 @@ class ChannelObservable:
     signal: str
     t_tx_sv: float              # transmit time (SV clock, s of week)
     pseudorange_m: float
+    # RINEX convention: grows with range (dL/dt = -D), IF ramp stripped —
+    # the NEGATED NCO accumulation, exactly as the reference accumulates
+    # d_acc_carrier_phase_rad with -= (dll_pll_veml_tracking.cc:1085) so
+    # RINEX printers / RTKLIB / PPP consume it directly
     carrier_phase_cycles: float
     doppler_hz: float
     cn0_dbhz: float
@@ -121,8 +125,15 @@ class ObservablesEngine:
                                      code_rate=ch["code_rate"])
             if t_tx is None:
                 continue
-            phase = (rec.carr_phase_cycles + rec.carr_phase_frac
-                     + ds * rec.carrier_freq / self.fs)
+            nco = (rec.carr_phase_cycles + rec.carr_phase_frac
+                   + ds * rec.carrier_freq / self.fs)
+            # -> RINEX convention (see ChannelObservable): negate the NCO
+            # accumulation (its Doppler is -range_rate/lambda), strip the
+            # IF ramp (receiver artifact, constant offset per channel) and
+            # repair the Costas 180-deg lock from the telemetry polarity so
+            # undifferenced phase ambiguities stay integer (half-cycle flag)
+            phase = (-(nco - ch["if_freq"] * tick_sample / self.fs)
+                     + getattr(tlm, "half_cycle", 0.0))
             per_ch.append((ch, t_tx, phase))
         if not per_ch:
             return []
@@ -141,12 +152,9 @@ class ObservablesEngine:
             if self.smoothing_m > 1:
                 lam = C.SPEED_OF_LIGHT_M_S / ch.get(
                     "carrier_freq", 1_575_420_000.0)
-                # carrier range in meters, geometry sign: the NCO phase
-                # integrates IF + Doppler and Doppler = -range_rate/lambda
-                # (RINEX dL/dt = -D), so strip the IF ramp and negate
-                carr_m = -lam * (phase
-                                 - ch["if_freq"] * tick_sample / self.fs)
-                pr = self._hatch((ch["signal"], ch["prn"]), pr, carr_m)
+                # phase is already carrier range in RINEX sign (grows with
+                # range, IF-free) — scale to meters for the Hatch projector
+                pr = self._hatch((ch["signal"], ch["prn"]), pr, lam * phase)
             out.append(ChannelObservable(
                 prn=ch["prn"], signal=ch["signal"], t_tx_sv=t_tx,
                 pseudorange_m=pr, carrier_phase_cycles=phase,

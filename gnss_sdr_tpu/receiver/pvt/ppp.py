@@ -56,7 +56,8 @@ class PppFilter:
     def __init__(self, ephemerides: dict, x0_ecef: np.ndarray,
                  sigma_pr_m: float = 1.0, sigma_phase_m: float = 0.01,
                  q_clk: float = 1e8, q_ztd: float = 1e-8,
-                 mode: str = "static", q_pos_m2_s: float = 1.0):
+                 mode: str = "static", q_pos_m2_s: float = 1.0,
+                 estimate_tropo: bool = True):
         self.ephemerides = ephemerides
         self.sigma_pr = sigma_pr_m
         self.sigma_ph = sigma_phase_m
@@ -70,7 +71,14 @@ class PppFilter:
         n = 5
         self.x = np.zeros(n)
         self.x[:3] = x0_ecef
-        self.p = np.diag([100.0 ** 2] * 3 + [1e9, 0.25])
+        # estimate_tropo=False pins the ZTD state at its a-priori value
+        # (RTKLIB tropopt=OFF): with few satellites the 1/sin(el) mapping
+        # is nearly collinear with height, and thousands of correlated
+        # phase epochs can drag the (height, ZTD) pair meters along the
+        # degenerate direction while the fit stays perfect
+        self.estimate_tropo = estimate_tropo
+        self.p = np.diag([100.0 ** 2] * 3
+                         + [1e9, 0.25 if estimate_tropo else 0.0])
         self.epoch = 0
         self.n_slips = 0
 
@@ -111,7 +119,8 @@ class PppFilter:
         self.p[3, :] = 0.0
         self.p[:, 3] = 0.0
         self.p[3, 3] = self.q_clk
-        self.p[4, 4] += self.q_ztd
+        if self.estimate_tropo:
+            self.p[4, 4] += self.q_ztd
 
         if slips:
             for key in slips:

@@ -66,6 +66,13 @@ class PppArFilter(PppFilter):
         self.n_fixed_epochs = 0
         self.last_ratio = 0.0
         self.fixed_wl: dict[tuple, int] = {}
+        # fix-and-hold engages only after the SAME integer set has won the
+        # ratio test on hold_after consecutive epochs (RTKLIB's
+        # min-fix-to-hold): holding the first ratio-passing fix can lock in
+        # wrong narrow-lane integers chosen off a not-yet-converged float
+        self.hold_after = 5
+        self._last_fix: tuple | None = None
+        self._fix_streak = 0
 
     # ------------------------------------------------------------- MW
     def _update_mw(self, obs: list[PppArObs], slips: set | None) -> None:
@@ -116,7 +123,7 @@ class PppArFilter(PppFilter):
         if len(cands) < 4:
             return
         ref = max(cands, key=lambda k: self._mw[k][0])
-        others = [k for k in cands if k != ref]
+        others = sorted(k for k in cands if k != ref)
         if not others:
             return
 
@@ -160,7 +167,10 @@ class PppArFilter(PppFilter):
             return
         n1 = cands2[0]
 
-        # 3) constrain the filter: pseudo-measurements of the fixed SD B_IF
+        # 3) constrain with pseudo-measurements of the fixed SD B_IF — on a
+        # COPY first: the fixed solution is always reported, but the filter
+        # state is only overwritten (fix-and-hold) once the same integer
+        # set has survived hold_after consecutive ratio tests
         b_fix = np.array([lam_nl * n1[i] + wl_coef * n_wl[k]
                           for i, k in enumerate(others)])
         v = b_fix - d @ self.x
@@ -169,10 +179,19 @@ class PppArFilter(PppFilter):
             kg = self.p @ d.T @ np.linalg.inv(s)
         except np.linalg.LinAlgError:
             return
-        self.x = self.x + kg @ v
-        self.p = (np.eye(len(self.x)) - kg @ d) @ self.p
-        self.p = 0.5 * (self.p + self.p.T)
+        x_fix = self.x + kg @ v
+        p_fix = (np.eye(len(self.x)) - kg @ d) @ self.p
+        p_fix = 0.5 * (p_fix + p_fix.T)
+        fix_key = (ref, tuple(n_wl[k] for k in others),
+                   tuple(int(round(a)) for a in n1))
+        if fix_key == self._last_fix:
+            self._fix_streak += 1
+        else:
+            self._last_fix = fix_key
+            self._fix_streak = 1
+        if self._fix_streak >= self.hold_after:
+            self.x, self.p = x_fix, p_fix
         self.n_fixed_epochs += 1
-        sol.pos_ecef = self.x[:3].copy()
-        sol.clock_bias_m = float(self.x[3])
-        sol.ztd_m = float(self.x[4])
+        sol.pos_ecef = x_fix[:3].copy()
+        sol.clock_bias_m = float(x_fix[3])
+        sol.ztd_m = float(x_fix[4])

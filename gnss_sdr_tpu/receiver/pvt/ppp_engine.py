@@ -25,10 +25,10 @@ class PppEngine:
     def __init__(self, ephemerides: dict, x0_ecef, mode: str = "static",
                  ambiguity_resolution: bool = True,
                  sigma_pr_m: float = 1.0, sigma_phase_m: float = 0.012,
-                 q_pos_m2_s: float = 1.0):
+                 q_pos_m2_s: float = 1.0, estimate_tropo: bool = True):
         self.filter = ppp_ar.PppArFilter(
             ephemerides, x0_ecef=np.asarray(x0_ecef, float),
-            mode=mode, q_pos_m2_s=q_pos_m2_s,
+            mode=mode, q_pos_m2_s=q_pos_m2_s, estimate_tropo=estimate_tropo,
             sigma_pr_m=sigma_pr_m, sigma_phase_m=sigma_phase_m,
             # disable the integer search by an impossible ratio threshold
             ratio_threshold=(3.0 if ambiguity_resolution else np.inf))

@@ -165,6 +165,24 @@ class GpsL1CaTelemetry:
 
         # decode every further complete subframe (300-bit aligned)
         pol = self.tow_ref.polarity
+        self._decode_rest(pol)
+
+    @property
+    def half_cycle(self) -> float:
+        """Carrier half-cycle correction in cycles: the Costas loop locks
+        equally at 0 or 180 deg; an inverted LNAV preamble means the NCO
+        phase is off by half a cycle (reference
+        flag_PLL_180_deg_phase_locked — which the reference only uses to
+        re-invert symbols; here the observables also repair the carrier
+        phase so undifferenced ambiguities stay integer)."""
+        if self.tow_ref is not None and self.tow_ref.polarity < 0:
+            return 0.5
+        return 0.0
+
+    def _decode_rest(self, pol: int) -> None:
+        soft, _ = self._bits()
+        n = len(soft)
+        signs = np.where(soft >= 0, 1, -1).astype(np.int8)
         while self._decoded_upto_bit + 300 <= n:
             i = self._decoded_upto_bit
             bits01 = ((1 - pol * signs[i:i + 300]) // 2).astype(np.uint8)
@@ -337,6 +355,14 @@ class GpsL2CMTelemetry:
             self._decoded_upto = off + 600
 
     @property
+    def half_cycle(self) -> float:
+        """+0.5 when the FEC frame sync chose the inverted polarity, i.e.
+        the Costas loop locked 180 deg off (see GpsL1CaTelemetry)."""
+        if self._frame_anchor is not None and self._frame_anchor[1] < 0:
+            return 0.5
+        return 0.0
+
+    @property
     def have_tow(self) -> bool:
         return self.tow_ref is not None
 
@@ -448,6 +474,14 @@ class GpsL5ITelemetry:
                     tow_s=tow - self.MSG_PERIOD_S,
                     epoch=int(starts[off]), polarity=1)
             self._decoded_upto = off + self.MSG_SYMBOLS
+
+    @property
+    def half_cycle(self) -> float:
+        """+0.5 when the FEC frame sync chose the inverted polarity, i.e.
+        the Costas loop locked 180 deg off (see GpsL1CaTelemetry)."""
+        if self._frame_anchor is not None and self._frame_anchor[1] < 0:
+            return 0.5
+        return 0.0
 
     @property
     def have_tow(self) -> bool:

@@ -49,6 +49,20 @@ class Scenario:
         return self.rcv_ecef + self.rcv_vel_ecef * t_since_t0
 
 
+
+def _geometric_phase0(fc: float, t_tx0: float) -> float:
+    """Carrier phase (cycles, mod 1) at receiver t=0 implied by geometry.
+
+    The received baseband phase is fc*(t_tx(t) - t); a zero phase constant
+    would add an arbitrary real offset per satellite, destroying the
+    integer structure of carrier-phase ambiguities that PPP-AR/RTK exploit
+    (real signals are phase-locked to the satellite clock that also times
+    the code). float64 cannot form fc*t_tx mod 1 (ulp ~0.1 cycle at 5e14);
+    x86 80-bit longdouble leaves ~1e-4 cycles.
+    """
+    return float(np.mod(np.longdouble(fc) * np.longdouble(t_tx0), 1.0))
+
+
 def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),
                           t0_gps: float = 352800.08, duration_s: float = 28.0,
                           fs: float = 2.046e6, n_sats: int = 6,
@@ -132,6 +146,7 @@ def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
             almanacs=almanacs, alm_start=si))
         sats.append(generator.SatParams(
             prn=prn, cn0_dbhz=cn0_dbhz, doppler_hz=doppler,
+            carrier_phase_cycles=_geometric_phase0(fc, a0),
             doppler_rate_hz_s=doppler_rate, code_delay_s=code_delay,
             data_bits=bits))
 
@@ -224,6 +239,62 @@ def build_gps_l5_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
                                             period_s=6.0)
         sats.append(generator.SatParams(
             prn=prn, cn0_dbhz=cn0_dbhz,
+            carrier_phase_cycles=_geometric_phase0(fc, a0),
+            doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
+            code_delay_s=tow_sym_start - a0,
+            data_bits=generator.lnav_bits_to_symbols(sym)))
+
+    return Scenario(rcv_ecef=rcv, rcv_llh=rcv_llh, t0_gps=t0_gps,
+                    tow_bits_start=tow_sym_start, duration_s=duration_s,
+                    fs=fs, ephemerides=ephs, sats=sats, prns=chosen,
+                    spec=spec)
+
+
+def build_gps_l2c_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),
+                           t0_gps: float = 352800.07, duration_s: float = 58.0,
+                           fs: float = 2.0e6, n_sats: int = 4,
+                           cn0_dbhz: float = 45.0) -> Scenario:
+    """GPS L2 CM signal-level scenario with CNAV (12 s messages, 50 sps).
+
+    One 20 ms CM code period per FEC symbol; the convolutional stream is
+    continuous across messages. CM-only model (the chip-by-chip CM/CL time
+    multiplex carries no extra information for a CM correlator; the
+    reference's L2C chain likewise correlates against the CM code,
+    gps_l2c_signal.cc + GetChannel_2S). Ephemeris needs messages 10+11 (+30
+    for clock) = a full 36 s cycle after frame sync, hence the ~58 s
+    default. 2.0 Msps is incommensurate with the 511.5 kcps chip rate.
+    """
+    from gnss_sdr_tpu.models.nav import gps_cnav
+
+    spec = constants.GPS_L2_CM
+    ephs = constellation.almanac_constellation()
+    for e in ephs.values():
+        e.tgd = 0.0
+    rcv = geodesy.geodetic_to_ecef(*rcv_llh)
+    vis = constellation.visible_sats(ephs, rcv, t0_gps, el_mask_deg=15.0)
+    chosen = [prn for prn, _, _ in vis[:n_sats]]
+    if len(chosen) < n_sats:
+        raise RuntimeError(f"only {len(chosen)} visible sats")
+
+    fc = spec.carrier_freq_hz
+    t_tx0 = {prn: constellation.simulate_observation(
+        ephs[prn], rcv, t0_gps).t_tx_sv for prn in chosen}
+    # symbol-stream origin: a 12 s CNAV message boundary before min t_tx(0)
+    tow_sym_start = 12.0 * np.floor(min(t_tx0.values()) / 12.0)
+    n_messages = int(np.ceil((duration_s + 24.0) / 12.0)) + 1
+
+    sats = []
+    for prn in chosen:
+        eph = ephs[prn]
+        ts = np.array([0.0, duration_s / 2.0, duration_s])
+        tx = np.array([constellation.simulate_observation(
+            eph, rcv, t0_gps + t).t_tx_sv for t in ts])
+        a2, a1, a0 = np.polyfit(ts, tx, 2)
+        sym = gps_cnav.encode_symbol_stream(eph, tow_sym_start, n_messages,
+                                            period_s=12.0)
+        sats.append(generator.SatParams(
+            prn=prn, cn0_dbhz=cn0_dbhz,
+            carrier_phase_cycles=_geometric_phase0(fc, a0),
             doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
             code_delay_s=tow_sym_start - a0,
             data_bits=generator.lnav_bits_to_symbols(sym)))
@@ -241,10 +312,12 @@ def build_glonass_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 8
                               margin_s: float = 7.0,
                               freq_slots: tuple = (
                                   1, -4, 5, 6, 1, -4, 5, 6, -2, -7, 0, -1,
-                                  -2, -7, 0, -1, 4, -3, 3, 2, 4, -3, 3, 2)
-                              ) -> Scenario:
-    """GLONASS L1 C/A FDMA scenario: state-vector (PZ-90-style) truth +
-    timing-correct GNAV frames, each satellite at its slot IF.
+                                  -2, -7, 0, -1, 4, -3, 3, 2, 4, -3, 3, 2),
+                              band: str = "1G") -> Scenario:
+    """GLONASS C/A FDMA scenario (``band`` 1G or 2G): state-vector
+    (PZ-90-style) truth + timing-correct GNAV frames, each satellite at its
+    slot IF (562.5 kHz steps on L1, 437.5 kHz on L2; the C/A code and the
+    GNAV message are identical on both bands).
 
     Truth ephemerides are GlonassEphemeris state vectors sampled from the
     Kepler almanac orbits and then propagated with the SAME RK4 model the
@@ -257,7 +330,8 @@ def build_glonass_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 8
     """
     from gnss_sdr_tpu.models.nav import glonass_gnav
 
-    spec = constants.GLONASS_L1_CA
+    spec = constants.SIGNALS[band]
+    assert spec.system == "R", band
     rcv = geodesy.geodetic_to_ecef(*rcv_llh)
     # sample visible Kepler-almanac orbits into state vectors
     kep = constellation.almanac_constellation()
@@ -308,6 +382,7 @@ def build_glonass_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 8
                                                    n_frames + 1)
         sats_by_if.append((k * spec.fdma_step_hz, generator.SatParams(
             prn=prn, cn0_dbhz=cn0_dbhz,
+            carrier_phase_cycles=_geometric_phase0(fc, a0),
             doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
             code_delay_s=stream_t0 - a0,
             data_bits=generator.lnav_bits_to_symbols(symbols))))
@@ -340,8 +415,13 @@ def build_beidou_b1i_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 8
                               duration_s: float = 30.0,
                               fs: float = 4.0e6, n_sats: int = 4,
                               cn0_dbhz: float = 48.0,
-                              almanac_pages: bool = False) -> Scenario:
-    """BeiDou B1I (MEO/IGSO D1) scenario: NH20 overlay + 6 s subframes.
+                              almanac_pages: bool = False,
+                              band: str = "B1") -> Scenario:
+    """BeiDou B1I/B3I (MEO/IGSO D1) scenario: NH20 overlay + 6 s subframes.
+
+    ``band`` B3 swaps in the 10.23 Mcps B3I code at 1268.52 MHz (same D1
+    message, same NH20 overlay; reference Channels_B3 /
+    BEIDOU_B3I_* adapters) — use fs > 11 Msps, incommensurate.
 
     Subframes cycle FraID (1,2,3) with per-slot SOW so the ephemeris
     (subframes 1-3, beidou_d1.D1Assembler) completes within ~20 s of NH
@@ -353,7 +433,8 @@ def build_beidou_b1i_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 8
     """
     from gnss_sdr_tpu.models.nav import beidou_d1
 
-    spec = constants.BEIDOU_B1I
+    spec = constants.SIGNALS[band]
+    assert spec.system == "C", band
     ephs = constellation.almanac_constellation()
     for e in ephs.values():
         e.tgd = 0.0
@@ -412,6 +493,7 @@ def build_beidou_b1i_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 8
         bits = np.concatenate(subframes)
         sats.append(generator.SatParams(
             prn=prn, cn0_dbhz=cn0_dbhz,
+            carrier_phase_cycles=_geometric_phase0(fc, a0),
             doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
             code_delay_s=tow_bits_start - a0,
             data_bits=generator.lnav_bits_to_symbols(bits)))
@@ -470,6 +552,7 @@ def build_galileo_e5a_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 
                                              wn=eph.week, page_offset=3)
         sats.append(generator.SatParams(
             prn=prn, cn0_dbhz=cn0_dbhz,
+            carrier_phase_cycles=_geometric_phase0(fc, a0),
             doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
             code_delay_s=tow_page_start - a0,
             data_bits=generator.lnav_bits_to_symbols(symbols)))
@@ -519,6 +602,7 @@ def build_galileo_e1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 8
         symbols = galileo_inav.encode_stream(eph, tow_sym_start, n_pages)
         sats.append(generator.SatParams(
             prn=prn, cn0_dbhz=cn0_dbhz,
+            carrier_phase_cycles=_geometric_phase0(fc, a0),
             doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
             code_delay_s=tow_sym_start - a0,
             data_bits=generator.lnav_bits_to_symbols(symbols)))
