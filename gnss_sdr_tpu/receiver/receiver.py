@@ -192,12 +192,17 @@ class SignalGroup:
         # Costas/FLL at exactly half a cycle per epoch, amplitude 2/pi);
         # the doubled-FFT transition-tolerant mode is therefore the default
         # for these signals (reference bit_transition_flag)
-        # ... and so do data symbols on signals whose bit period equals the
-        # code period (L2 CM: one 50 sps CNAV symbol per 20 ms code)
+        # ... and so do data symbols on BPSK signals whose bit period equals
+        # the code period (L2 CM: one 50 sps CNAV symbol per 20 ms code).
+        # E1 (also 1 symbol/period) keeps the plain mode: its BOC(1,1)
+        # acquisition has run measurably tighter un-doubled with the
+        # standard non-coherent dwells, and conf acq_bit_transition=true
+        # remains available.
         self.acq_double = bool(cfg.acq_bit_transition
                                or self.spec.secondary_code
-                               or self.spec.bit_period_ms * 1e-3
-                               <= self.spec.code_period_s + 1e-9)
+                               or (self.spec.subcarrier_rate_hz == 0
+                                   and self.spec.bit_period_ms * 1e-3
+                                   <= self.spec.code_period_s + 1e-9))
         self.acq_reps: dict[int, np.ndarray] = {}
         self.acq_pool = list(prns)
         self.acq_backoff: dict[int, int] = {}

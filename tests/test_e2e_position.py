@@ -73,6 +73,25 @@ def test_position_fix_accuracy(e2e_run):
     assert err_3d < 5.0, f"3D error {err_3d:.2f} m"
 
 
+def test_accuracy_precision_statistics(e2e_run):
+    """Reference static accuracy report (position_test.cc:563-599): CEP
+    about the truth (accuracy) under the 2 m flag, SEP about the mean
+    (precision) under the 10 m flag (position_test_flags.h:47-48)."""
+    from gnss_sdr_tpu.utils import accuracy
+    sc, rx = e2e_run
+    lat, lon, _ = sc.rcv_llh
+    enu = np.stack([geodesy.ecef_to_enu(f.pos_ecef - sc.rcv_ecef, lat, lon)
+                    for f in rx.fixes[5:]])       # settled fixes
+    acc = accuracy.position_statistics(enu)
+    prec = accuracy.position_statistics(enu - enu.mean(axis=0))
+    print(accuracy.format_statistics(acc, "accuracy (vs truth)"))
+    print(accuracy.format_statistics(prec, "precision (vs mean)"))
+    assert acc["cep"] < 2.0, acc["cep"]           # FLAGS_accuracy_CEP
+    assert prec["sep"] < 10.0, prec["sep"]        # FLAGS_precision_SEP
+    assert acc["2drms"] < 2 * acc["drms"] + 1e-9  # sanity of the radii
+    assert acc["sas_99"] >= acc["sep"]
+
+
 def test_velocity_static(e2e_run):
     _, rx = e2e_run
     v = np.stack([f.vel_ecef for f in rx.fixes[-10:]]).mean(axis=0)
