@@ -54,10 +54,16 @@ class RtkSolution:
     float_baseline_m: np.ndarray = None
 
 
-def _sat_pos(eph, t_tx_sv: float, approx_range_m: float) -> np.ndarray:
+def _sat_pos(eph, t_tx_sv: float, station_ecef: np.ndarray) -> np.ndarray:
+    """Satellite position at t_tx, Sagnac-rotated by the GEOMETRIC light
+    time to ``station_ecef`` (a km-level station error costs only ~mm of
+    rotation). The raw pseudorange is NOT a safe light-time proxy here: it
+    carries the receiver clock bias, and with per-side satellite positions
+    a clock-bias-scaled rotation no longer cancels in the differences."""
     dt_sv = eph.clock_offset(t_tx_sv)
     p, _ = eph.position_velocity(t_tx_sv - dt_sv)
-    return _rotate_sat(p, approx_range_m / C.SPEED_OF_LIGHT_M_S)
+    tau = np.linalg.norm(p - station_ecef) / C.SPEED_OF_LIGHT_M_S
+    return _rotate_sat(p, tau)
 
 
 def solve_rtk(rover: list[RtkObs], base: list[RtkObs],
@@ -87,12 +93,19 @@ def solve_rtk(rover: list[RtkObs], base: list[RtkObs],
     x0 = np.asarray(rover_apriori if rover_apriori is not None
                     else base_ecef, np.float64)
 
-    # satellite positions (shared geometry; baseline << range)
+    # satellite positions per SIDE: the rover tow tag runs on the rover
+    # clock, so the base measured the satellite at a slightly different
+    # instant (satellites move ~4 km/s; a 20 ms rover clock bias otherwise
+    # leaks ~10 m into the baseline — rtklib satposs runs per obs set)
     sat = {}
+    sat_b = {}
     for k in common:
         o = rov[k]
         eph = _eph_lookup(ephemerides, o)
-        sat[k] = _sat_pos(eph, o.t_tx_sv, o.pseudorange_m)
+        sat[k] = _sat_pos(eph, o.t_tx_sv, x0)
+        b = bas[k]
+        sat_b[k] = (_sat_pos(eph, b.t_tx_sv, base_ecef)
+                    if b.t_tx_sv else sat[k])
 
     # pick the reference satellite: highest elevation proxy = max |unit z|
     # relative to the base; RTKLIB uses max elevation per system
@@ -128,7 +141,7 @@ def solve_rtk(rover: list[RtkObs], base: list[RtkObs],
         e_rov = {k: (sat[k] - x) / np.linalg.norm(sat[k] - x)
                  for k in common}
         rho_rov = {k: np.linalg.norm(sat[k] - x) for k in common}
-        rho_bas = {k: np.linalg.norm(sat[k] - base_ecef) for k in common}
+        rho_bas = {k: np.linalg.norm(sat_b[k] - base_ecef) for k in common}
 
         # DD measurement residuals and geometry
         h = np.zeros((2 * n, 3 + n))
@@ -187,7 +200,7 @@ def solve_rtk(rover: list[RtkObs], base: list[RtkObs],
     for _ in range(4):
         e_rov = {k: (sat[k] - x) / np.linalg.norm(sat[k] - x) for k in common}
         rho_rov = {k: np.linalg.norm(sat[k] - x) for k in common}
-        rho_bas = {k: np.linalg.norm(sat[k] - base_ecef) for k in common}
+        rho_bas = {k: np.linalg.norm(sat_b[k] - base_ecef) for k in common}
         h = np.zeros((n, 3))
         y = np.zeros(n)
         for i, k in enumerate(others):

@@ -144,20 +144,31 @@ class RtcmBaseStation:
 
     def epoch_near(self, tow: float, tol_s: float = 0.05
                    ) -> list[rtcm.MsmObservation] | None:
-        """All MSM observations (any system) within tol of the rover epoch.
+        """All MSM observations (any system) within tol of the rover epoch."""
+        got = self.epoch_near_tagged(tow, tol_s)
+        return got[1] if got is not None else None
+
+    def epoch_near_tagged(self, tow: float, tol_s: float = 0.05
+                          ) -> tuple[float, list] | None:
+        """(base epoch tow, observations) within tol of the rover epoch.
 
         Epochs stored with an unknown day (legacy 1012) are matched on
-        second-of-day, resolving the day from the rover TOW itself.
+        second-of-day, resolving the day from the rover TOW itself. The
+        matched tow lets the solver model the base geometry at the BASE
+        measurement instant — the rover tow tag runs on the rover clock
+        (tens of ms off GPS time before any steering), and satellites move
+        ~4 km/s across that gap (rtklib relpos computes satposs per side).
         """
         best: list[rtcm.MsmObservation] = []
+        t_best = None
         for t, system, obs, day_known in self.epochs:
             if not day_known:
                 # place t on the rover's day (nearest-day fold)
                 t = t + round((tow - t) / 86400.0) * 86400.0
             if abs(t - tow) <= tol_s:
-                best.extend(
-                    _tag(o, system) for o in obs)
-        return best or None
+                best.extend(_tag(o, system) for o in obs)
+                t_best = t
+        return (t_best, best) if best else None
 
     # -------------------------------------------------------------- ntrip
     def connect_ntrip(self, host: str, port: int, mountpoint: str,
@@ -235,9 +246,10 @@ class RtkEngine:
             return
         o0 = observables[0]
         tow = o0.t_tx_sv + o0.pseudorange_m / constants.SPEED_OF_LIGHT_M_S
-        base_obs = self.base.epoch_near(tow)
-        if base_obs is None:
+        got = self.base.epoch_near_tagged(tow)
+        if got is None:
             return
+        tow_base, base_obs = got
         rover = []
         base_list = []
         # pair rover/base per (system, prn, SIGNAL): mixing frequencies of
@@ -258,6 +270,11 @@ class RtkEngine:
                 prn=b.prn, pseudorange_m=b.pseudorange_m,
                 carrier_phase_cycles=b.phase_range_m / lam,
                 carrier_freq_hz=freq,
+                # base transmit time from the base epoch tag (surveyed
+                # station, clock near GPS time): the solvers evaluate the
+                # base-side satellite positions here
+                t_tx_sv=(tow_base
+                         - b.pseudorange_m / constants.SPEED_OF_LIGHT_M_S),
                 cn0_dbhz=b.cn0_dbhz, system=spec.system,
                 # MSM phase rate is d(range)/dt; RINEX D = -d(rho)/dt/lam.
                 # MSM4/legacy messages carry no rate: flag it so the slip

@@ -179,11 +179,17 @@ class RtkFilter:
 
         # --- geometry at the current state
         sat = {}
+        sat_b = {}
         el = {}
         for k in common:
             o = rov[k]
             eph = _eph_lookup(self.ephemerides, o)
-            sat[k] = _sat_pos(eph, o.t_tx_sv, o.pseudorange_m)
+            sat[k] = _sat_pos(eph, o.t_tx_sv, self.x[:3])
+            # base side at the base measurement instant (rover clock bias
+            # otherwise leaks satellite motion into the baseline, rtk.py)
+            b = bas[k]
+            sat_b[k] = (_sat_pos(eph, b.t_tx_sv, self.base_ecef)
+                        if b.t_tx_sv else sat[k])
             los = sat[k] - self.base_ecef
             el[k] = float((los / np.linalg.norm(los))
                           @ (self.base_ecef / np.linalg.norm(self.base_ecef)))
@@ -203,7 +209,7 @@ class RtkFilter:
         def geom(x3):
             rho_r = {k: np.linalg.norm(sat[k] - x3) for k in common}
             e_r = {k: (sat[k] - x3) / rho_r[k] for k in common}
-            rho_b = {k: np.linalg.norm(sat[k] - self.base_ecef)
+            rho_b = {k: np.linalg.norm(sat_b[k] - self.base_ecef)
                      for k in common}
             return rho_r, e_r, rho_b
 

@@ -1,0 +1,168 @@
+"""System test: RTK rover driven by the REAL receiver's carrier phase.
+
+The kinematic/static RTK engine tests elsewhere synthesize rover
+observations; here the rover side is the actual signal chain — the 42 s
+GPS L1 capture (shared with the multisource tests) through acquisition /
+tracking / telemetry / observables — and only the base station is
+synthesized (RTCM 1005 + 1019 + MSM7, as a real NTRIP caster would send).
+This closes the loop the reference closes with rtklib relpos on live
+observables: double differences of receiver-measured phase resolve to
+integers (RINEX-sign phase + half-cycle repair + geometric simulation
+phase make the DD ambiguities integer), the float baseline converges,
+and the AR machinery produces ratio-passing fixes within the capture.
+"""
+
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu import constants as C
+from gnss_sdr_tpu.io.sources import ArraySignalSource
+from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+from gnss_sdr_tpu.receiver.pvt import geodesy, rtcm
+from gnss_sdr_tpu.receiver.pvt.rtk_engine import RtcmBaseStation, RtkEngine
+from gnss_sdr_tpu.utils import constellation, fixture_cache, scenario as scen
+
+T0 = 352800.08
+DUR = 42.0
+FS = 2.0e6
+LAM = C.SPEED_OF_LIGHT_M_S / 1_575_420_000.0
+
+
+@pytest.fixture(scope="module")
+def rtk_run():
+    # identical parameters to the multisource L1 fixture -> shared capture
+    sc = scen.build_gps_l1_scenario(t0_gps=T0, duration_s=DUR, n_sats=6,
+                                    cn0_dbhz=47.0, fs=FS)
+    x = fixture_cache.cached_iq(
+        "e2e_ms_l1", dict(t0=T0, dur=DUR, n=6, fs=FS, seed=101),
+        lambda: sc.generate(seed=101))
+    rx = Receiver(ReceiverConfig(
+        signal="1C", fs=FS, n_channels=6, prns=tuple(sc.prns), chunk_ms=100,
+        pvt_apply_tropo=False, pvt_apply_iono=False))
+    rx.run_source(ArraySignalSource(x, FS))
+
+    # base station 3 km east of the rover truth, known exactly (1005)
+    lat, lon, _ = sc.rcv_llh
+    base_ecef = sc.rcv_ecef + geodesy.enu_to_ecef_offset(
+        np.array([3000.0, -800.0, 5.0]), lat, lon)
+    rng = np.random.default_rng(71)
+    n_bas = {p: int(rng.integers(-300, 300)) for p in sc.prns}
+
+    station = RtcmBaseStation()
+    station.push_bytes(b"".join(
+        [rtcm.frame(rtcm.encode_1005(55, base_ecef))]
+        + [rtcm.frame(rtcm.encode_1019(sc.ephemerides[p]))
+           for p in sc.prns]))
+    # kinematic filtered mode: persistent SD ambiguities, position
+    # re-seeded per epoch (reference PVT.positioning_mode=Kinematic).
+    # The receiver's C/A code carries ~+-0.5 m per-satellite systematic
+    # biases (and the synthetic base none), so the float ambiguities are
+    # systematically off by ~2 cycles: single-frequency AR over a 42 s
+    # capture is marginal, exactly as on real receivers (survey RTK
+    # converges over minutes) — the assertions below target the physical
+    # claims the capture CAN establish.
+    engine = RtkEngine(station, sigma_pr_m=2.5, mode="kinematic")
+
+    fixed = []
+    float_enu = []
+    for k, (tick, obs) in enumerate(rx.obs_log):
+        if k % 25 or len(obs) < 5:         # one RTK epoch per 0.5 s
+            continue
+        o0 = obs[0]
+        tow = o0.t_tx_sv + o0.pseudorange_m / C.SPEED_OF_LIGHT_M_S
+        # a real base measures on round epochs; the MSM tag has 1 ms
+        # resolution, so generate the base content AT the ms-aligned tag
+        tow = round(tow * 1e3) / 1e3
+        msm = []
+        for o in obs:
+            bo = constellation.simulate_observation(
+                sc.ephemerides[o.prn], base_ecef, tow)
+            msm.append(rtcm.MsmObservation(
+                prn=o.prn, signal_id=2,
+                pseudorange_m=bo.pseudorange_m + rng.normal(0, 0.3),
+                phase_range_m=(bo.pseudorange_m
+                               + n_bas[o.prn] * LAM
+                               + rng.normal(0, 0.005) * LAM),
+                phase_rate_m_s=-bo.doppler_hz * LAM, cn0_dbhz=45.0))
+        station.push_bytes(rtcm.frame(rtcm.encode_msm7(
+            rtcm.MSM7_GPS, 55, int(round(tow * 1e3)), msm)))
+        engine.push_rover_epoch(tick, obs)
+        if engine.solutions:
+            sol = engine.solutions[-1]
+            float_enu.append(geodesy.ecef_to_enu(
+                sol.baseline_m + base_ecef - sc.rcv_ecef, lat, lon))
+            if sol.fixed:
+                fixed.append(sol.rover_ecef.copy())
+    return sc, rx, fixed, float_enu, base_ecef
+
+
+def test_rtk_from_receiver_phase_fixes(rtk_run):
+    """The DD engine runs on receiver observables: the float baseline
+    converges to the code floor and a useful share of epochs pass the
+    ratio test with meter-level fixed baselines."""
+    sc, rx, fixed, float_enu, base_ecef = rtk_run
+    assert len(float_enu) >= 60
+    late = np.stack(float_enu[-20:]).mean(axis=0)
+    assert np.linalg.norm(late) < 2.0, f"float baseline {late} m"
+    assert len(fixed) >= 5, f"only {len(fixed)} fixed epochs"
+    lat, lon, _ = sc.rcv_llh
+    errs = np.stack([geodesy.ecef_to_enu(p - sc.rcv_ecef, lat, lon)
+                     for p in fixed])
+    assert np.linalg.norm(errs.mean(axis=0)) < 2.0
+
+
+def test_rtk_receiver_phase_dd_integer_structure(rtk_run):
+    """THE key physical claim: double differences of receiver-measured
+    carrier phase against a synthetic base are INTEGER ambiguities —
+    fractional parts stay under 1/4 cycle (cm-level) across the run.
+    This is what the RINEX-sign convention + half-cycle repair +
+    geometric simulation phase buy; before those fixes the fractional
+    parts were uniformly random."""
+    sc, rx, fixed, float_enu, base_ecef = rtk_run
+    om = 7.2921151467e-5
+    c = C.SPEED_OF_LIGHT_M_S
+
+    def rho(p, r):
+        tau = np.linalg.norm(p - r) / c
+        th = om * tau
+        rot = np.array([[np.cos(th), np.sin(th), 0],
+                        [-np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        return np.linalg.norm(rot @ p - r)
+
+    worst = 0.0
+    fracs = []
+    n_checked = 0
+    for k in (600, 1000, 1400):
+        tick, obs = rx.obs_log[k]
+        if len(obs) < 5:
+            continue
+        tow = round((obs[0].t_tx_sv
+                     + obs[0].pseudorange_m / c) * 1e3) / 1e3
+        sd = {}
+        for o in obs:
+            eph = sc.ephemerides[o.prn]
+            bo = constellation.simulate_observation(eph, base_ecef, tow)
+            dts_r = eph.clock_offset(o.t_tx_sv)
+            p_r, _ = eph.position_velocity(o.t_tx_sv - dts_r)
+            dts_b = eph.clock_offset(bo.t_tx_sv)
+            p_b, _ = eph.position_velocity(bo.t_tx_sv - dts_b)
+            sdm = ((rho(p_r, sc.rcv_ecef) - c * dts_r)
+                   - (rho(p_b, base_ecef) - c * dts_b))
+            sd[o.prn] = (o.carrier_phase_cycles * LAM
+                         - bo.pseudorange_m - sdm) / LAM
+        ref = sorted(sd)[0]
+        for p, v in sd.items():
+            if p == ref:
+                continue
+            frac = abs((v - sd[ref] + 0.5) % 1.0 - 0.5)
+            worst = max(worst, frac)
+            fracs.append(frac)
+            n_checked += 1
+    assert n_checked >= 12
+    # the simulation's quadratic carrier trajectories leave up to ~6 cm
+    # (0.3 cycle) of slowly-varying DD residual, so assert the statistic:
+    # mean |fractional| ~0.1 for integer-structured phase vs 0.25 for a
+    # uniformly random (broken-convention) phase
+    mean_frac = float(np.mean(fracs))
+    assert mean_frac < 0.15, f"mean DD fractional {mean_frac:.3f} cycles"
+    assert worst < 0.45, f"worst DD fractional part {worst:.3f} cycles"

@@ -155,7 +155,12 @@ def test_rtk_engine_from_rtcm_stream(world):
     pr_sigma = 0.05
 
     # --- base side: simulate observations, pack into RTCM ------------------
-    base_obs = _make_obs(ephs, prns, base_ecef, n_bas, clock_bias_s=-2e-4,
+    # base clock bias = an exact millisecond count: the MSM epoch tag has
+    # 1 ms resolution and real (GPS-disciplined) bases measure ON round
+    # epochs, so the tag and the observation content must be consistent —
+    # the engine recovers base transmit times as tag - pr/c (tag and pr
+    # share the base clock, so the bias itself cancels exactly)
+    base_obs = _make_obs(ephs, prns, base_ecef, n_bas, clock_bias_s=-2e-3,
                          rng=rng, pr_sigma=pr_sigma)
     tow_base = base_obs[0].t_tx_sv + base_obs[0].pseudorange_m / C.SPEED_OF_LIGHT_M_S
     msm = [rtcm.MsmObservation(prn=o.prn, signal_id=2,
