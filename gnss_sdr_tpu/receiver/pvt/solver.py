@@ -32,6 +32,13 @@ class ObsInput:
     cn0_dbhz: float = 45.0
     system: str = "G"          # constellation: G(PS) E(Galileo) R(GLONASS) C(BeiDou)
     iono_free: bool = False    # True: skip the ionosphere model (dual-freq)
+    # small-magnitude timing (simulation oracle only): t_offset_s =
+    # tau - dt_sv, so t_tx_sv == t_reception - t_offset_s EXACTLY. t_tx_sv
+    # itself sits at ~3.5e5 s where one float64 ulp is 5.8e-11 s = 1.7 cm*c;
+    # trajectory FITS must use this field to stay below the mm level
+    # (RTKLIB splits gtime_t into int + fractional seconds for the same
+    # reason). 0.0 when not populated.
+    t_offset_s: float = 0.0
 
 
 def combine_iono_free(obs: list["ObsInput"]) -> list["ObsInput"]:

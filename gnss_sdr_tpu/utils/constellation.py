@@ -90,6 +90,7 @@ def simulate_observation(eph: KeplerEphemeris, rcv_ecef: np.ndarray,
 
     dts = eph.clock_offset(t_tx + eph.clock_offset(t_tx))  # sv-time arg, ~exact
     t_tx_sv = t_tx + dts
+    t_offset = tau - dts        # t_tx_sv = t_reception - t_offset, exactly
     # receiver-clock timestamps
     pr = C.SPEED_OF_LIGHT_M_S * ((t_reception_gps + rcv_clock_bias_s) - t_tx_sv)
     # TGD applies to L1 single-frequency pseudoranges (IS-GPS-200
@@ -111,4 +112,4 @@ def simulate_observation(eph: KeplerEphemeris, rcv_ecef: np.ndarray,
     return ObsInput(prn=getattr(eph, "prn", getattr(eph, "slot", 0)),
                     pseudorange_m=float(pr), doppler_hz=float(doppler),
                     carrier_freq_hz=carrier_freq_hz, t_tx_sv=float(t_tx_sv),
-                    cn0_dbhz=cn0_dbhz)
+                    cn0_dbhz=cn0_dbhz, t_offset_s=float(t_offset))

@@ -31,6 +31,11 @@ class SatParams:
     code_delay_s: float = 0.0        # signal transmit delay at t=0 (s)
     data_bits: np.ndarray | None = None   # +/-1 per bit period; None = all +1
     carrier_phase_cycles: float = 0.0
+    # cubic carrier-trajectory term (Hz/s^2): lets scenario builders fit
+    # t_tx(t) with a cubic instead of a quadratic, cutting the cm-level
+    # phase drift vs the true orbits that otherwise floors carrier-based
+    # positioning tests (PPP-AR / RTK) at ~dm; 0 = legacy quadratic model
+    doppler_jerk_hz_s2: float = 0.0
 
 
 def _pm(seq) -> np.ndarray:
@@ -68,7 +73,8 @@ def _gen_block(spec, sats, fs, if_freq_hz, n0: int, n: int,
         chips = codes.code_chips(spec.signal, sp.prn).astype(np.float32)
         lc = len(chips)
         phase = (sp.carrier_phase_cycles + sp.doppler_hz * t
-                 + 0.5 * sp.doppler_rate_hz_s * t * t)
+                 + 0.5 * sp.doppler_rate_hz_s * t * t
+                 + sp.doppler_jerk_hz_s2 / 6.0 * t * t * t)
         # code phase integrates the same instantaneous Doppler as the carrier:
         # d(chip_phase)/dt = R * (1 + (doppler + rate*t)/fc)
         chip_phase = (t - sp.code_delay_s + phase / fc

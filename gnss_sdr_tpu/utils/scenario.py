@@ -50,6 +50,25 @@ class Scenario:
 
 
 
+
+def _fit_t_tx(eph, rcv_at, t0: float, duration_s: float):
+    """Cubic fit of the SV transmit-time trajectory, done in SMALL numbers.
+
+    Fits y(t) = t_reception - t_tx_sv = tau - dt_sv (ObsInput.t_offset_s,
+    ~0.07 s) instead of t_tx_sv itself (~3.5e5 s, where one float64 ulp is
+    5.8e-11 s = 1.7 cm of range: fitting the big value floors every
+    carrier-phase test at the cm level; RTKLIB splits time int+frac for
+    the same reason). Returns (a3, a2, a1, a0) of
+    t_tx_sv(t) ~ a0 + a1 t + a2 t^2 + a3 t^3 — a0 carries the one
+    unavoidable large-magnitude constant.
+    """
+    ts = np.linspace(0.0, duration_s, 8)
+    ys = np.array([constellation.simulate_observation(
+        eph, rcv_at(t), t0 + t).t_offset_s for t in ts])
+    y3, y2, y1, y0 = np.polyfit(ts, ys, 3)
+    return -y3, -y2, 1.0 - y1, t0 - y0
+
+
 def _geometric_phase0(fc: float, t_tx0: float) -> float:
     """Carrier phase (cycles, mod 1) at receiver t=0 implied by geometry.
 
@@ -78,10 +97,10 @@ def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
     """Build a GPS L1 C/A scenario (static, or constant-velocity ``vel_enu``).
 
     The LNAV streams cycle subframes (1,2,3) so ephemeris is decodable within
-    ~25 s of signal. SV transmit-time trajectories are quadratic fits of the
-    exact light-time solution — worst-case deviation over 30 s is millimetric
-    (constant receiver velocity only bends t_tx(t) quadratically through the
-    slowly-rotating line of sight, which the fit absorbs).
+    ~25 s of signal. SV transmit-time trajectories are CUBIC fits of the exact
+    light-time solution (the quadratic fit left cm-level elevation-
+    correlated carrier drifts that floored phase-based positioning tests
+    at ~dm; the cubic residual over 60 s is micrometric).
 
     Degradation/augmentation knobs (SBAS system tests):
     ``broadcast_ephemerides``: per-PRN ephemerides ENCODED into LNAV while
@@ -129,12 +148,10 @@ def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
     for si, prn in enumerate(chosen):
         eph = ephs[prn]
         # quadratic fit of t_tx_sv(t), t = receiver time since sample 0
-        ts = np.array([0.0, duration_s / 2.0, duration_s])
-        tx = np.array([constellation.simulate_observation(
-            eph, rcv_at(t), t0_gps + t).t_tx_sv for t in ts])
-        a2, a1, a0 = np.polyfit(ts, tx, 2)
+        a3, a2, a1, a0 = _fit_t_tx(eph, rcv_at, t0_gps, duration_s)
         doppler = fc * (a1 - 1.0)
         doppler_rate = fc * 2.0 * a2
+        doppler_jerk = fc * 6.0 * a3
         # generator model: chip_phase(t) = R*(t - d + (fd*t + 0.5*r*t^2)/fc)
         # matching R*(t_tx_sv(t) - tow_bits_start) termwise gives d = tow - a0
         code_delay = tow_bits_start - a0
@@ -147,8 +164,8 @@ def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
         sats.append(generator.SatParams(
             prn=prn, cn0_dbhz=cn0_dbhz, doppler_hz=doppler,
             carrier_phase_cycles=_geometric_phase0(fc, a0),
-            doppler_rate_hz_s=doppler_rate, code_delay_s=code_delay,
-            data_bits=bits))
+            doppler_rate_hz_s=doppler_rate, doppler_jerk_hz_s2=doppler_jerk,
+            code_delay_s=code_delay, data_bits=bits))
 
     sc = Scenario(rcv_ecef=rcv, rcv_llh=rcv_llh, t0_gps=t0_gps,
                   tow_bits_start=tow_bits_start, duration_s=duration_s,
@@ -231,16 +248,15 @@ def build_gps_l5_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
     sats = []
     for prn in chosen:
         eph = ephs[prn]
-        ts = np.array([0.0, duration_s / 2.0, duration_s])
-        tx = np.array([constellation.simulate_observation(
-            eph, rcv, t0_gps + t).t_tx_sv for t in ts])
-        a2, a1, a0 = np.polyfit(ts, tx, 2)
+        a3, a2, a1, a0 = _fit_t_tx(eph, lambda _t: rcv, t0_gps,
+                                   duration_s)
         sym = gps_cnav.encode_symbol_stream(eph, tow_sym_start, n_messages,
                                             period_s=6.0)
         sats.append(generator.SatParams(
             prn=prn, cn0_dbhz=cn0_dbhz,
             carrier_phase_cycles=_geometric_phase0(fc, a0),
             doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
+            doppler_jerk_hz_s2=fc * 6.0 * a3,
             code_delay_s=tow_sym_start - a0,
             data_bits=generator.lnav_bits_to_symbols(sym)))
 
@@ -286,16 +302,15 @@ def build_gps_l2c_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0
     sats = []
     for prn in chosen:
         eph = ephs[prn]
-        ts = np.array([0.0, duration_s / 2.0, duration_s])
-        tx = np.array([constellation.simulate_observation(
-            eph, rcv, t0_gps + t).t_tx_sv for t in ts])
-        a2, a1, a0 = np.polyfit(ts, tx, 2)
+        a3, a2, a1, a0 = _fit_t_tx(eph, lambda _t: rcv, t0_gps,
+                                   duration_s)
         sym = gps_cnav.encode_symbol_stream(eph, tow_sym_start, n_messages,
                                             period_s=12.0)
         sats.append(generator.SatParams(
             prn=prn, cn0_dbhz=cn0_dbhz,
             carrier_phase_cycles=_geometric_phase0(fc, a0),
             doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
+            doppler_jerk_hz_s2=fc * 6.0 * a3,
             code_delay_s=tow_sym_start - a0,
             data_bits=generator.lnav_bits_to_symbols(sym)))
 
@@ -367,10 +382,8 @@ def build_glonass_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 8
     sats_by_if: list[tuple[float, generator.SatParams]] = []
     for prn in chosen:
         eph = ephs[("R", prn)]
-        ts = np.array([0.0, duration_s / 2.0, duration_s])
-        tx = np.array([constellation.simulate_observation(
-            eph, rcv, t0_day + t).t_tx_sv for t in ts])
-        a2, a1, a0 = np.polyfit(ts, tx, 2)
+        a3, a2, a1, a0 = _fit_t_tx(eph, lambda _t: rcv, t0_day,
+                                   duration_s)
         k = freq_slots[prn - 1]
         # the generator couples code rate to doppler/f_center, and the
         # receiver's velocity model also uses the band-center carrier, so
@@ -384,6 +397,7 @@ def build_glonass_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 8
             prn=prn, cn0_dbhz=cn0_dbhz,
             carrier_phase_cycles=_geometric_phase0(fc, a0),
             doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
+            doppler_jerk_hz_s2=fc * 6.0 * a3,
             code_delay_s=stream_t0 - a0,
             data_bits=generator.lnav_bits_to_symbols(symbols))))
 
@@ -454,10 +468,8 @@ def build_beidou_b1i_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 8
     sats = []
     for prn in chosen:
         eph = ephs[prn]
-        ts = np.array([0.0, duration_s / 2.0, duration_s])
-        tx = np.array([constellation.simulate_observation(
-            eph, rcv, t0_gps + t).t_tx_sv for t in ts])
-        a2, a1, a0 = np.polyfit(ts, tx, 2)
+        a3, a2, a1, a0 = _fit_t_tx(eph, lambda _t: rcv, t0_gps,
+                                   duration_s)
         if almanac_pages:
             from gnss_sdr_tpu.models.almanac import BeidouAlmanac
             alms = [BeidouAlmanac.from_ephemeris(ephs[p]) for p in chosen]
@@ -495,6 +507,7 @@ def build_beidou_b1i_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 8
             prn=prn, cn0_dbhz=cn0_dbhz,
             carrier_phase_cycles=_geometric_phase0(fc, a0),
             doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
+            doppler_jerk_hz_s2=fc * 6.0 * a3,
             code_delay_s=tow_bits_start - a0,
             data_bits=generator.lnav_bits_to_symbols(bits)))
 
@@ -544,16 +557,15 @@ def build_galileo_e5a_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 
     sats = []
     for prn in chosen:
         eph = ephs[prn]
-        ts = np.array([0.0, duration_s / 2.0, duration_s])
-        tx = np.array([constellation.simulate_observation(
-            eph, rcv, t0_gps + t).t_tx_sv for t in ts])
-        a2, a1, a0 = np.polyfit(ts, tx, 2)
+        a3, a2, a1, a0 = _fit_t_tx(eph, lambda _t: rcv, t0_gps,
+                                   duration_s)
         symbols = galileo_fnav.encode_stream(eph, tow_page_start, n_pages,
                                              wn=eph.week, page_offset=3)
         sats.append(generator.SatParams(
             prn=prn, cn0_dbhz=cn0_dbhz,
             carrier_phase_cycles=_geometric_phase0(fc, a0),
             doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
+            doppler_jerk_hz_s2=fc * 6.0 * a3,
             code_delay_s=tow_page_start - a0,
             data_bits=generator.lnav_bits_to_symbols(symbols)))
 
@@ -595,15 +607,14 @@ def build_galileo_e1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 8
     sats = []
     for prn in chosen:
         eph = ephs[prn]
-        ts = np.array([0.0, duration_s / 2.0, duration_s])
-        tx = np.array([constellation.simulate_observation(
-            eph, rcv, t0_gps + t).t_tx_sv for t in ts])
-        a2, a1, a0 = np.polyfit(ts, tx, 2)
+        a3, a2, a1, a0 = _fit_t_tx(eph, lambda _t: rcv, t0_gps,
+                                   duration_s)
         symbols = galileo_inav.encode_stream(eph, tow_sym_start, n_pages)
         sats.append(generator.SatParams(
             prn=prn, cn0_dbhz=cn0_dbhz,
             carrier_phase_cycles=_geometric_phase0(fc, a0),
             doppler_hz=fc * (a1 - 1.0), doppler_rate_hz_s=fc * 2.0 * a2,
+            doppler_jerk_hz_s2=fc * 6.0 * a3,
             code_delay_s=tow_sym_start - a0,
             data_bits=generator.lnav_bits_to_symbols(symbols)))
 
