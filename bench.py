@@ -25,11 +25,13 @@ PEAK_HBM_GB_S = 820.0          # v5e HBM bandwidth
 PEAK_F32_TFLOP_S = 98.0        # v5e MXU fp32 (bf16 peak is ~2x)
 
 
-def _median_timing(step, n_iter: int, repeats: int = 5):
+def _median_timing(step, n_iter: int, repeats: int = 7):
     """Median-of-N timing: run ``step`` n_iter times per repeat, return
-    (median seconds/iter, spread fraction (max-min)/median). The tunnel to
+    (median seconds/iter, spread fraction (p75-p25)/median). The tunnel to
     the remote chip adds run-to-run variance that a single measurement
-    hides (BENCH_r01 942 vs r02 872 Msps was tunnel noise, not code)."""
+    hides (BENCH_r01 942 vs r02 872 Msps was tunnel noise, not code); a
+    single tunnel hiccup can be 3x+, so the spread uses the interquartile
+    range, not max-min, to characterize the typical run."""
     import jax
     times = []
     for _ in range(repeats):
@@ -40,7 +42,8 @@ def _median_timing(step, n_iter: int, repeats: int = 5):
         jax.block_until_ready(r)
         times.append((time.perf_counter() - t0) / n_iter)
     med = float(np.median(times))
-    spread = float((max(times) - min(times)) / med) if med > 0 else 0.0
+    q25, q75 = np.percentile(times, [25.0, 75.0])
+    spread = float((q75 - q25) / med) if med > 0 else 0.0
     return med, spread
 
 
@@ -87,11 +90,14 @@ def _bench_tracking(fs: float, signal: str, n_channels: int, chunk_ms: int,
 
     state, p = step(state)
     jax.block_until_ready(p)
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        state, p = step(state)
-    jax.block_until_ready(p)
-    return (time.perf_counter() - t0) / n_iter
+    box = {"st": state}
+
+    def _tstep():
+        box["st"], pp = step(box["st"])
+        return pp
+
+    med, _ = _median_timing(_tstep, n_iter=n_iter, repeats=5)
+    return med
 
 
 def detail() -> None:
@@ -117,6 +123,12 @@ def detail() -> None:
     n_ep = chunk_ms  # 1 ms epochs
     bytes_touched = 128 * n_ep * int(fs * 1e-3) * (8 + 3 * 4)
     results["effective_bw_gbs_128ch"] = round(bytes_touched / t128 / 1e9, 1)
+    results["effective_bw_note"] = (
+        "bytes touched by the correlator per chunk / measured chunk time; "
+        "exceeds v5e physical HBM (~820 GB/s) because the 200 ms chunk is "
+        "VMEM-resident and re-read per channel on-chip — this is an on-chip "
+        "reuse figure, not an HBM roofline fraction (see bench.py main() "
+        "roofline block for the auditable HBM/MFU model)")
 
     # multi-constellation: GPS L1 + Galileo E1 groups back to back (the
     # hybrid receiver runs group scans sequentially on one chip)
@@ -205,7 +217,7 @@ def main() -> None:
     # tracking scan is gated so a backend that cannot lower it still yields a
     # benchmark (acquisition-only) instead of nothing.
     jax.block_until_ready(acq_step())
-    t_acq, acq_spread = _median_timing(acq_step, n_iter=10)
+    t_acq, acq_spread = _median_timing(acq_step, n_iter=40, repeats=9)
 
     track_ok = True
     t_track, trk_spread = 0.0, 0.0
@@ -218,7 +230,7 @@ def main() -> None:
             box["st"], pp = track_step(box["st"])
             return pp
 
-        t_track, trk_spread = _median_timing(_tstep, n_iter=25)
+        t_track, trk_spread = _median_timing(_tstep, n_iter=200, repeats=9)
     except Exception:
         track_ok = False
 
@@ -246,7 +258,7 @@ def main() -> None:
             "unit": "Msamples/s/chip",
             "vs_baseline": round(realtime_factor, 2),
             "median_of": 5,
-            "spread_pct": round(100.0 * max(acq_spread, trk_spread), 1),
+            "iqr_spread_pct": round(100.0 * max(acq_spread, trk_spread), 1),
             "roofline": {
                 "assumed_peak_hbm_gb_s": PEAK_HBM_GB_S,
                 "assumed_peak_f32_tflop_s": PEAK_F32_TFLOP_S,
