@@ -24,6 +24,10 @@ import numpy as np
 PEAK_HBM_GB_S = 820.0          # v5e HBM bandwidth
 PEAK_F32_TFLOP_S = 98.0        # v5e MXU fp32 (bf16 peak is ~2x)
 
+# median-of-N repeats used by the headline measurements in main(); reported
+# verbatim in the JSON so the stated methodology always matches the code.
+HEADLINE_REPEATS = 9
+
 
 def _median_timing(step, n_iter: int, repeats: int = 7):
     """Median-of-N timing: run ``step`` n_iter times per repeat, return
@@ -114,7 +118,7 @@ def detail() -> None:
         rt = (chunk_ms / 1000.0) / t
         scaling[c] = {"s_per_chunk": round(t, 6),
                       "realtime_x": round(rt, 1),
-                      "channel_samples_per_s": round(c * fs * rt / 1e6, 1)}
+                      "channel_msamples_per_s": round(c * fs * rt / 1e6, 1)}
     results["gps_l1_channel_scaling"] = scaling
     # effective HBM bandwidth proxy: window bytes + 3-tap code gathers per
     # channel per epoch over the measured time (chunk resident in VMEM, so
@@ -217,7 +221,8 @@ def main() -> None:
     # tracking scan is gated so a backend that cannot lower it still yields a
     # benchmark (acquisition-only) instead of nothing.
     jax.block_until_ready(acq_step())
-    t_acq, acq_spread = _median_timing(acq_step, n_iter=40, repeats=9)
+    t_acq, acq_spread = _median_timing(acq_step, n_iter=40,
+                                       repeats=HEADLINE_REPEATS)
 
     track_ok = True
     t_track, trk_spread = 0.0, 0.0
@@ -230,7 +235,8 @@ def main() -> None:
             box["st"], pp = track_step(box["st"])
             return pp
 
-        t_track, trk_spread = _median_timing(_tstep, n_iter=200, repeats=9)
+        t_track, trk_spread = _median_timing(_tstep, n_iter=200,
+                                             repeats=HEADLINE_REPEATS)
     except Exception:
         track_ok = False
 
@@ -257,7 +263,7 @@ def main() -> None:
             "value": round(msps, 2),
             "unit": "Msamples/s/chip",
             "vs_baseline": round(realtime_factor, 2),
-            "median_of": 5,
+            "median_of": HEADLINE_REPEATS,
             "iqr_spread_pct": round(100.0 * max(acq_spread, trk_spread), 1),
             "roofline": {
                 "assumed_peak_hbm_gb_s": PEAK_HBM_GB_S,
