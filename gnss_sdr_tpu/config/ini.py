@@ -138,6 +138,17 @@ def receiver_config_from_ini(conf: Configuration):
                     # typed default drives the conversion in property()
                     items[field] = conv(conf.property(
                         key, 0.0 if conv is float else 0))
+        impl_a = str(conf.property(f"{a}.implementation", ""))
+        if impl_a == "Galileo_E1_PCPS_8ms_Ambiguous_Acquisition":
+            items["acq_variant"] = "e1_8ms"
+        elif impl_a == "Galileo_E5a_Noncoherent_IQ_Acquisition_CAF":
+            items["acq_variant"] = "e5a_caf"
+            if conf.is_present(f"{a}.CAF_window_hz"):
+                items["acq_caf_window_hz"] = float(
+                    conf.property(f"{a}.CAF_window_hz", 0.0))
+            if conf.is_present(f"{a}.both_signal_components"):
+                items["acq_both_components"] = bool(
+                    conf.property(f"{a}.both_signal_components", False))
         impl_t = str(conf.property(f"{t}.implementation", ""))
         if "KF" in impl_t:
             items["carrier_kf"] = True

@@ -25,9 +25,12 @@ ACQUISITIONS: dict[str, tuple[str, dict]] = {
     "GPS_L5i_PCPS_Acquisition": ("L5", {}),
     "Galileo_E1_PCPS_Ambiguous_Acquisition": ("1B", {}),
     "Galileo_E1_PCPS_QuickSync_Ambiguous_Acquisition": ("1B", {}),
+    "Galileo_E1_PCPS_Tong_Ambiguous_Acquisition": ("1B", {}),
     "Galileo_E1_PCPS_CCCWSR_Ambiguous_Acquisition": ("1B", {}),
-    "Galileo_E1_PCPS_8ms_Ambiguous_Acquisition": ("1B", {}),
-    "Galileo_E5a_Noncoherent_IQ_Acquisition_CAF": ("5X", {}),
+    "Galileo_E1_PCPS_8ms_Ambiguous_Acquisition": (
+        "1B", {"acq_variant": "e1_8ms"}),
+    "Galileo_E5a_Noncoherent_IQ_Acquisition_CAF": (
+        "5X", {"acq_variant": "e5a_caf"}),
     "Galileo_E5a_Pcps_Acquisition": ("5X", {}),
     "GLONASS_L1_CA_PCPS_Acquisition": ("1G", {}),
     "GLONASS_L2_CA_PCPS_Acquisition": ("2G", {}),
@@ -44,6 +47,7 @@ TRACKINGS: dict[str, tuple[str, dict]] = {
     "GPS_L1_CA_DLL_PLL_C_Aid_Tracking": ("1C", {}),
     "GPS_L2_M_DLL_PLL_Tracking": ("2S", {}),
     "GPS_L5_DLL_PLL_Tracking": ("L5", {}),
+    "GPS_L5i_DLL_PLL_Tracking": ("L5", {}),   # factory's pre-0.0.10 spelling
     "Galileo_E1_DLL_PLL_VEML_Tracking": ("1B", {}),
     "Galileo_E5a_DLL_PLL_Tracking": ("5X", {}),
     "GLONASS_L1_CA_DLL_PLL_Tracking": ("1G", {}),
@@ -56,6 +60,8 @@ TRACKINGS: dict[str, tuple[str, dict]] = {
 
 TELEMETRIES: dict[str, str] = {
     "GPS_L1_CA_Telemetry_Decoder": "1C",
+    # SBAS rides an L1 C/A channel (PRN 120-138, 500 sps MOPS stream)
+    "SBAS_L1_Telemetry_Decoder": "1C",
     "GPS_L2C_Telemetry_Decoder": "2S",
     "GPS_L5_Telemetry_Decoder": "L5",
     "Galileo_E1B_Telemetry_Decoder": "1B",
@@ -67,8 +73,10 @@ TELEMETRIES: dict[str, str] = {
 }
 
 OBSERVABLES = {"Hybrid_Observables", "GPS_L1_CA_Observables",
-               "Galileo_E1B_Observables", "Pass_Through"}
-PVTS = {"RTKLIB_PVT", "GPS_L1_CA_PVT", "Pass_Through"}
+               "Galileo_E1B_Observables", "GPS_L2C_Observables",
+               "Galileo_E5A_Observables", "Pass_Through"}
+PVTS = {"RTKLIB_PVT", "GPS_L1_CA_PVT", "Hybrid_PVT", "Galileo_E1_PVT",
+        "Pass_Through"}
 
 SOURCES = {"File_Signal_Source", "Custom_UDP_Signal_Source",
            "RtlTcp_Signal_Source", "Labsat_Signal_Source",
@@ -89,7 +97,8 @@ DATA_TYPE_ADAPTERS = {"Byte_To_Short", "Ibyte_To_Cbyte", "Ibyte_To_Complex",
 INPUT_FILTERS = {"Pass_Through", "Fir_Filter", "Freq_Xlating_Fir_Filter",
                  "Notch_Filter", "Notch_Filter_Lite", "Pulse_Blanking_Filter",
                  "Beamformer_Filter"}
-RESAMPLERS = {"Direct_Resampler", "Mmse_Resampler", "Pass_Through"}
+RESAMPLERS = {"Direct_Resampler", "Mmse_Resampler", "Fractional_Resampler",
+              "Pass_Through"}
 CONDITIONERS = {"Signal_Conditioner", "Array_Signal_Conditioner",
                 "Pass_Through"}
 

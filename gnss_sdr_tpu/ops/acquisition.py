@@ -327,6 +327,171 @@ def resolve_folded_phase(x: np.ndarray, code_replica: np.ndarray,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("fs", "samples_per_code", "samples_per_chip"))
+def pcps_8ms_search(x: jax.Array, code_fft_conj_a: jax.Array,
+                    code_fft_conj_b: jax.Array, dopplers: jax.Array, *,
+                    fs: float, samples_per_code: int, samples_per_chip: int
+                    ) -> AcqGridResult:
+    """Two-code-period coherent PCPS (galileo_pcps_8ms_acquisition_cc).
+
+    The reference extends Galileo E1 coherent integration to 8 ms (two 4 ms
+    primary-code periods) by correlating against TWO local replicas: code A
+    = two identical periods, code B = two periods with the second inverted
+    (galileo_pcps_8ms_acquisition_cc.cc:133-140) — whichever hypothesis
+    matches the I/NAV symbol sign across the boundary wins, so a data-bit
+    flip inside the window costs nothing. Grid cell = max(|corr_A|^2,
+    |corr_B|^2), one batched FFT pass for all signals and both hypotheses.
+
+    Args:
+      x: [2 * samples_per_code, 2] float32 split-IQ dwell (8 ms; complex64
+        also accepted).
+      code_fft_conj_a/b: [S, N, 2] split conj(FFT(replica)) with
+        N = 2 * samples_per_code.
+      dopplers: [D] float32 Doppler bins.
+    """
+    xc = iq.as_complex(x)
+    ca = iq.as_complex(code_fft_conj_a)
+    cb = iq.as_complex(code_fft_conj_b)
+    n_fft = ca.shape[-1]
+    n = jnp.arange(n_fft, dtype=jnp.float32) * jnp.float32(1.0 / fs)
+    carriers = jnp.exp(jnp.complex64(-2j * np.pi)
+                       * (dopplers[:, None] * n[None, :]))
+    Xf = mxu_fft.fft(xc[None, :n_fft] * carriers)        # [D, N]
+
+    def scan_body(_, cfcs):
+        cfa, cfb = cfcs
+        mag_a = jnp.abs(mxu_fft.ifft(Xf * cfa[None, :])) ** 2
+        mag_b = jnp.abs(mxu_fft.ifft(Xf * cfb[None, :])) ** 2
+        mag = jnp.maximum(mag_a, mag_b) * jnp.float32(n_fft * n_fft)
+        mag_cp = mag[:, :samples_per_code]
+        flat = jnp.argmax(mag_cp)
+        d_idx, t_idx = jnp.unravel_index(flat, mag_cp.shape)
+        peak = mag_cp[d_idx, t_idx]
+        row = mag_cp[d_idx]
+        pos = jnp.arange(samples_per_code, dtype=jnp.int32)
+        dist = jnp.abs(pos - t_idx)
+        dist = jnp.minimum(dist, samples_per_code - dist)
+        second = jnp.max(jnp.where(dist >= samples_per_chip, row, 0.0))
+        return None, (peak, d_idx, t_idx, second)
+
+    _, (peaks, d_idxs, t_idxs, seconds) = jax.lax.scan(
+        scan_body, None, (ca, cb))
+    input_power = jnp.mean(jnp.abs(xc[:n_fft]) ** 2)
+    nrm = jnp.float32(n_fft) ** 4
+    return AcqGridResult(
+        test_max_power=(peaks / nrm / input_power).astype(jnp.float32),
+        test_cfar=(peaks / jnp.maximum(seconds, 1e-30)).astype(jnp.float32),
+        code_phase=t_idxs.astype(jnp.int32),
+        doppler_hz=dopplers[d_idxs].astype(jnp.float32),
+        magnitude=peaks.astype(jnp.float32),
+    )
+
+
+def caf_triangular_smooth(v: jax.Array, caf_bins_half: int) -> jax.Array:
+    """Triangular-weighted Doppler smoothing of per-bin peak magnitudes.
+
+    The reference's CAF filter (galileo_e5a_noncoherent_iq_acquisition_caf_
+    cc.cc:611-697): each Doppler bin is replaced by the average of its
+    +-caf_bins_half neighbours under weights w(k) = 1 - |k| / (2 * H),
+    normalized by the weight mass actually inside the vector (the edge
+    normalization the reference computes in closed form). Secondary-code
+    sign flips split the E5a correlation peak into Doppler sidelobes; the
+    smoothing re-centres the maximum on the true Doppler.
+
+    Args:
+      v: [..., D] per-Doppler peak magnitudes.
+      caf_bins_half: H (CAF_window_hz / (2 * doppler_step) in the reference).
+    """
+    if caf_bins_half <= 0:
+        return v
+    h = int(caf_bins_half)
+    wf = 0.5 / float(h)
+    w = (1.0 - wf * np.abs(np.arange(-h, h + 1))).astype(np.float32)  # [2H+1]
+    d = v.shape[-1]
+    # gather the window around each bin; out-of-range neighbours get weight 0
+    idx = jnp.arange(d)[:, None] + jnp.arange(-h, h + 1)[None, :]   # [D, 2H+1]
+    inside = (idx >= 0) & (idx < d)
+    idxc = jnp.clip(idx, 0, d - 1)
+    vals = v[..., idxc]                                   # [..., D, 2H+1]
+    wm = jnp.asarray(w)[None, :] * inside.astype(jnp.float32)
+    return jnp.sum(vals * wm, axis=-1) / jnp.sum(wm, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "samples_per_code", "samples_per_chip",
+                     "noncoherent", "caf_bins_half", "both_components"))
+def noncoherent_iq_caf_search(x: jax.Array, code_fft_conj_data: jax.Array,
+                              code_fft_conj_pilot: jax.Array,
+                              dopplers: jax.Array, *, fs: float,
+                              samples_per_code: int, samples_per_chip: int,
+                              noncoherent: int = 1, caf_bins_half: int = 0,
+                              both_components: bool = True) -> AcqGridResult:
+    """Galileo E5a noncoherent I/Q acquisition with optional CAF filtering
+    (galileo_e5a_noncoherent_iq_acquisition_caf_cc).
+
+    The E5a-I (data) and E5a-Q (pilot) components are correlated separately
+    and combined NONcoherently per grid cell (``both_signal_components``);
+    with ``caf_bins_half > 0`` the per-Doppler peak magnitudes of each
+    component are triangularly smoothed over Doppler and the reported
+    Doppler is re-selected from the smoothed sum — resolving the Doppler
+    ambiguity the secondary-code sign transitions create. Code phase and
+    the test statistics come from the raw combined grid.
+
+    Shapes as :func:`pcps_search`, one code-FFT stack per component.
+    """
+    xc = iq.as_complex(x)
+    cd = iq.as_complex(code_fft_conj_data)
+    cp = iq.as_complex(code_fft_conj_pilot)
+    n_fft = cd.shape[-1]
+    xb = xc[: noncoherent * n_fft].reshape(noncoherent, n_fft)
+    n = jnp.arange(n_fft, dtype=jnp.float32) * jnp.float32(1.0 / fs)
+    carriers = jnp.exp(jnp.complex64(-2j * np.pi)
+                       * (dopplers[:, None] * n[None, :]))
+    Xf = mxu_fft.fft(xb[:, None, :] * carriers[None, :, :])   # [B, D, N]
+
+    def scan_body(_, cfcs):
+        cfd, cfp = cfcs
+        mag_i = jnp.sum(jnp.abs(
+            mxu_fft.ifft(Xf * cfd[None, None, :])) ** 2, axis=0)
+        mag = mag_i
+        if both_components:
+            mag_q = jnp.sum(jnp.abs(
+                mxu_fft.ifft(Xf * cfp[None, None, :])) ** 2, axis=0)
+            mag = mag_i + mag_q
+        mag = mag * jnp.float32(n_fft * n_fft)
+        mag_cp = mag[:, :samples_per_code]
+        flat = jnp.argmax(mag_cp)
+        d_idx, t_idx = jnp.unravel_index(flat, mag_cp.shape)
+        peak = mag_cp[d_idx, t_idx]
+        row = mag_cp[d_idx]
+        pos = jnp.arange(samples_per_code, dtype=jnp.int32)
+        dist = jnp.abs(pos - t_idx)
+        dist = jnp.minimum(dist, samples_per_code - dist)
+        second = jnp.max(jnp.where(dist >= samples_per_chip, row, 0.0))
+        # CAF doppler re-selection from the smoothed per-bin peak vector
+        caf = jnp.max(mag_cp, axis=1)                       # [D]
+        d_caf = jnp.argmax(caf_triangular_smooth(caf, caf_bins_half))
+        d_sel = d_caf if caf_bins_half > 0 else d_idx
+        return None, (peak, d_sel, t_idx, second)
+
+    _, (peaks, d_idxs, t_idxs, seconds) = jax.lax.scan(
+        scan_body, None, (cd, cp))
+    input_power = jnp.mean(jnp.abs(xb) ** 2) * jnp.float32(noncoherent)
+    if both_components:
+        input_power = input_power * jnp.float32(2.0)
+    nrm = jnp.float32(n_fft) ** 4
+    return AcqGridResult(
+        test_max_power=(peaks / nrm / input_power).astype(jnp.float32),
+        test_cfar=(peaks / jnp.maximum(seconds, 1e-30)).astype(jnp.float32),
+        code_phase=t_idxs.astype(jnp.int32),
+        doppler_hz=dopplers[d_idxs].astype(jnp.float32),
+        magnitude=peaks.astype(jnp.float32),
+    )
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("fs", "samples_per_code", "samples_per_chip", "noncoherent"))
 def cccwsr_search(x: jax.Array, code_fft_conj_data: jax.Array,
                   code_fft_conj_pilot: jax.Array, dopplers: jax.Array, *,

@@ -70,6 +70,17 @@ class ReceiverConfig:
     # window around the predicted value instead of the full grid
     acq_assisted: bool = True
     acq_assisted_doppler_max_hz: float = 600.0
+    # acquisition variant (registry implementation= selected): "pcps" is the
+    # default engine; "e1_8ms" = Galileo_E1_PCPS_8ms_Ambiguous_Acquisition
+    # (two-period coherent correlation against a +/- sign-hypothesis replica
+    # pair); "e5a_caf" = Galileo_E5a_Noncoherent_IQ_Acquisition_CAF
+    # (separate data/pilot correlation, noncoherent combining, triangular
+    # CAF Doppler smoothing)
+    acq_variant: str = "pcps"
+    # CAF filter width (reference Acquisition_5X.CAF_window_hz; 0 = off)
+    acq_caf_window_hz: float = 0.0
+    # combine E5a-I and E5a-Q noncoherently (both_signal_components)
+    acq_both_components: bool = True
     # tracking
     pll_bw_hz: float = 40.0
     dll_bw_hz: float = 4.0
@@ -192,18 +203,22 @@ class SignalGroup:
         # Costas/FLL at exactly half a cycle per epoch, amplitude 2/pi);
         # the doubled-FFT transition-tolerant mode is therefore the default
         # for these signals (reference bit_transition_flag)
-        # ... and so do data symbols on BPSK signals whose bit period equals
-        # the code period (L2 CM: one 50 sps CNAV symbol per 20 ms code).
-        # E1 (also 1 symbol/period) keeps the plain mode: its BOC(1,1)
-        # acquisition has run measurably tighter un-doubled with the
-        # standard non-coherent dwells, and conf acq_bit_transition=true
-        # remains available.
+        # ... and so do data symbols on signals whose bit period equals the
+        # code period (L2 CM: one 50 sps CNAV symbol per 20 ms code; E1-B:
+        # one 250 sps I/NAV symbol per 4 ms code). E1 is NOT exempt: with
+        # the plain mode a dwell straddling symbol flips splits the peak to
+        # +-125 Hz, and both the fine-Doppler refinement and the FLL
+        # pull-in use bit-insensitive (pi-ambiguous) discriminators, so the
+        # channel settles exactly half a cycle per epoch off (prompt
+        # amplitude 2/pi, CN0 -3.9 dB — still above the lock threshold) and
+        # I/NAV page sync never succeeds. Observed: 5-sat E1 scenario where
+        # one SV false-locked 125 Hz off and never decoded a page.
         self.acq_double = bool(cfg.acq_bit_transition
                                or self.spec.secondary_code
-                               or (self.spec.subcarrier_rate_hz == 0
-                                   and self.spec.bit_period_ms * 1e-3
-                                   <= self.spec.code_period_s + 1e-9))
+                               or self.spec.bit_period_ms * 1e-3
+                               <= self.spec.code_period_s + 1e-9)
         self.acq_reps: dict[int, np.ndarray] = {}
+        self.acq_reps2: dict[int, tuple] = {}   # variant replica pairs
         self.acq_pool = list(prns)
         self.acq_backoff: dict[int, int] = {}
         self.pinned: dict[int, int] = {}   # local channel -> PRN
@@ -360,6 +375,31 @@ class Receiver:
             g.acq_reps[prn] = iq.split(np.conj(np.fft.fft(rep)))
         return g.acq_reps[prn]
 
+    def _code_fft_pair(self, g: SignalGroup, prn: int) -> tuple:
+        """Replica-pair spectra for the variant engines.
+
+        ``e1_8ms``: two-period replicas A = [code, code] and
+        B = [code, -code] (galileo_pcps_8ms_acquisition_cc.cc:133-140) so a
+        sign flip at the period boundary matches one of the two hypotheses.
+        ``e5a_caf``: separate data (E5a-I) and pilot (E5a-Q) single-period
+        replicas (galileo_e5a_noncoherent_iq_acquisition_caf_cc)."""
+        if prn not in g.acq_reps2:
+            boc = g.spec.subcarrier_rate_hz
+            rep = codes.sample_code(
+                codes.code_chips(g.signal, prn), self.cfg.fs,
+                g.spec.code_rate_cps, g.spc, boc_rate=boc)
+            if g.rx_cfg.acq_variant == "e1_8ms":
+                a = np.concatenate([rep, rep])
+                b = np.concatenate([rep, -rep])
+            else:                                # e5a_caf: data + pilot
+                a = rep
+                b = codes.sample_code(
+                    codes.pilot_code_chips(g.signal, prn), self.cfg.fs,
+                    g.spec.code_rate_cps, g.spc, boc_rate=boc)
+            g.acq_reps2[prn] = (iq.split(np.conj(np.fft.fft(a))),
+                                iq.split(np.conj(np.fft.fft(b))))
+        return g.acq_reps2[prn]
+
     def _refine_doppler(self, g: SignalGroup, chunk: np.ndarray, prn: int,
                         delay: int, doppler: float) -> float:
         """Step-two fine Doppler (reference d_step_two analog): correlate K
@@ -499,8 +539,14 @@ class Receiver:
         candidates = candidates[: self.cfg.max_in_acquisition]
         if not candidates:
             return
+        variant = g.rx_cfg.acq_variant
         nc = g.rx_cfg.acq_noncoherent
-        slab = 2 * g.spc if g.acq_double else g.spc
+        if variant == "e1_8ms":
+            nc, slab = 1, 2 * g.spc          # one coherent 8 ms dwell
+        elif variant == "e5a_caf":
+            slab = g.spc                     # single-period dwells; CAF
+        else:                                # smoothing handles the overlay
+            slab = 2 * g.spc if g.acq_double else g.spc
         if len(chunk) < nc * slab:
             return
         # device-side slice of the shared uploaded chunk (no re-upload)
@@ -512,12 +558,38 @@ class Receiver:
         n_cand = len(candidates)
         bucket = 4 if n_cand <= 4 else ((n_cand + 7) // 8) * 8
         padded = candidates + [candidates[-1]] * (bucket - n_cand)
-        cf = np.stack([self._code_fft(g, p) for p in padded])
         dopplers = acq_ops.make_doppler_grid(
             g.rx_cfg.acq_doppler_max_hz, g.rx_cfg.acq_doppler_step_hz)
         spchip = max(1, int(self.cfg.fs / g.spec.code_rate_cps))
-        predicted = self._predicted_dopplers(g, candidates)
-        if predicted is not None and g.spec.fdma_step_hz == 0.0:
+        if variant in ("e1_8ms", "e5a_caf"):
+            pairs = [self._code_fft_pair(g, p) for p in padded]
+            cfa = np.stack([a for a, _ in pairs])
+            cfb = np.stack([b for _, b in pairs])
+            if variant == "e1_8ms":
+                res = jax.device_get(acq_ops.pcps_8ms_search(
+                    head_dev, cfa, cfb, dopplers,
+                    fs=self.cfg.fs, samples_per_code=g.spc,
+                    samples_per_chip=spchip))
+            else:
+                caf_half = int(round(g.rx_cfg.acq_caf_window_hz
+                                     / (2.0 * g.rx_cfg.acq_doppler_step_hz)))
+                res = jax.device_get(acq_ops.noncoherent_iq_caf_search(
+                    head_dev, cfa, cfb, dopplers,
+                    fs=self.cfg.fs, samples_per_code=g.spc,
+                    samples_per_chip=spchip, noncoherent=nc,
+                    caf_bins_half=caf_half,
+                    both_components=g.rx_cfg.acq_both_components))
+            cfar = np.asarray(res.test_cfar)
+            code_phases = [int(v) for v in res.code_phase]
+            doppler_hz = [float(v) for v in res.doppler_hz]
+            cf = None
+            predicted = None
+        else:
+            cf = np.stack([self._code_fft(g, p) for p in padded])
+            predicted = self._predicted_dopplers(g, candidates)
+        if cf is None:
+            pass
+        elif predicted is not None and g.spec.fdma_step_hz == 0.0:
             # assisted warm start: per-candidate narrow grids around the
             # predicted Doppler, batched into ONE device call (reference
             # pcps_assisted_acquisition runs one worker per satellite)

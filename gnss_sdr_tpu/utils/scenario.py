@@ -578,11 +578,21 @@ def build_galileo_e5a_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 
 def build_galileo_e1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),
                               t0_gps: float = 352800.13, duration_s: float = 18.0,
                               fs: float = 4.0e6, n_sats: int = 5,
-                              cn0_dbhz: float = 48.0) -> Scenario:
+                              cn0_dbhz: float = 48.0,
+                              vis_offset: int = 0,
+                              el_mask_deg: float = 15.0) -> Scenario:
     """Galileo E1-B (CBOC-as-BOC(1,1)) signal-level scenario with I/NAV.
 
     Pages cycle word types 1..5 (2 s each), so the full ephemeris + GST
     anchor arrive within 10 s of page sync.
+
+    ``vis_offset`` skips the first K entries of the elevation-sorted
+    visible list. The GPS and Galileo builders share one simulated
+    constellation, so a hybrid scenario built from both with offset 0
+    puts a Galileo satellite at every GPS satellite's position — the
+    mixed fix then has the DOP of a single 4-satellite set plus an extra
+    clock unknown. An offset gives the second system disjoint geometry,
+    as a real sky would.
     """
     from gnss_sdr_tpu.models.nav import galileo_inav
 
@@ -592,8 +602,9 @@ def build_galileo_e1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 8
         e.tgd = 0.0
         e.gm = constants.GM_EARTH_GAL
     rcv = geodesy.geodetic_to_ecef(*rcv_llh)
-    vis = constellation.visible_sats(ephs, rcv, t0_gps, el_mask_deg=15.0)
-    chosen = [prn for prn, _, _ in vis[:n_sats]]
+    vis = constellation.visible_sats(ephs, rcv, t0_gps,
+                                     el_mask_deg=el_mask_deg)
+    chosen = [prn for prn, _, _ in vis[vis_offset: vis_offset + n_sats]]
     if len(chosen) < n_sats:
         raise RuntimeError(f"only {len(chosen)} visible sats")
 

@@ -176,3 +176,151 @@ def test_cccwsr_data_pilot_combining():
     delay = int(round(delay_s * fs))
     assert abs(int(r_comb.code_phase[0]) - delay) <= 2
     assert float(r_comb.test_cfar[0]) > float(r_single.test_cfar[0])
+
+
+def test_8ms_ambiguous_sign_hypothesis_pair():
+    """Galileo_E1_PCPS_8ms_Ambiguous_Acquisition analog: an I/NAV symbol
+    flip at the 4 ms period boundary must cost nothing because one of the
+    two replica hypotheses ([c,c] vs [c,-c]) matches exactly."""
+    from gnss_sdr_tpu.models import codes as codes_mod
+    spec = constants.SIGNALS["1B"]
+    fs = 4.092e6
+    prn, fd_true, delay_s = 11, 1500.0, 0.0004
+    spc = int(round(fs * spec.code_period_s))
+    boc = spec.subcarrier_rate_hz
+    rep = codes_mod.sample_code(codes_mod.code_chips("1B", prn), fs,
+                                spec.code_rate_cps, spc, boc_rate=boc)
+    cfa = np.conj(np.fft.fft(np.concatenate([rep, rep])))
+    cfb = np.conj(np.fft.fft(np.concatenate([rep, -rep])))
+    cfa = cfa[None, :].astype(np.complex64)
+    cfb = cfb[None, :].astype(np.complex64)
+    dop = jnp.asarray(acq.make_doppler_grid(3000, 125))
+    spchip = max(1, int(fs / spec.code_rate_cps))
+    delay = int(round(delay_s * fs))
+
+    for flip in (+1, -1):   # same-sign and flipped symbol pair
+        bits = np.array([1.0, flip, 1.0, flip], np.float32)
+        x = generator.generate(
+            spec, [generator.SatParams(prn=prn, cn0_dbhz=44.0,
+                                       doppler_hz=fd_true,
+                                       code_delay_s=delay_s,
+                                       data_bits=bits)],
+            fs, 0.009, seed=10 + flip)
+        r = acq.pcps_8ms_search(jnp.asarray(x[:2 * spc]), jnp.asarray(cfa),
+                                jnp.asarray(cfb), dop, fs=fs,
+                                samples_per_code=spc, samples_per_chip=spchip)
+        assert abs(int(r.code_phase[0]) - delay) <= 2, f"flip={flip}"
+        assert abs(float(r.doppler_hz[0]) - fd_true) <= 125.0, f"flip={flip}"
+        assert float(r.test_cfar[0]) > 2.0, f"flip={flip}"
+        if flip == -1:
+            # single-hypothesis 8 ms coherent (B forced to A) must degrade
+            # on the flipped pair — the ambiguity resolution is doing work
+            r1 = acq.pcps_8ms_search(jnp.asarray(x[:2 * spc]),
+                                     jnp.asarray(cfa), jnp.asarray(cfa), dop,
+                                     fs=fs, samples_per_code=spc,
+                                     samples_per_chip=spchip)
+            assert float(r.test_cfar[0]) > 1.5 * float(r1.test_cfar[0])
+
+
+def test_caf_triangular_smooth_properties():
+    """Edge normalization: a constant vector stays constant; a split peak
+    (two sidelobes around a weaker center) re-centres on the middle bin."""
+    v = jnp.full((41,), 3.7, jnp.float32)
+    out = np.asarray(acq.caf_triangular_smooth(v, 5))
+    assert np.allclose(out, 3.7, atol=1e-5)          # incl. the edges
+    # secondary-code sideband pattern: raw argmax on a sidelobe
+    v = np.zeros(41, np.float32)
+    v[20] = 0.8          # true Doppler bin
+    v[16] = 1.0          # sidelobes at +-4 bins
+    v[24] = 0.95
+    sm = np.asarray(acq.caf_triangular_smooth(jnp.asarray(v), 6))
+    assert int(np.argmax(v)) == 16                   # raw: wrong bin
+    assert abs(int(np.argmax(sm)) - 20) <= 1         # smoothed: centred
+
+
+def test_e5a_noncoherent_iq_caf_search():
+    """E5a data+pilot noncoherent combining with CAF Doppler smoothing
+    (galileo_e5a_noncoherent_iq_acquisition_caf_cc analog)."""
+    from gnss_sdr_tpu.models import codes as codes_mod
+    spec = constants.SIGNALS["5X"]
+    fs = 12.0e6
+    prn, fd_true, delay_s = 2, -2200.0, 0.00013
+    x = generator.generate(
+        spec, [generator.SatParams(prn=prn, cn0_dbhz=46.0,
+                                   doppler_hz=fd_true,
+                                   code_delay_s=delay_s)],
+        fs, 0.006, seed=5, with_pilot=True)
+    spc = int(round(fs * spec.code_period_s))
+    rep_d = codes_mod.sample_code(codes_mod.code_chips("5X", prn), fs,
+                                  spec.code_rate_cps, spc)
+    rep_p = codes_mod.sample_code(codes_mod.pilot_code_chips("5X", prn), fs,
+                                  spec.code_rate_cps, spc)
+    cfd = np.conj(np.fft.fft(rep_d))[None, :].astype(np.complex64)
+    cfp = np.conj(np.fft.fft(rep_p))[None, :].astype(np.complex64)
+    dop = jnp.asarray(acq.make_doppler_grid(4000, 250))
+    spchip = max(1, int(fs / spec.code_rate_cps))
+    r = acq.noncoherent_iq_caf_search(
+        jnp.asarray(x[: 4 * spc]), jnp.asarray(cfd), jnp.asarray(cfp), dop,
+        fs=fs, samples_per_code=spc, samples_per_chip=spchip,
+        noncoherent=4, caf_bins_half=2, both_components=True)
+    delay = int(round(delay_s * fs))
+    assert abs(int(r.code_phase[0]) - delay) <= 2
+    assert abs(float(r.doppler_hz[0]) - fd_true) <= 500.0
+    assert float(r.test_cfar[0]) > 1.8
+    # data+pilot combining must beat data-only on the same dwell
+    r_data = acq.noncoherent_iq_caf_search(
+        jnp.asarray(x[: 4 * spc]), jnp.asarray(cfd), jnp.asarray(cfp), dop,
+        fs=fs, samples_per_code=spc, samples_per_chip=spchip,
+        noncoherent=4, caf_bins_half=2, both_components=False)
+    assert float(r.test_cfar[0]) > float(r_data.test_cfar[0])
+
+
+def test_e1_8ms_variant_in_receiver():
+    """Full Receiver path with acq_variant='e1_8ms' (the INI
+    Acquisition_1B.implementation=Galileo_E1_PCPS_8ms_Ambiguous_Acquisition
+    selection): acquires the right PRN despite random symbol flips."""
+    spec = constants.SIGNALS["1B"]
+    fs = 4.092e6
+    prn, fd_true = 21, 987.0
+    rng = np.random.default_rng(3)
+    bits = (1.0 - 2.0 * rng.integers(0, 2, 200)).astype(np.float32)
+    x = generator.generate(
+        spec, [generator.SatParams(prn=prn, cn0_dbhz=47.0,
+                                   doppler_hz=fd_true, code_delay_s=0.0006,
+                                   data_bits=bits)],
+        fs, 0.3, seed=13)
+    cfg = ReceiverConfig(signal="1B", fs=fs, n_channels=1, prns=(prn,),
+                         chunk_ms=100, acq_variant="e1_8ms",
+                         acq_doppler_max_hz=3000.0,
+                         acq_doppler_step_hz=125.0)
+    rx = Receiver(cfg)
+    rx.process(x)
+    assert rx.channels[0].state == "tracking"
+    assert rx.channels[0].prn == prn
+    assert abs(float(rx.trk_state.carrier_freq[0]) - fd_true) < 60.0
+
+
+def test_variant_selection_from_ini():
+    """registry/INI wiring: the 8ms and CAF implementation names select the
+    variant engines and their parameters per group."""
+    from gnss_sdr_tpu.config.ini import (InMemoryConfiguration,
+                                         receiver_config_from_ini)
+    conf = InMemoryConfiguration({
+        "GNSS-SDR.internal_fs_sps": "12000000",
+        "Channels_5X.count": "2",
+        "Channels_1B.count": "2",
+        "Acquisition_5X.implementation":
+            "Galileo_E5a_Noncoherent_IQ_Acquisition_CAF",
+        "Acquisition_5X.CAF_window_hz": "500",
+        "Acquisition_5X.both_signal_components": "true",
+        "Acquisition_1B.implementation":
+            "Galileo_E1_PCPS_8ms_Ambiguous_Acquisition",
+        "Tracking_5X.implementation": "Galileo_E5a_DLL_PLL_Tracking",
+        "Tracking_1B.implementation": "Galileo_E1_DLL_PLL_VEML_Tracking",
+    })
+    cfg = receiver_config_from_ini(conf)
+    gp = {sig: dict(items) for sig, items in cfg.group_params}
+    assert gp["5X"]["acq_variant"] == "e5a_caf"
+    assert gp["5X"]["acq_caf_window_hz"] == 500.0
+    assert gp["5X"]["acq_both_components"] is True
+    assert gp["1B"]["acq_variant"] == "e1_8ms"

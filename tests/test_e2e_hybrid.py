@@ -24,8 +24,14 @@ DUR = 26.0
 def hybrid_run():
     sc_g = scen.build_gps_l1_scenario(t0_gps=T0, duration_s=DUR, fs=FS,
                                       n_sats=4, cn0_dbhz=47.0)
+    # vis_offset=3 + 0 deg mask: the two builders share one simulated
+    # constellation, so without the offset every Galileo satellite would sit
+    # exactly on a GPS one and the mixed fix would have 4-direction geometry
+    # for 5 unknowns (position + two clocks) — pathological DOP. The offset
+    # gives Galileo a mostly disjoint set (7 distinct directions total).
     sc_e = scen.build_galileo_e1_scenario(t0_gps=T0, duration_s=DUR, fs=FS,
-                                          n_sats=4, cn0_dbhz=48.0)
+                                          n_sats=4, cn0_dbhz=48.0,
+                                          vis_offset=3, el_mask_deg=0.0)
     # both sims are referenced to the same receiver epoch and share the
     # carrier; sum the clean signals and add one unit-variance noise floor
     def _build():
@@ -38,7 +44,7 @@ def hybrid_run():
 
     x = fixture_cache.cached_iq(
         "e2e_hybrid", dict(t0=T0, duration_s=DUR, fs=FS, n_sats=4,
-                           seeds=(31, 32, 33)), _build)
+                           seeds=(31, 32, 33), gal_vis_offset=3), _build)
 
     cfg = ReceiverConfig(
         fs=FS, chunk_ms=100,
