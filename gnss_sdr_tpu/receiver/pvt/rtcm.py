@@ -648,18 +648,28 @@ class MsmObservation:
     phase_rate_m_s: float = 0.0
     cn0_dbhz: float = 45.0
     lock_time_s: float = 0.0
-    # False when the source message carries no phase rate (MSM4, legacy
+    # False when the source message carries no phase rate (MSM1-4, legacy
     # 1002/1004/1012): consumers must not treat phase_rate_m_s=0 as a
     # measured Doppler (rtk_filter falls back to non-Doppler slip checks)
     has_rate: bool = True
     # GLONASS FDMA channel k (from the MSM extended satellite info field);
     # decides the per-slot carrier wavelength in differential processing
     freq_slot: int = 0
+    # False when the source carries no carrier phase (MSM1)
+    has_phase: bool = True
+    # True for MSM1-3: the satellite data carries only the rough range
+    # MODULO 1 ms (no DF397 integer-millisecond field), so pseudorange_m
+    # is ambiguous by k * RANGE_MS and the consumer must resolve k from an
+    # approximate position (rtklib decode_msm's partial-range handling)
+    modulo_1ms: bool = False
 
 
 MSM4_GPS, MSM5_GPS, MSM7_GPS = 1074, 1075, 1077
 MSM4_GLO, MSM5_GLO, MSM7_GLO = 1084, 1085, 1087
 MSM4_GAL, MSM5_GAL, MSM7_GAL = 1094, 1095, 1097
+MSM1_GPS, MSM2_GPS, MSM3_GPS, MSM6_GPS = 1071, 1072, 1073, 1076
+MSM1_GLO, MSM2_GLO, MSM3_GLO, MSM6_GLO = 1081, 1082, 1083, 1086
+MSM1_GAL, MSM2_GAL, MSM3_GAL, MSM6_GAL = 1091, 1092, 1093, 1096
 
 # GPS-UTC leap seconds used for GLONASS<->GPS time-scale conversion in the
 # codec (DF416/DF034 epochs are GLONASS time = UTC(SU) + 3 h). Current value;
@@ -696,29 +706,40 @@ def glonass_tod_ms_to_gps_sod_ms(tod_ms: int, leap_s: int = None) -> int:
 
 # msm level by message number: {msg: (level, system)}
 MSM_MESSAGES = {
-    1074: (4, "G"), 1075: (5, "G"), 1077: (7, "G"),
-    1084: (4, "R"), 1085: (5, "R"), 1087: (7, "R"),
-    1094: (4, "E"), 1095: (5, "E"), 1097: (7, "E"),
+    1071 + k: (k + 1, "G") for k in range(7)
 }
+MSM_MESSAGES.update({1081 + k: (k + 1, "R") for k in range(7)})
+MSM_MESSAGES.update({1091 + k: (k + 1, "E") for k in range(7)})
 
-# per-level field widths: (fine_pr_bits/scale, fine_ph_bits/scale,
-# lock_bits, cnr_bits/scale, has_rate)
+# per-level field layout (RTCM 10403 MSM1..7 content tables):
+# (has_int_ms: DF397 integer-ms rough range present (MSM4-7; MSM1-3 carry
+#  only the 10-bit modulo-1 ms DF398),
+#  fine_pr (bits, scale) or None   — DF400 std / DF405 extended / absent,
+#  fine_ph (bits, scale) or None   — DF401 std / DF406 extended / absent,
+#  lock_bits                       — DF402 (4) / DF407 (10) / 0,
+#  cnr (bits, scale) or None       — DF403 (6,1.0) / DF408 (10,2^-4),
+#  has_rate                        — rough DF399 + fine DF404 (MSM5/7))
 _MSM_LAYOUT = {
-    4: ((15, 2.0 ** -24), (22, 2.0 ** -29), 4, (6, 1.0), False),
-    5: ((15, 2.0 ** -24), (22, 2.0 ** -29), 4, (6, 1.0), True),
-    7: ((20, 2.0 ** -29), (24, 2.0 ** -31), 10, (10, 2.0 ** -4), True),
+    1: (False, (15, 2.0 ** -24), None, 0, None, False),
+    2: (False, None, (22, 2.0 ** -29), 4, None, False),
+    3: (False, (15, 2.0 ** -24), (22, 2.0 ** -29), 4, None, False),
+    4: (True, (15, 2.0 ** -24), (22, 2.0 ** -29), 4, (6, 1.0), False),
+    5: (True, (15, 2.0 ** -24), (22, 2.0 ** -29), 4, (6, 1.0), True),
+    6: (True, (20, 2.0 ** -29), (24, 2.0 ** -31), 10, (10, 2.0 ** -4), False),
+    7: (True, (20, 2.0 ** -29), (24, 2.0 ** -31), 10, (10, 2.0 ** -4), True),
 }
 
 
 def encode_msm(msg_num: int, station_id: int, epoch_ms: int,
                obs: list[MsmObservation]) -> np.ndarray:
-    """Encode one MSM4/5/7 message (reference Rtcm::print_MSM_4/5/7).
+    """Encode one MSM1..7 message (reference Rtcm::print_MSM_1..7).
 
     The level and system come from ``msg_num`` (MSM_MESSAGES table).
+    MSM1-3 carry the rough range modulo 1 ms only (no DF397), so the
+    encoded pseudorange is ``pseudorange_m % RANGE_MS``.
     """
     level, system = MSM_MESSAGES[msg_num]
-    (pr_bits, pr_scale), (ph_bits, ph_scale), lock_bits, \
-        (cnr_bits, cnr_scale), has_rate = _MSM_LAYOUT[level]
+    has_int_ms, pr_l, ph_l, lock_bits, cnr_l, has_rate = _MSM_LAYOUT[level]
     sats = sorted({o.prn for o in obs})
     sigs = sorted({o.signal_id for o in obs})
     cell = {(o.prn, o.signal_id): o for o in obs}
@@ -747,14 +768,15 @@ def encode_msm(msg_num: int, station_id: int, epoch_ms: int,
     for c in cells:
         w.u(1 if c in cell else 0, 1)
 
-    # satellite data: rough range (int ms + 1/1024 ms) [+ ext info + rough
-    # phase rate for MSM5/7]
+    # satellite data: [int ms for MSM4-7 +] rough range frac (1/1024 ms)
+    # [+ ext info + rough phase rate for MSM5/7]
     rough = {}
     for p in sats:
         any_o = next(o for o in obs if o.prn == p)
-        n_ms = int(any_o.pseudorange_m / RANGE_MS)
+        n_ms = int(any_o.pseudorange_m / RANGE_MS) if has_int_ms else 0
         rough[p] = n_ms
-        w.u(n_ms, 8)
+        if has_int_ms:
+            w.u(n_ms, 8)
     if has_rate:
         for p in sats:
             if system == "R":
@@ -766,7 +788,9 @@ def encode_msm(msg_num: int, station_id: int, epoch_ms: int,
                 w.u(0, 4)
     for p in sats:
         any_o = next(o for o in obs if o.prn == p)
-        frac = any_o.pseudorange_m / RANGE_MS - rough[p]
+        frac = any_o.pseudorange_m / RANGE_MS - (
+            rough[p] if has_int_ms
+            else int(any_o.pseudorange_m / RANGE_MS))
         w.u(int(frac * 1024.0), 10)
     if has_rate:
         for p in sats:
@@ -774,24 +798,38 @@ def encode_msm(msg_num: int, station_id: int, epoch_ms: int,
             w.s(int(round(any_o.phase_rate_m_s)), 14)
 
     def rough_range(o):
-        return (rough[o.prn]
-                + int((o.pseudorange_m / RANGE_MS - rough[o.prn]) * 1024.0)
-                / 1024.0) * RANGE_MS
+        # full-range anchor for the fine residuals; for MSM1-3 the decoder
+        # only recovers (anchor mod 1 ms), the integer ms being the
+        # receiver's to resolve (rtklib partial-range handling)
+        base = (rough[o.prn] if has_int_ms
+                else int(o.pseudorange_m / RANGE_MS))
+        frac = int((o.pseudorange_m / RANGE_MS - base) * 1024.0) / 1024.0
+        return (base + frac) * RANGE_MS
 
     present = [c for c in cells if c in cell]
-    for c in present:                       # fine pseudorange
-        o = cell[c]
-        w.sq((o.pseudorange_m - rough_range(o)) / RANGE_MS, pr_scale, pr_bits)
-    for c in present:                       # fine phase range
-        o = cell[c]
-        w.sq((o.phase_range_m - rough_range(o)) / RANGE_MS, ph_scale, ph_bits)
-    for c in present:                       # lock time indicator
-        w.u(min(int(cell[c].lock_time_s), (1 << lock_bits) - 1), lock_bits)
-    for c in present:                       # half-cycle ambiguity
-        w.u(0, 1)
-    for c in present:                       # CNR
-        w.uq(min(cell[c].cn0_dbhz, (1 << cnr_bits) * cnr_scale - cnr_scale),
-             cnr_scale, cnr_bits)
+    if pr_l is not None:
+        pr_bits, pr_scale = pr_l
+        for c in present:                   # fine pseudorange
+            o = cell[c]
+            w.sq((o.pseudorange_m - rough_range(o)) / RANGE_MS,
+                 pr_scale, pr_bits)
+    if ph_l is not None:
+        ph_bits, ph_scale = ph_l
+        for c in present:                   # fine phase range
+            o = cell[c]
+            w.sq((o.phase_range_m - rough_range(o)) / RANGE_MS,
+                 ph_scale, ph_bits)
+        for c in present:                   # lock time indicator
+            w.u(min(int(cell[c].lock_time_s), (1 << lock_bits) - 1),
+                lock_bits)
+        for c in present:                   # half-cycle ambiguity
+            w.u(0, 1)
+    if cnr_l is not None:
+        cnr_bits, cnr_scale = cnr_l
+        for c in present:                   # CNR
+            w.uq(min(cell[c].cn0_dbhz,
+                     (1 << cnr_bits) * cnr_scale - cnr_scale),
+                 cnr_scale, cnr_bits)
     if has_rate:
         for c in present:                   # fine phase rate, 0.0001 m/s
             o = cell[c]
@@ -800,12 +838,15 @@ def encode_msm(msg_num: int, station_id: int, epoch_ms: int,
 
 
 def decode_msm(bits: np.ndarray) -> tuple[dict, list[MsmObservation]]:
-    """Decode any MSM4/5/7 message from MSM_MESSAGES."""
+    """Decode any MSM1..7 message from MSM_MESSAGES.
+
+    MSM1-3 observations come back with ``modulo_1ms=True``: their ranges
+    are ambiguous by k * RANGE_MS (no DF397 in the message).
+    """
     r = BitReader(bits)
     msg = r.u(12)
     level, system = MSM_MESSAGES[msg]
-    (pr_bits, pr_scale), (ph_bits, ph_scale), lock_bits, \
-        (cnr_bits, cnr_scale), has_rate = _MSM_LAYOUT[level]
+    has_int_ms, pr_l, ph_l, lock_bits, cnr_l, has_rate = _MSM_LAYOUT[level]
     station = r.u(12)
     raw_epoch = r.u(30)
     # report epoch_ms in GPS TOW for every system so downstream epoch
@@ -818,7 +859,8 @@ def decode_msm(bits: np.ndarray) -> tuple[dict, list[MsmObservation]]:
     cells = [(p, s) for p in sats for s in sigs]
     present = [c for c in cells if r.u(1)]
 
-    n_ms = {p: r.u(8) for p in sats}
+    n_ms = ({p: r.u(8) for p in sats} if has_int_ms
+            else {p: 0 for p in sats})
     ext = ({p: r.u(4) for p in sats} if has_rate
            else {p: 7 for p in sats})
     frac = {p: r.u(10) / 1024.0 for p in sats}
@@ -826,26 +868,47 @@ def decode_msm(bits: np.ndarray) -> tuple[dict, list[MsmObservation]]:
             else {p: 0 for p in sats})
     rough = {p: (n_ms[p] + frac[p]) * RANGE_MS for p in sats}
 
-    fine_pr = [r.sq(pr_scale, pr_bits) * RANGE_MS for _ in present]
-    fine_ph = [r.sq(ph_scale, ph_bits) * RANGE_MS for _ in present]
-    lock = [r.u(lock_bits) for _ in present]
-    _half = [r.u(1) for _ in present]
-    cnr = [r.uq(cnr_scale, cnr_bits) for _ in present]
+    n = len(present)
+    if pr_l is not None:
+        fine_pr = [r.sq(pr_l[1], pr_l[0]) * RANGE_MS for _ in present]
+    else:
+        fine_pr = [0.0] * n
+    if ph_l is not None:
+        fine_ph = [r.sq(ph_l[1], ph_l[0]) * RANGE_MS for _ in present]
+        lock = [r.u(lock_bits) for _ in present]
+        _half = [r.u(1) for _ in present]
+    else:
+        fine_ph = [0.0] * n
+        lock = [0] * n
+    if cnr_l is not None:
+        cnr = [r.uq(cnr_l[1], cnr_l[0]) for _ in present]
+    else:
+        cnr = [0.0] * n
     fine_rate = ([r.sq(1e-4, 15) for _ in present] if has_rate
-                 else [0.0] * len(present))
+                 else [0.0] * n)
 
     out = []
     for k, (p, s) in enumerate(present):
         out.append(MsmObservation(
             prn=p, signal_id=s,
             pseudorange_m=rough[p] + fine_pr[k],
-            phase_range_m=rough[p] + fine_ph[k],
+            phase_range_m=(rough[p] + fine_ph[k]
+                           if ph_l is not None else 0.0),
             phase_rate_m_s=rate[p] + fine_rate[k],
             cn0_dbhz=cnr[k], lock_time_s=float(lock[k]),
             has_rate=bool(has_rate),
-            freq_slot=(ext[p] - 7 if system == "R" else 0)))
+            freq_slot=(ext[p] - 7 if system == "R" else 0),
+            has_phase=ph_l is not None,
+            modulo_1ms=not has_int_ms))
     return dict(msg=msg, station_id=station, epoch_ms=epoch_ms,
                 raw_epoch=raw_epoch), out
+
+
+def resolve_modulo_range(pr_mod_m: float, approx_range_m: float) -> float:
+    """Resolve the k * 1 ms ambiguity of an MSM1-3 range against an
+    approximate geometric range (rtklib's partial-range resolution role)."""
+    k = round((approx_range_m - pr_mod_m) / RANGE_MS)
+    return pr_mod_m + k * RANGE_MS
 
 
 def encode_msm7(msg_num: int, station_id: int, epoch_ms: int,
@@ -1069,8 +1132,11 @@ class SsrClockCorrection:
 # (orbit, clock, code-bias) message numbers; epoch/prn/iode bit widths
 _SSR_MSGS = {"G": (1057, 1058, 1059), "R": (1063, 1064, 1065),
              "E": (1240, 1241, 1242)}
+# combined orbit+clock messages (GPS 1060 / GLONASS 1066 / Galileo 1243)
+_SSR_COMBINED = {"G": 1060, "R": 1066, "E": 1243}
 _SSR_SYS = {m: (s, kind) for s, nums in _SSR_MSGS.items()
             for kind, m in zip(("orbit", "clock", "bias"), nums)}
+_SSR_SYS.update({m: (s, "combined") for s, m in _SSR_COMBINED.items()})
 _SSR_WIDTHS = {"G": (20, 6, 8), "R": (17, 5, 8), "E": (20, 6, 10)}
 
 
@@ -1168,6 +1234,56 @@ def decode_ssr_clock(bits: np.ndarray
             prn=prn, c0_m=r.sq(1e-4, 22), c1_m_s=r.sq(1e-6, 21),
             c2_m_s2=r.sq(2e-8, 27), system=system))
     return hdr, out
+
+
+def encode_ssr_combined(tow_s: float, orbits: list[SsrOrbitCorrection],
+                        clocks: list[SsrClockCorrection], iod: int = 0,
+                        system: str = "G") -> np.ndarray:
+    """RTCM 1060 / 1066 / 1243: combined SSR orbit+clock corrections —
+    one record per satellite carrying both the orbit RAC deltas (+IODE)
+    and the clock polynomial (rtklib decode_ssr4)."""
+    _ne, np_, ni = _SSR_WIDTHS[system]
+    clk = {c.prn: c for c in clocks}
+    w = BitWriter()
+    _ssr_head(w, _SSR_COMBINED[system], int(tow_s), iod, len(orbits),
+              refd=False, system=system)
+    for c in orbits:
+        k = clk.get(c.prn)
+        if k is None:
+            raise ValueError(f"no clock correction for PRN {c.prn}")
+        w.u(c.prn, np_)
+        w.u(c.iode & ((1 << ni) - 1), ni)
+        w.sq(c.radial_m, 1e-4, 22)
+        w.sq(c.along_m, 4e-4, 20)
+        w.sq(c.cross_m, 4e-4, 20)
+        w.sq(c.dot_radial_m_s, 1e-6, 21)
+        w.sq(c.dot_along_m_s, 4e-6, 19)
+        w.sq(c.dot_cross_m_s, 4e-6, 19)
+        w.sq(k.c0_m, 1e-4, 22)
+        w.sq(k.c1_m_s, 1e-6, 21)
+        w.sq(k.c2_m_s2, 2e-8, 27)
+    return w.array()
+
+
+def decode_ssr_combined(bits: np.ndarray) -> tuple[
+        dict, list[SsrOrbitCorrection], list[SsrClockCorrection]]:
+    r = BitReader(bits)
+    hdr, nsat, system = _ssr_head_dec(r, refd=True)
+    _ne, np_, ni = _SSR_WIDTHS[system]
+    orbits, clocks = [], []
+    for _ in range(nsat):
+        prn = r.u(np_)
+        iode = r.u(ni)
+        orbits.append(SsrOrbitCorrection(
+            prn=prn, iode=iode,
+            radial_m=r.sq(1e-4, 22), along_m=r.sq(4e-4, 20),
+            cross_m=r.sq(4e-4, 20), dot_radial_m_s=r.sq(1e-6, 21),
+            dot_along_m_s=r.sq(4e-6, 19), dot_cross_m_s=r.sq(4e-6, 19),
+            system=system))
+        clocks.append(SsrClockCorrection(
+            prn=prn, c0_m=r.sq(1e-4, 22), c1_m_s=r.sq(1e-6, 21),
+            c2_m_s2=r.sq(2e-8, 27), system=system))
+    return hdr, orbits, clocks
 
 
 # GPS-named aliases (original entry points)

@@ -100,6 +100,12 @@ class RtcmBaseStation:
             _, biases = rtcm.decode_ssr_code_bias(payload_bits)
             for b in biases:
                 self.ssr_code_bias[(b.system, b.prn)] = b
+        elif msg in (1060, 1066, 1243):
+            _, corrs, clks = rtcm.decode_ssr_combined(payload_bits)
+            for c in corrs:
+                self.ssr_orbit[(c.system, c.prn)] = c
+            for c in clks:
+                self.ssr_clock[(c.system, c.prn)] = c
         elif msg in rtcm.MSM_MESSAGES:
             hdr, obs = rtcm.decode_msm(payload_bits)
             _level, system = rtcm.MSM_MESSAGES[msg]

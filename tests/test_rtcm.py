@@ -670,3 +670,84 @@ def test_ppp_engine_multi_system_bias_keys():
     assert eng._corrected_pr(O()) == 102.0
     O.signal = "1B"
     assert eng._corrected_pr(O()) == 98.5
+
+
+@pytest.mark.parametrize("msg", [
+    rtcm.MSM1_GPS, rtcm.MSM2_GPS, rtcm.MSM3_GPS,
+    rtcm.MSM3_GLO, rtcm.MSM6_GAL, rtcm.MSM6_GPS,
+])
+def test_msm_low_levels_roundtrip(msg):
+    """MSM1/2/3/6 (reference Rtcm::print_MSM_1/2/3/6): MSM1-3 round-trip
+    modulo 1 ms (no DF397 field) and flag it; MSM6 is MSM7 without rates."""
+    obs = _sample_msm_obs()
+    bits = rtcm.encode_msm(msg, 17, 345_600_123, obs)
+    hdr, dec = rtcm.decode_msm(rtcm.deframe(rtcm.frame(bits))[0])
+    assert hdr["msg"] == msg
+    assert len(dec) == 3
+    level, _sys = rtcm.MSM_MESSAGES[msg]
+    for o, d in zip(sorted(obs, key=lambda o: (o.prn, o.signal_id)),
+                    sorted(dec, key=lambda o: (o.prn, o.signal_id))):
+        assert (d.prn, d.signal_id) == (o.prn, o.signal_id)
+        assert d.has_rate is False
+        if level <= 3:
+            assert d.modulo_1ms
+            # the ambiguity resolves against an approximate range
+            full = rtcm.resolve_modulo_range(
+                d.pseudorange_m, o.pseudorange_m + 40_000.0)
+            tol = {1: 0.02, 2: 300.0, 3: 0.02}[level]
+            assert abs(full - o.pseudorange_m) < tol
+            if level >= 2:
+                ph = rtcm.resolve_modulo_range(
+                    d.phase_range_m, o.phase_range_m + 40_000.0)
+                assert abs(ph - o.phase_range_m) < 6e-4
+            else:
+                assert d.has_phase is False
+        else:                               # MSM6: full ext-resolution
+            assert not d.modulo_1ms
+            assert abs(d.pseudorange_m - o.pseudorange_m) < 1e-3
+            assert abs(d.phase_range_m - o.phase_range_m) < 3e-4
+            assert abs(d.cn0_dbhz - o.cn0_dbhz) <= 0.1
+
+
+def test_ssr_combined_roundtrip_all_systems():
+    """SSR combined orbit+clock 1060/1066/1243 (rtklib decode_ssr4):
+    one record per satellite carrying both correction sets."""
+    for system, msg in (("G", 1060), ("R", 1066), ("E", 1243)):
+        orb = [rtcm.SsrOrbitCorrection(prn=7, iode=33, radial_m=1.2345,
+                                       along_m=-0.5678, cross_m=0.0912,
+                                       dot_radial_m_s=0.0005, system=system),
+               rtcm.SsrOrbitCorrection(prn=21, iode=101, radial_m=-2.01,
+                                       along_m=1.5, cross_m=-0.75,
+                                       system=system)]
+        clk = [rtcm.SsrClockCorrection(prn=7, c0_m=0.8421, c1_m_s=0.0031,
+                                       system=system),
+               rtcm.SsrClockCorrection(prn=21, c0_m=-1.204, system=system)]
+        tow = 45_600.0 if system == "R" else 345_600.0
+        bits = rtcm.encode_ssr_combined(tow, orb, clk, iod=5, system=system)
+        hdr, dec_o, dec_c = rtcm.decode_ssr_combined(
+            rtcm.deframe(rtcm.frame(bits))[0])
+        assert hdr["msg"] == msg and hdr["iod"] == 5
+        assert hdr["tow_s"] == tow
+        for o, d in zip(orb, dec_o):
+            assert (d.prn, d.iode, d.system) == (o.prn, o.iode, system)
+            assert abs(d.radial_m - o.radial_m) < 1e-4
+            assert abs(d.along_m - o.along_m) < 4e-4
+            assert abs(d.dot_radial_m_s - o.dot_radial_m_s) < 1e-6
+        for o, d in zip(clk, dec_c):
+            assert d.prn == o.prn and d.system == system
+            assert abs(d.c0_m - o.c0_m) < 1e-4
+            assert abs(d.c1_m_s - o.c1_m_s) < 1e-6
+
+
+def test_rtk_engine_accepts_combined_ssr():
+    """The rover dispatch stores 1060 combined corrections in the same
+    ssr_orbit/ssr_clock maps the split messages feed."""
+    from gnss_sdr_tpu.receiver.pvt import rtk_engine
+    base = rtk_engine.RtcmBaseStation()
+    orb = [rtcm.SsrOrbitCorrection(prn=9, iode=12, radial_m=0.5,
+                                   along_m=0.1, cross_m=-0.2)]
+    clk = [rtcm.SsrClockCorrection(prn=9, c0_m=0.33)]
+    bits = rtcm.encode_ssr_combined(345600.0, orb, clk, system="G")
+    base.push_bytes(rtcm.frame(bits))
+    assert ("G", 9) in base.ssr_orbit and ("G", 9) in base.ssr_clock
+    assert abs(base.ssr_clock[("G", 9)].c0_m - 0.33) < 1e-4
