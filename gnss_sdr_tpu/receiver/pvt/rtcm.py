@@ -670,6 +670,7 @@ MSM4_GAL, MSM5_GAL, MSM7_GAL = 1094, 1095, 1097
 MSM1_GPS, MSM2_GPS, MSM3_GPS, MSM6_GPS = 1071, 1072, 1073, 1076
 MSM1_GLO, MSM2_GLO, MSM3_GLO, MSM6_GLO = 1081, 1082, 1083, 1086
 MSM1_GAL, MSM2_GAL, MSM3_GAL, MSM6_GAL = 1091, 1092, 1093, 1096
+MSM4_BDS, MSM5_BDS, MSM7_BDS = 1124, 1125, 1127
 
 # GPS-UTC leap seconds used for GLONASS<->GPS time-scale conversion in the
 # codec (DF416/DF034 epochs are GLONASS time = UTC(SU) + 3 h). Current value;
@@ -710,6 +711,10 @@ MSM_MESSAGES = {
 }
 MSM_MESSAGES.update({1081 + k: (k + 1, "R") for k in range(7)})
 MSM_MESSAGES.update({1091 + k: (k + 1, "E") for k in range(7)})
+MSM_MESSAGES.update({1121 + k: (k + 1, "C") for k in range(7)})
+
+# BDT = GPST - 14 s (constant; BDT has no leap seconds since 2006)
+BDT_GPS_OFFSET_MS = 14_000
 
 # per-level field layout (RTCM 10403 MSM1..7 content tables):
 # (has_int_ms: DF397 integer-ms rough range present (MSM4-7; MSM1-3 carry
@@ -751,6 +756,10 @@ def encode_msm(msg_num: int, station_id: int, epoch_ms: int,
         # GLONASS MSM epoch is DF416 dow + DF034 tod (GLONASS time), not
         # GPS TOW (reference rtklib_rtcm3.cc encode/decode_msm_head)
         w.u(gps_tow_ms_to_glonass_epoch(epoch_ms), 30)
+    elif system == "C":
+        # BDS MSM epoch is BDT TOW; BDT = GPST - 14 s (rtklib
+        # decode_msm_head: "tow += 14.0; /* BDT -> GPST */")
+        w.u((epoch_ms - BDT_GPS_OFFSET_MS) % _WEEK_MS, 30)
     else:
         w.u(epoch_ms % _WEEK_MS, 30)
     w.u(0, 1)                  # multiple message bit
@@ -851,8 +860,12 @@ def decode_msm(bits: np.ndarray) -> tuple[dict, list[MsmObservation]]:
     raw_epoch = r.u(30)
     # report epoch_ms in GPS TOW for every system so downstream epoch
     # matching is time-scale-consistent; the raw GLONASS field is preserved
-    epoch_ms = (glonass_epoch_to_gps_tow_ms(raw_epoch) if system == "R"
-                else raw_epoch)
+    if system == "R":
+        epoch_ms = glonass_epoch_to_gps_tow_ms(raw_epoch)
+    elif system == "C":
+        epoch_ms = (raw_epoch + BDT_GPS_OFFSET_MS) % _WEEK_MS
+    else:
+        epoch_ms = raw_epoch
     r.u(1 + 3 + 7 + 2 + 2 + 1 + 3)
     sats = [s for s in range(1, 65) if r.u(1)]
     sigs = [s for s in range(1, 33) if r.u(1)]

@@ -23,7 +23,8 @@ log = logging.getLogger("gnss_sdr_tpu")
 # invert the MSM signal-slot mapping used by outputs.py per system
 _SIG_FROM_SLOT = {("G", 2): "1C", ("G", 15): "2S", ("G", 22): "L5",
                   ("E", 2): "1B", ("E", 22): "5X",
-                  ("R", 2): "1G", ("R", 8): "2G"}
+                  ("R", 2): "1G", ("R", 8): "2G",
+                  ("C", 2): "B1", ("C", 8): "B3"}
 
 
 class RtcmBaseStation:

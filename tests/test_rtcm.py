@@ -751,3 +751,21 @@ def test_rtk_engine_accepts_combined_ssr():
     base.push_bytes(rtcm.frame(bits))
     assert ("G", 9) in base.ssr_orbit and ("G", 9) in base.ssr_clock
     assert abs(base.ssr_clock[("G", 9)].c0_m - 0.33) < 1e-4
+
+
+def test_msm_beidou_roundtrip_bdt_epoch():
+    """BDS MSM (1124/1127): the 30-bit epoch is BDT TOW (GPST - 14 s,
+    rtklib decode_msm_head BDT adjustment); ranges round-trip as usual."""
+    obs = _sample_msm_obs()
+    tow_gps_ms = 345_600_123
+    for msg in (rtcm.MSM4_BDS, rtcm.MSM7_BDS):
+        bits = rtcm.encode_msm(msg, 55, tow_gps_ms, obs)
+        hdr, dec = rtcm.decode_msm(rtcm.deframe(rtcm.frame(bits))[0])
+        assert hdr["msg"] == msg
+        # epoch reported back in GPS TOW; the raw field is BDT
+        assert hdr["epoch_ms"] == tow_gps_ms
+        assert hdr["raw_epoch"] == tow_gps_ms - rtcm.BDT_GPS_OFFSET_MS
+        assert len(dec) == 3
+        for o, d in zip(sorted(obs, key=lambda o: (o.prn, o.signal_id)),
+                        sorted(dec, key=lambda o: (o.prn, o.signal_id))):
+            assert abs(d.pseudorange_m - o.pseudorange_m) < 0.02
