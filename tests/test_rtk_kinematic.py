@@ -469,3 +469,82 @@ def test_glonass_rover_pure_rtcm_stream():
     assert engine.solutions, "no solutions from the pure-RTCM stream"
     err = np.linalg.norm(engine.solutions[-1].rover_ecef - rover_pos)
     assert err < 0.5, f"float GLONASS RTK error {err:.2f} m"
+
+
+def test_beidou_rover_pure_rtcm_stream():
+    """BeiDou RTK rover fed ONLY by an RTCM stream: station from 1006,
+    orbits from 1042 (BDS Kepler ephemeris), observables from BDS MSM7
+    (1127, BDT epochs). The float baseline must converge to decimetre
+    level — a BDS rover needs nothing outside the stream (reference
+    rtklib_rtcm3.cc 1042/1121-1127 input path)."""
+    from gnss_sdr_tpu.receiver.observables import ChannelObservable
+    from gnss_sdr_tpu.receiver.pvt import rtcm
+    from gnss_sdr_tpu.receiver.pvt.rtk_engine import (RtcmBaseStation,
+                                                      RtkEngine)
+
+    lat, lon, _ = TRUE_LLH
+    base_ecef = geodesy.geodetic_to_ecef(*TRUE_LLH)
+    t0 = 352800.0
+    kep = constellation.almanac_constellation()
+    vis = constellation.visible_sats(kep, base_ecef, t0, el_mask_deg=15.0)
+    prns = [p for p, _, _ in vis[:5]]
+    spec = C.SIGNALS["B1"]
+    ephs = {}
+    for prn in prns:
+        e = kep[prn]
+        e.prn = prn
+        e.gm = C.GM_EARTH_BDS
+        e.toe = 352800.0
+        e.toc = 352800.0
+        ephs[prn] = e
+
+    station = RtcmBaseStation()
+    station.push_bytes(b"".join(
+        [rtcm.frame(rtcm.encode_1006(31, base_ecef, 0.7))]
+        + [rtcm.frame(rtcm.encode_1042(e)) for e in ephs.values()]))
+    assert station.base_ecef is not None
+    assert all(("C", p) in station.ephemerides for p in prns)
+    engine = RtkEngine(station, sigma_pr_m=0.3, mode="kinematic")
+
+    lam = C.SPEED_OF_LIGHT_M_S / spec.carrier_freq_hz
+    rng = np.random.default_rng(9)
+    n_rov = {p: int(rng.integers(-200, 200)) for p in prns}
+    n_bas = {p: int(rng.integers(-200, 200)) for p in prns}
+    rover_pos = base_ecef + geodesy.enu_to_ecef_offset(
+        np.array([-9.0, 14.0, -0.6]), lat, lon)
+
+    def obs_of(pos, t, n_amb, pr_sigma):
+        out = []
+        for p in prns:
+            eph = station.ephemerides[("C", p)]      # DECODED orbits only
+            o = constellation.simulate_observation(
+                eph, pos, t, carrier_freq_hz=spec.carrier_freq_hz)
+            out.append((p, o,
+                        o.pseudorange_m + rng.normal(0, pr_sigma),
+                        o.pseudorange_m / lam + n_amb[p]
+                        + rng.normal(0, 0.01)))
+        return out
+
+    for kk in range(20):
+        t = t0 + 1.0 * kk
+        basev = obs_of(base_ecef, t, n_bas, 0.3)
+        tow_ms = int(round((basev[0][1].t_tx_sv
+                            + basev[0][2] / C.SPEED_OF_LIGHT_M_S) * 1e3))
+        msm = [rtcm.MsmObservation(
+            prn=p, signal_id=2, pseudorange_m=pr,
+            phase_range_m=cp * lam, phase_rate_m_s=-o.doppler_hz * lam,
+            cn0_dbhz=44.0)
+            for p, o, pr, cp in basev]
+        station.push_bytes(rtcm.frame(rtcm.encode_msm(
+            rtcm.MSM7_BDS, 31, tow_ms, msm)))
+
+        roverv = obs_of(rover_pos, t, n_rov, 0.3)
+        engine.push_rover_epoch(0, [ChannelObservable(
+            prn=p, signal="B1", t_tx_sv=o.t_tx_sv,
+            pseudorange_m=pr, carrier_phase_cycles=cp,
+            doppler_hz=o.doppler_hz, cn0_dbhz=45.0,
+            carrier_freq_hz=spec.carrier_freq_hz)
+            for p, o, pr, cp in roverv])
+    assert engine.solutions, "no solutions from the pure-RTCM BDS stream"
+    err = np.linalg.norm(engine.solutions[-1].rover_ecef - rover_pos)
+    assert err < 0.5, f"float BDS RTK error {err:.2f} m"
