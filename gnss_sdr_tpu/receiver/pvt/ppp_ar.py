@@ -127,15 +127,22 @@ class PppArFilter(PppFilter):
         if not others:
             return
 
-        # 1) fix SD wide-lane integers from the MW averages
+        # 1) fix SD wide-lane integers from the MW averages. A satellite
+        # whose SD wide lane is not confidently integer is DROPPED from
+        # this epoch's fix (partial AR, rtklib's satellite-exclusion
+        # behavior) rather than aborting the whole attempt — one noisy
+        # MW average must not veto the resolvable subset.
         n_wl = {}
         for k in others:
             sd = self._mw[k][1] - self._mw[ref][1]
             n_int = int(np.round(sd))
             if abs(sd - n_int) > 3.0 * max(
                     self._mw_sigma(k), self._mw_sigma(ref), 0.05):
-                return                     # not confidently integer yet
+                continue                   # not confidently integer yet
             n_wl[k] = n_int
+        others = [k for k in others if k in n_wl]
+        if len(others) < 3:                # need >= 3 SD + ref
+            return
         self.fixed_wl = {k: n_wl[k] for k in others}
 
         # 2) narrow-lane: SD B_IF - wl term = (c/(f1+f2)) * N1_sd

@@ -285,6 +285,78 @@ def decode_1019(bits: np.ndarray) -> KeplerEphemeris:
     return e
 
 
+def encode_1044(eph: KeplerEphemeris) -> np.ndarray:
+    """QZSS ephemeris (MT1044, rtklib decode_type1044 layout): GPS LNAV
+    scalings, 4-bit satellite id = PRN - 192, clock block leading."""
+    w = BitWriter()
+    w.u(1044, 12)
+    w.u(eph.prn - 192, 4)
+    w.uq(eph.toc, 16.0, 16)
+    w.sq(eph.af2, 2.0 ** -55, 8)
+    w.sq(eph.af1, 2.0 ** -43, 16)
+    w.sq(eph.af0, 2.0 ** -31, 22)
+    w.u(eph.iode & 0xFF, 8)
+    w.sq(eph.crs, 2.0 ** -5, 16)
+    w.sq(eph.delta_n / _SC, 2.0 ** -43, 16)
+    w.sq(eph.m0 / _SC, 2.0 ** -31, 32)
+    w.sq(eph.cuc, 2.0 ** -29, 16)
+    w.uq(eph.e, 2.0 ** -33, 32)
+    w.sq(eph.cus, 2.0 ** -29, 16)
+    w.uq(eph.sqrt_a, 2.0 ** -19, 32)
+    w.uq(eph.toe, 16.0, 16)
+    w.sq(eph.cic, 2.0 ** -29, 16)
+    w.sq(eph.omega0 / _SC, 2.0 ** -31, 32)
+    w.sq(eph.cis, 2.0 ** -29, 16)
+    w.sq(eph.i0 / _SC, 2.0 ** -31, 32)
+    w.sq(eph.crc, 2.0 ** -5, 16)
+    w.sq(eph.omega / _SC, 2.0 ** -31, 32)
+    w.sq(eph.omega_dot / _SC, 2.0 ** -43, 24)
+    w.sq(eph.idot / _SC, 2.0 ** -43, 14)
+    w.u(0, 2)                                  # L2 code
+    w.u(eph.week % 1024, 10)
+    w.u(eph.ura & 0xF, 4)
+    w.u(eph.health & 0x3F, 6)
+    w.sq(eph.tgd, 2.0 ** -31, 8)
+    w.u(eph.iodc & 0x3FF, 10)
+    w.u(0, 1)                                  # fit interval (0 = 2 h)
+    return w.array()
+
+
+def decode_1044(bits: np.ndarray) -> KeplerEphemeris:
+    r = BitReader(bits)
+    assert r.u(12) == 1044
+    e = KeplerEphemeris()
+    e.prn = r.u(4) + 192
+    e.toc = r.uq(16.0, 16)
+    e.af2 = r.sq(2.0 ** -55, 8)
+    e.af1 = r.sq(2.0 ** -43, 16)
+    e.af0 = r.sq(2.0 ** -31, 22)
+    e.iode = r.u(8)
+    e.crs = r.sq(2.0 ** -5, 16)
+    e.delta_n = r.sq(2.0 ** -43, 16) * _SC
+    e.m0 = r.sq(2.0 ** -31, 32) * _SC
+    e.cuc = r.sq(2.0 ** -29, 16)
+    e.e = r.uq(2.0 ** -33, 32)
+    e.cus = r.sq(2.0 ** -29, 16)
+    e.sqrt_a = r.uq(2.0 ** -19, 32)
+    e.toe = r.uq(16.0, 16)
+    e.cic = r.sq(2.0 ** -29, 16)
+    e.omega0 = r.sq(2.0 ** -31, 32) * _SC
+    e.cis = r.sq(2.0 ** -29, 16)
+    e.i0 = r.sq(2.0 ** -31, 32) * _SC
+    e.crc = r.sq(2.0 ** -5, 16)
+    e.omega = r.sq(2.0 ** -31, 32) * _SC
+    e.omega_dot = r.sq(2.0 ** -43, 24) * _SC
+    e.idot = r.sq(2.0 ** -43, 14) * _SC
+    r.u(2)
+    e.week = r.u(10)
+    e.ura = r.u(4)
+    e.health = r.u(6)
+    e.tgd = r.sq(2.0 ** -31, 8)
+    e.iodc = r.u(10)
+    return e
+
+
 def encode_1045(eph: KeplerEphemeris) -> np.ndarray:
     """Galileo F/NAV ephemeris (same Kepler set, Galileo scalings)."""
     w = BitWriter()

@@ -83,6 +83,9 @@ class RtcmBaseStation:
         elif msg == 1042:
             e = rtcm.decode_1042(payload_bits)
             self.ephemerides[("C", e.prn)] = e
+        elif msg == 1044:
+            e = rtcm.decode_1044(payload_bits)
+            self.ephemerides[("J", e.prn)] = e
         elif msg == 1045:
             e = rtcm.decode_1045(payload_bits)
             self.ephemerides[("E", e.prn)] = e

@@ -93,7 +93,8 @@ def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
                           extra_code_delay_s: dict | None = None,
                           sbas_prn: int | None = None,
                           sbas_messages: list | None = None,
-                          sbas_cn0_dbhz: float = 47.0) -> Scenario:
+                          sbas_cn0_dbhz: float = 47.0,
+                          el_mask_deg: float = 15.0) -> Scenario:
     """Build a GPS L1 C/A scenario (static, or constant-velocity ``vel_enu``).
 
     The LNAV streams cycle subframes (1,2,3) so ephemeris is decodable within
@@ -122,7 +123,8 @@ def build_gps_l1_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
     def rcv_at(t: float) -> np.ndarray:
         return rcv + vel_ecef * t if moving else rcv
 
-    vis = constellation.visible_sats(ephs, rcv, t0_gps, el_mask_deg=15.0)
+    vis = constellation.visible_sats(ephs, rcv, t0_gps,
+                                     el_mask_deg=el_mask_deg)
     chosen = [prn for prn, _, _ in vis[:n_sats]]
     if len(chosen) < n_sats:
         raise RuntimeError(f"only {len(chosen)} visible sats")
@@ -215,7 +217,8 @@ def _add_sbas_channel(sc: Scenario, prn: int, messages: list,
 def build_gps_l5_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0),
                           t0_gps: float = 352800.06, duration_s: float = 30.0,
                           fs: float = 11.0e6, n_sats: int = 4,
-                          cn0_dbhz: float = 50.0) -> Scenario:
+                          cn0_dbhz: float = 50.0,
+                          el_mask_deg: float = 15.0) -> Scenario:
     """GPS L5I signal-level scenario with CNAV (6 s messages, 100 sps).
 
     The 10.23 Mcps L5 code needs fs > 10.23 MHz; 11 MHz keeps sampling
@@ -233,7 +236,8 @@ def build_gps_l5_scenario(rcv_llh=(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
     for e in ephs.values():
         e.tgd = 0.0
     rcv = geodesy.geodetic_to_ecef(*rcv_llh)
-    vis = constellation.visible_sats(ephs, rcv, t0_gps, el_mask_deg=15.0)
+    vis = constellation.visible_sats(ephs, rcv, t0_gps,
+                                     el_mask_deg=el_mask_deg)
     chosen = [prn for prn, _, _ in vis[:n_sats]]
     if len(chosen) < n_sats:
         raise RuntimeError(f"only {len(chosen)} visible sats")

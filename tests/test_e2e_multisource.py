@@ -40,27 +40,34 @@ FS_L5 = 12.0e6
 
 @pytest.fixture(scope="module")
 def dual_band_run():
-    sc1 = scen.build_gps_l1_scenario(t0_gps=T0, duration_s=DUR, n_sats=6,
-                                     cn0_dbhz=47.0, fs=FS_L1)
-    sc5 = scen.build_gps_l5_scenario(t0_gps=T0, duration_s=DUR, n_sats=5,
-                                     cn0_dbhz=50.0, fs=FS_L5)
+    # 7 satellites on BOTH bands (the whole visible set): PPP-AR's
+    # correct-integer basin widens with SD-ambiguity redundancy — with
+    # only 5 dual-band satellites a correlated-noise excursion of the
+    # float state at fix time can make a wrong narrow-lane set pass the
+    # ratio test (position then freezes dm-level off under fix-and-hold)
+    sc1 = scen.build_gps_l1_scenario(t0_gps=T0, duration_s=DUR, n_sats=7,
+                                     cn0_dbhz=50.0, fs=FS_L1,
+                                     el_mask_deg=10.0)
+    sc5 = scen.build_gps_l5_scenario(t0_gps=T0, duration_s=DUR, n_sats=7,
+                                     cn0_dbhz=50.0, fs=FS_L5,
+                                     el_mask_deg=10.0)
     # same constellation, same start instant: the L5 set must be a subset
     # of the L1 set for dual-frequency satellites to exist
     assert set(sc5.prns) <= set(sc1.prns)
     x1 = fixture_cache.cached_iq(
-        "e2e_ms_l1", dict(t0=T0, dur=DUR, n=6, fs=FS_L1, seed=101),
+        "e2e_ms_l1", dict(t0=T0, dur=DUR, n=7, cn0=50, fs=FS_L1, seed=101),
         lambda: sc1.generate(seed=101))
     x5 = fixture_cache.cached_iq(
-        "e2e_ms_l5", dict(t0=T0, dur=DUR, n=5, fs=FS_L5, seed=102),
+        "e2e_ms_l5", dict(t0=T0, dur=DUR, n=7, cn0=50, fs=FS_L5, seed=102),
         lambda: sc5.generate(seed=102))
 
     mk = lambda sig, fs, n, prns: ReceiverConfig(
         signal=sig, fs=fs, n_channels=n, prns=tuple(prns), chunk_ms=100,
         pvt_apply_tropo=False, pvt_apply_iono=False)
     ms = MultiSourceReceiver([
-        SourceBranchConfig(receiver=mk("1C", FS_L1, 6, sc1.prns),
+        SourceBranchConfig(receiver=mk("1C", FS_L1, 7, sc1.prns),
                            source=ArraySignalSource(x1, FS_L1)),
-        SourceBranchConfig(receiver=mk("L5", FS_L5, 5, sc5.prns),
+        SourceBranchConfig(receiver=mk("L5", FS_L5, 7, sc5.prns),
                            source=ArraySignalSource(x5, FS_L5)),
     ])
 

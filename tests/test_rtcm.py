@@ -769,3 +769,21 @@ def test_msm_beidou_roundtrip_bdt_epoch():
         for o, d in zip(sorted(obs, key=lambda o: (o.prn, o.signal_id)),
                         sorted(dec, key=lambda o: (o.prn, o.signal_id))):
             assert abs(d.pseudorange_m - o.pseudorange_m) < 0.02
+
+
+def test_1044_qzss_ephemeris_roundtrip():
+    """QZSS MT1044 (rtklib decode_type1044): GPS LNAV scalings with the
+    clock block leading and a 4-bit PRN-192 satellite id."""
+    eph = sample_ephemeris()
+    eph.prn = 195
+    dec = rtcm.decode_1044(rtcm.encode_1044(eph))
+    assert dec.prn == 195
+    assert dec.iode == eph.iode and dec.iodc == eph.iodc
+    assert dec.toe == eph.toe and dec.toc == eph.toc
+    assert abs(dec.sqrt_a - eph.sqrt_a) <= 2.0 ** -19
+    assert abs(dec.e - eph.e) <= 2.0 ** -33
+    assert abs(dec.m0 - eph.m0) <= 2.0 ** -31 * np.pi
+    assert abs(dec.af0 - eph.af0) <= 2.0 ** -31
+    assert abs(dec.idot - eph.idot) <= 2.0 ** -43 * np.pi
+    assert abs(dec.tgd - eph.tgd) <= 2.0 ** -31
+    assert dec.week == eph.week % 1024
