@@ -178,7 +178,10 @@ def attach_outputs(rx, conf) -> OutputSet:
             rx.ephemerides, x0_ecef=(0.0, 0.0, 0.0),
             mode=("kinematic" if ppp_mode_key == "PPP_Kinematic"
                   else "static"),
-            ambiguity_resolution=bool(prop("PVT.ppp_ar", True)))
+            ambiguity_resolution=bool(prop("PVT.ppp_ar", True)),
+            # decimate the tracking-rate observables to the DLL-noise
+            # decorrelation time (PppEngine.obs_spacing_s rationale)
+            obs_spacing_s=float(prop("PVT.ppp_obs_spacing_s", 0.2)))
         rx.obs_sinks.append(engine.push_epoch)
         rx.fix_sinks.append(lambda sol: engine.seed_position(sol.pos_ecef))
         out.ppp_engine = engine

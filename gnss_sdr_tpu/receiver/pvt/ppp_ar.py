@@ -73,6 +73,15 @@ class PppArFilter(PppFilter):
         self.hold_after = 5
         self._last_fix: tuple | None = None
         self._fix_streak = 0
+        # wrong-fix recovery: a held integer set that stops winning the
+        # ratio test for hold_release_after consecutive attempts is
+        # RELEASED — ambiguity states reset and the position/clock
+        # variances re-inflated so the float can re-converge and re-fix
+        # (a hold taken off a not-yet-converged float would otherwise
+        # freeze the solution at the fix-time error forever)
+        self.hold_release_after = 10
+        self._held = False
+        self._hold_miss = 0
 
     # ------------------------------------------------------------- MW
     def _update_mw(self, obs: list[PppArObs], slips: set | None) -> None:
@@ -110,6 +119,23 @@ class PppArFilter(PppFilter):
             return sol
         self._try_fix(obs, sol)
         return sol
+
+    def _release_hold(self) -> None:
+        """Undo a (presumed wrong) fix-and-hold: reset every ambiguity
+        state and re-inflate the position/clock variances contaminated by
+        the held constraints. The float filter re-converges from the
+        phase/code stream and AR gets a fresh attempt."""
+        for key in list(self.sat_index):
+            self.reset_ambiguity(key)
+        for i in range(4):               # position + receiver clock
+            self.p[i, :] = 0.0
+            self.p[:, i] = 0.0
+            self.p[i, i] = 1.0 ** 2 if i < 3 else 100.0 ** 2
+        self._held = False
+        self._hold_miss = 0
+        self._fix_streak = 0
+        self._last_fix = None
+        self.fixed_wl = {}
 
     def _try_fix(self, obs: list[PppArObs], sol: PppSolution) -> None:
         if self.epoch < self.min_fix_epoch:
@@ -171,6 +197,12 @@ class PppArFilter(PppFilter):
         self.last_ratio = (float(norms[1] / max(norms[0], 1e-12))
                            if len(norms) > 1 else 0.0)
         if not lambda_ilsq.ratio_test(norms, self.ratio_threshold):
+            self._fix_streak = 0
+            self._last_fix = None
+            if self._held:
+                self._hold_miss += 1
+                if self._hold_miss >= self.hold_release_after:
+                    self._release_hold()
             return
         n1 = cands2[0]
 
@@ -198,6 +230,8 @@ class PppArFilter(PppFilter):
             self._fix_streak = 1
         if self._fix_streak >= self.hold_after:
             self.x, self.p = x_fix, p_fix
+            self._held = True
+            self._hold_miss = 0
         self.n_fixed_epochs += 1
         sol.pos_ecef = x_fix[:3].copy()
         sol.clock_bias_m = float(x_fix[3])

@@ -25,13 +25,25 @@ class PppEngine:
     def __init__(self, ephemerides: dict, x0_ecef, mode: str = "static",
                  ambiguity_resolution: bool = True,
                  sigma_pr_m: float = 1.0, sigma_phase_m: float = 0.012,
-                 q_pos_m2_s: float = 1.0, estimate_tropo: bool = True):
+                 q_pos_m2_s: float = 1.0, estimate_tropo: bool = True,
+                 obs_spacing_s: float = 0.0):
+        """``obs_spacing_s``: minimum time between PROCESSED epochs —
+        epochs arriving faster are skipped. A receiver producing 50 Hz
+        observables feeds the filter measurement noise that is strongly
+        time-correlated (DLL/PLL loop bandwidths of a few Hz), which the
+        white-noise filter model mistakes for 50 independent samples per
+        second: the formal covariance collapses ~sqrt(f_obs*tau_corr)
+        too fast and the AR gates open while the true error is still
+        large. Decimating to the noise decorrelation time (~0.2 s for a
+        2 Hz DLL) keeps the covariance honest — the same reason RTKLIB
+        runs PPP at the RINEX epoch rate, not the tracking-loop rate."""
         self.filter = ppp_ar.PppArFilter(
             ephemerides, x0_ecef=np.asarray(x0_ecef, float),
             mode=mode, q_pos_m2_s=q_pos_m2_s, estimate_tropo=estimate_tropo,
             sigma_pr_m=sigma_pr_m, sigma_phase_m=sigma_phase_m,
             # disable the integer search by an impossible ratio threshold
             ratio_threshold=(3.0 if ambiguity_resolution else np.inf))
+        self.obs_spacing_s = float(obs_spacing_s)
         self.solutions: list = []
         self._last_tow: float | None = None
         self._prev: dict[tuple, tuple] = {}  # (sys,prn,f) -> (tow, phase, dop)
@@ -162,6 +174,9 @@ class PppEngine:
             return
         o0 = observables[0]
         tow = o0.t_tx_sv + o0.pseudorange_m / C_M_S
+        if (self.obs_spacing_s > 0.0 and self._last_tow is not None
+                and tow - self._last_tow < self.obs_spacing_s - 1e-9):
+            return                       # decimate (see __init__ docstring)
         slips = self._detect_slips(by_sat, tow)
 
         obs = []

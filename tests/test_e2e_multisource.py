@@ -79,9 +79,13 @@ def dual_band_run():
     # estimate_tropo=False = RTKLIB tropopt=OFF: the simulation has no
     # troposphere, and a free ZTD state is nearly collinear with height
     # for a 5-satellite sky (meters of height<->ZTD wander otherwise)
+    # obs_spacing_s=0.2: decimate the 50 Hz receiver observables to the
+    # DLL-noise decorrelation time so the filter's white-noise covariance
+    # stays honest and AR doesn't fix off a transient (see PppEngine)
     ppp = PppEngine(keyed, x0_ecef=(0.0, 0.0, 0.0), mode="static",
                     estimate_tropo=False,
-                    sigma_pr_m=1.0, sigma_phase_m=0.01)
+                    sigma_pr_m=1.0, sigma_phase_m=0.01,
+                    obs_spacing_s=0.2)
     ppp.seed_position(sc1.rcv_ecef + np.array([11.0, -7.0, 16.0]))
     ms.obs_sinks.append(ppp.push_epoch)
 
