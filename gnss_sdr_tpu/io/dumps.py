@@ -66,6 +66,27 @@ class TrackingDump(StageDump):
                   carrier_lock=carrier_lock)
 
 
+class AcquisitionDump(StageDump):
+    """Per-attempt acquisition statistics (reference
+    ``pcps_acquisition.cc:427 dump_results``: the grid reduction per
+    satellite and dwell — here one row per candidate per batch)."""
+
+    def push_batch(self, signal: str, chunk_index: int, prns, test_cfar,
+                   test_max_power, code_phase, doppler_hz, magnitude,
+                   threshold: float) -> None:
+        n = len(prns)
+        self.push(signal=np.array([signal] * n, dtype="<U2"),
+                  chunk=np.full(n, chunk_index, np.int64),
+                  prn=np.asarray(prns, np.int32),
+                  test_cfar=np.asarray(test_cfar, np.float32),
+                  test_max_power=np.asarray(test_max_power, np.float32),
+                  code_phase=np.asarray(code_phase, np.int32),
+                  doppler_hz=np.asarray(doppler_hz, np.float32),
+                  magnitude=np.asarray(magnitude, np.float32),
+                  threshold=np.full(n, threshold, np.float32),
+                  positive=np.asarray(test_cfar, np.float32) >= threshold)
+
+
 class ObservablesDump(StageDump):
     def push_epoch(self, tick_sample: int, observables) -> None:
         for o in observables:

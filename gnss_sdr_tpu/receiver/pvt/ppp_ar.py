@@ -65,6 +65,7 @@ class PppArFilter(PppFilter):
         self._mw: dict[tuple, list] = {}
         self.n_fixed_epochs = 0
         self.last_ratio = 0.0
+        self.best_ratio = 0.0      # max ratio seen (last_ratio fluctuates)
         self.fixed_wl: dict[tuple, int] = {}
         # fix-and-hold engages only after the SAME integer set has won the
         # ratio test on hold_after consecutive epochs (RTKLIB's
@@ -196,6 +197,7 @@ class PppArFilter(PppFilter):
             return
         self.last_ratio = (float(norms[1] / max(norms[0], 1e-12))
                            if len(norms) > 1 else 0.0)
+        self.best_ratio = max(self.best_ratio, self.last_ratio)
         if not lambda_ilsq.ratio_test(norms, self.ratio_threshold):
             self._fix_streak = 0
             self._last_fix = None

@@ -333,6 +333,8 @@ class Receiver:
             m = config.dump_mat
             self._dumps = dict(
                 tracking=dumps_mod.TrackingDump(d / "tracking.npz", mat=m),
+                acquisition=dumps_mod.AcquisitionDump(
+                    d / "acquisition.npz", mat=m),
                 observables=dumps_mod.ObservablesDump(
                     d / "observables.npz", mat=m),
                 pvt=dumps_mod.PvtDump(d / "pvt.npz", mat=m))
@@ -651,6 +653,12 @@ class Receiver:
         cfar = np.asarray(cfar)[:n_cand]
         code_phases = code_phases[:n_cand]
         doppler_hz = doppler_hz[:n_cand]
+        if self._dumps is not None:
+            self._dumps["acquisition"].push_batch(
+                g.signal, self._chunk_index, candidates, cfar,
+                np.asarray(res.test_max_power)[:n_cand], code_phases,
+                doppler_hz, np.asarray(res.magnitude)[:n_cand],
+                g.rx_cfg.acq_threshold_cfar)
         order = np.argsort(-cfar)
         for idx in order:
             if not idle:

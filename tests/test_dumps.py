@@ -54,3 +54,27 @@ def test_stage_dump_mat_output(tmp_path):
     m = loadmat(tmp_path / "trk.mat")
     np.testing.assert_allclose(m["prompt_i"].ravel(), [1.0, 2.0, 3.0])
     np.testing.assert_allclose(m["cn0_dbhz"].ravel(), [44.0, 45.0, 46.0])
+
+
+def test_receiver_acquisition_dump(tmp_path):
+    """Acquisition attempts land in acquisition.npz (reference
+    pcps_acquisition dump_results analog): PRN 7 present with a positive
+    detection at ~the injected Doppler."""
+    fs = 2.5e6
+    x = generator.generate(
+        constants.GPS_L1_CA,
+        [generator.SatParams(prn=7, cn0_dbhz=47, doppler_hz=900.0,
+                             code_delay_s=2e-4)], fs, 0.3, seed=2)
+    cfg = ReceiverConfig(signal="1C", fs=fs, n_channels=1, prns=(7, 13),
+                         chunk_ms=100, dump_dir=str(tmp_path))
+    rx = Receiver(cfg)
+    rx.run_source(ArraySignalSource(x, fs))
+    rx.close_dumps()
+    z = dumps.load_dump(tmp_path / "acquisition.npz")
+    assert set(z["prn"]) >= {7}
+    hits = z["positive"] & (z["prn"] == 7)
+    assert hits.any()
+    assert np.all(np.abs(z["doppler_hz"][hits] - 900.0) < 260.0)
+    # the absent satellite never crosses the CFAR threshold
+    miss = z["prn"] == 13
+    assert miss.any() and not z["positive"][miss].any()
