@@ -310,6 +310,7 @@ class Receiver:
         self.fixes: list[pvt_solver.PvtSolution] = []
         self.obs_log: list[tuple[int, list[ChannelObservable]]] = []
         self._sample_base = 0           # absolute sample index of chunk start
+        self._pending = None            # deferred (pends, base) of chunk k-1
         self._pvt_interval = int(round(
             config.pvt_output_rate_ms / config.obs_interval_ms))
         self._tick_count = 0
@@ -756,38 +757,51 @@ class Receiver:
             return g.tcp_engine.process_chunk(
                 np.asarray(jax.device_get(
                     chunk_dev[: self.chunk_len + g.n_max])), self.chunk_len)
-        chunk2 = chunk_dev[: self.chunk_len + g.n_max]
+        slab = self.chunk_len + g.n_max
         state, tables, sec = g.trk_state, g.code_tables, g.sec_tables
         if self.mesh is not None:
             # channel axis sharded across devices, sample chunk replicated
             # (SURVEY §2.4: per-satellite data parallelism over the mesh)
+            chunk2 = chunk_dev[:slab]
             state = self._shd.shard_tracking_state(state, self.mesh)
             tables = self._shd.shard_channel_array(tables, self.mesh)
             sec = self._shd.shard_channel_array(sec, self.mesh)
             chunk2 = self._shd.replicate(chunk2, self.mesh)
-        if self.mesh is None:
-            # cache the (rarely-changing) code/secondary tables on device:
-            # re-uploading them every chunk costs tunnel RPCs
-            if getattr(g, "_tables_rev", -1) != getattr(g, "tables_rev", 0):
-                g._tables_dev = jax.device_put(g.code_tables)
-                g._sec_dev = jax.device_put(g.sec_tables)
-                g._tables_rev = getattr(g, "tables_rev", 0)
-            tables, sec = g._tables_dev, g._sec_dev
-        g.trk_state, out = trk.track_chunk(
-            g.trk_cfg, chunk2, state, tables, sec)
-        # pack the host-consumed fields on device and fetch in 3 RPCs (the
-        # per-RPC tunnel latency dominated the chunk loop when the ~16
-        # leaves were fetched one by one)
-        return trk.pack_host_outputs(out, g.trk_state.loss_of_lock)
+            g.trk_state, packed = trk.track_chunk_packed(
+                g.trk_cfg, chunk2, state, tables, sec)
+            return packed
+        # cache the (rarely-changing) code/secondary tables on device:
+        # re-uploading them every chunk costs tunnel RPCs
+        if getattr(g, "_tables_rev", -1) != getattr(g, "tables_rev", 0):
+            g._tables_dev = jax.device_put(g.code_tables)
+            g._sec_dev = jax.device_put(g.sec_tables)
+            g._tables_rev = getattr(g, "tables_rev", 0)
+        tables, sec = g._tables_dev, g._sec_dev
+        # slice + scan + host-output pack fused into ONE device program:
+        # one execute RPC per group per chunk over the tunnel
+        g.trk_state, packed = trk.track_chunk_packed(
+            g.trk_cfg, chunk_dev, state, tables, sec,
+            slab=None if chunk_dev.shape[0] == slab else slab)
+        return packed
 
-    def _finish_tracking(self, g: SignalGroup, pend) -> None:
-        f32p, i32p, lol = jax.device_get(pend)
-        self._consume_tracking(g, f32p, i32p, lol)
+    def _finish_tracking(self, g: SignalGroup, pend,
+                         sample_base: int | None = None) -> None:
+        if isinstance(pend, tuple):          # TCP engine: host-side triple
+            f32p, i32p, lol = pend
+        else:                                # scan engine: ONE fused fetch
+            f32p, i32p, lol = trk.unpack_host_outputs(jax.device_get(pend))
+        self._consume_tracking(g, f32p, i32p, lol, sample_base)
 
-    def _consume_tracking(self, g: SignalGroup, f32p, i32p, lol) -> None:
+    def _consume_tracking(self, g: SignalGroup, f32p, i32p, lol,
+                          sample_base: int | None = None) -> None:
         """Feed one chunk's packed tracking outputs (pack_host_outputs
         layout, from the scan engine or the TCP-connector engine) into
-        telemetry / records / dumps and run the channel watchdogs."""
+        telemetry / records / dumps and run the channel watchdogs.
+
+        ``sample_base``: absolute sample index of the chunk these outputs
+        belong to (defaults to the current chunk; the deferred-consume
+        pipeline passes the base captured at dispatch time)."""
+        base = self._sample_base if sample_base is None else sample_base
         prompt = (f32p[..., 0] + 1j * f32p[..., 1]).astype(np.complex64)
         rem = f32p[..., 2]
         codef = f32p[..., 3]
@@ -810,7 +824,7 @@ class Receiver:
                 keep = ch.records[-1:]  # one record of history for early ticks
                 ch.records = keep + [
                     EpochRecord(
-                        abs_start_sample=self._sample_base + int(s),
+                        abs_start_sample=base + int(s),
                         epoch_index=int(e), rem_code_phase=float(r),
                         code_freq=float(cf), carrier_freq=float(crf),
                         carr_phase_cycles=int(cc), carr_phase_frac=float(ff),
@@ -839,16 +853,17 @@ class Receiver:
             if v.any() and self._dumps is not None:
                 lock = lock_all
                 self._dumps["tracking"].push_epochs(
-                    ch.global_id, ch.prn, self._sample_base + start[v, i],
+                    ch.global_id, ch.prn, base + start[v, i],
                     eidx[v, i], prompt[v, i], cn0[v, i], carrf[v, i],
                     codef[v, i], rem[v, i], lock[v, i])
             if lol[i] or getattr(ch.telemetry, "sync_failed", False):
                 self._drop_channel(g, ch)
 
     # --------------------------------------------------------- observables
-    def _run_observables(self) -> None:
+    def _run_observables(self, sample_base: int | None = None) -> None:
+        base = self._sample_base if sample_base is None else sample_base
         ticks = self.observables.ticks_for_range(
-            self._sample_base, self._sample_base + self.chunk_len)
+            base, base + self.chunk_len)
         for t in ticks:
             chans = []
             for g in self.groups:
@@ -967,12 +982,17 @@ class Receiver:
         return inputs
 
     # ------------------------------------------------------------- pipeline
-    def process(self, samples: np.ndarray) -> None:
+    def process(self, samples: np.ndarray, defer: bool = False) -> None:
         """Feed a contiguous block of conditioned samples (complex64 or
         split-IQ float32 [N, 2]).
 
         Must be called with blocks of exactly chunk_len except the last.
         Internally keeps the one-epoch halo continuity.
+
+        ``defer=True`` enables the depth-2 chunk pipeline (one chunk of
+        host-visible latency, ~3x steady-state throughput over the axon
+        tunnel); callers must invoke :meth:`flush` at end of stream. The
+        streaming run loops (run_source / run_file_source) do both.
         """
         samples = np.asarray(samples)
         if samples.dtype.kind != "c":
@@ -997,10 +1017,23 @@ class Receiver:
                 # serialization noted in bench.py's hybrid_serialization)
                 pends = [(g, self._dispatch_tracking(g, chunk_dev))
                          for g in self.groups]
-                for g, pend in pends:
-                    if pend is not None:
-                        self._finish_tracking(g, pend)
-                self._run_observables()
+                if defer:
+                    # depth-2 software pipeline: consume the PREVIOUS
+                    # chunk's outputs after dispatching this one. The
+                    # first blocking wait on a freshly dispatched axon
+                    # result pays a large completion-poll latency (~80 ms
+                    # measured); by the time chunk k+1 is dispatched,
+                    # chunk k's program has long finished and the wait is
+                    # just the d2h transfer. Host-visible effects
+                    # (telemetry, records, observables, loss-of-lock
+                    # drops) lag one chunk; the sample accounting uses
+                    # the base captured at dispatch time.
+                    prev, self._pending = self._pending, (
+                        pends, self._sample_base)
+                    if prev is not None:
+                        self._consume_chunk(*prev)
+                else:
+                    self._consume_chunk(pends, self._sample_base)
             self._buf = self._buf[self.chunk_len:]
             self._sample_base += self.chunk_len
             self._chunk_index += 1
@@ -1012,9 +1045,27 @@ class Receiver:
                              self._sample_base / self.cfg.fs,
                              self.status_text())
 
+    def _consume_chunk(self, pends, sample_base: int) -> None:
+        for g, pend in pends:
+            if pend is not None:
+                self._finish_tracking(g, pend, sample_base)
+        self._run_observables(sample_base)
+
+    def flush(self) -> None:
+        """Consume a deferred chunk still in flight (end of stream, or
+        before control-plane actions that mutate channel state)."""
+        if self._pending is not None:
+            prev, self._pending = self._pending, None
+            self._consume_chunk(*prev)
+
     # ------------------------------------------------------------- control
     def _dispatch_commands(self) -> None:
-        for ev in self.control_queue.pop_all():
+        events = self.control_queue.pop_all()
+        if events:
+            # telecommands mutate channel/group state; retire any deferred
+            # chunk first so drops/restarts see consistent bookkeeping
+            self.flush()
+        for ev in events:
             log.info("telecommand: %s %s", ev.command, ev.args)
             if ev.command == "standby":
                 self.standby = True
@@ -1125,8 +1176,9 @@ class Receiver:
                 block = input_filter(block)
             if len(block) == 0:
                 break
-            self.process(block)
+            self.process(block, defer=True)
             n += 1
+        self.flush()
 
     def _run_pipelined(self, source, cond, block_len: int, input_filter,
                        max_chunks: int | None) -> None:
@@ -1167,7 +1219,8 @@ class Receiver:
                 block = q.get()
                 if block is None:
                     break
-                self.process(block)
+                self.process(block, defer=True)
+            self.flush()
         finally:
             stop.set()
             # drain so a blocked producer can observe the stop flag
@@ -1203,8 +1256,9 @@ class Receiver:
             if len(block) < (2 if cond is not None else 1):
                 break
             self.process(np.asarray(cond(block))
-                         if cond is not None else block)
+                         if cond is not None else block, defer=True)
             n += 1
+        self.flush()
 
     # ------------------------------------------------------------- queries
     def tracked_prns(self) -> list[int]:

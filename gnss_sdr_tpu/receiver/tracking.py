@@ -184,21 +184,39 @@ class TrackingOutput(NamedTuple):
 
 @jax.jit
 def pack_host_outputs(out: TrackingOutput, loss_of_lock: jax.Array):
-    """Pack the host-consumed output fields into two dense arrays.
+    """Pack EVERY host-consumed output field into one dense float32 cube.
 
-    The axon tunnel charges a fixed RPC latency per fetched array; packing
-    the ~12 per-epoch leaves into one float32 [S, C, 9] + one int32
-    [S, C, 3] cube (plus the [C] loss flags) makes the per-chunk download
-    3 RPCs instead of ~16 (see Receiver._run_tracking).
+    The axon tunnel charges a fixed RPC latency per fetched array (~tens
+    of ms), which dominated the steady-state chunk loop; packing the ~12
+    per-epoch leaves + the int32 fields (bitcast to float32, recovered
+    with ``.view(np.int32)`` on host) + the [C] loss flags (broadcast
+    along the epoch axis) into ONE [S, C, 13] array makes the per-chunk
+    download a single RPC (see unpack_host_outputs).
     """
-    f32 = jnp.stack([
-        out.prompt[..., 0], out.prompt[..., 1],
-        out.rem_code_phase, out.code_freq, out.carrier_freq,
-        out.carr_phase_frac, out.cn0_dbhz, out.carrier_lock,
-        out.valid.astype(jnp.float32)], axis=-1)
-    i32 = jnp.stack([out.epoch_index, out.start_offset,
-                     out.carr_phase_cycles], axis=-1)
-    return f32, i32, loss_of_lock
+    i32f = jax.lax.bitcast_convert_type(
+        jnp.stack([out.epoch_index, out.start_offset,
+                   out.carr_phase_cycles], axis=-1), jnp.float32)
+    lol = jnp.broadcast_to(loss_of_lock.astype(jnp.float32)[None, :, None],
+                           out.prompt.shape[:2] + (1,))
+    return jnp.concatenate([
+        jnp.stack([
+            out.prompt[..., 0], out.prompt[..., 1],
+            out.rem_code_phase, out.code_freq, out.carrier_freq,
+            out.carr_phase_frac, out.cn0_dbhz, out.carrier_lock,
+            out.valid.astype(jnp.float32)], axis=-1),
+        i32f, lol], axis=-1)
+
+
+def unpack_host_outputs(packed: np.ndarray):
+    """Host-side inverse of :func:`pack_host_outputs` -> (f32p, i32p, lol)
+    in the legacy triple layout ([S,C,9] float32, [S,C,3] int32, [C] bool)
+    shared with the TCP-connector engine."""
+    packed = np.asarray(packed)
+    f32p = packed[..., :9]
+    i32p = np.ascontiguousarray(packed[..., 9:12]).view(np.int32)
+    lol = packed[0, :, 12] > 0.5 if len(packed) else \
+        np.zeros(packed.shape[1], bool)
+    return f32p, i32p, lol
 
 
 def init_state(n_channels: int, n_taps: int = 3) -> TrackingState:
@@ -324,6 +342,22 @@ def stop_channel(state: TrackingState, ch: int) -> TrackingState:
     st.active[ch] = False
     st.state[ch] = STANDBY
     return st
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "slab"))
+def track_chunk_packed(cfg: TrackingConfig, chunk: jax.Array,
+                       state: TrackingState, code_tables: jax.Array,
+                       sec_tables: jax.Array | None = None,
+                       slab: int | None = None):
+    """One device program = one tunnel execute RPC: slice the shared
+    uploaded chunk to this group's slab, run the tracking scan and pack
+    the host outputs, all inside a single jit. The eager slice + separate
+    pack call each cost a full RPC round trip over the axon tunnel
+    (~25 ms), which dominated the steady-state CLI chunk loop."""
+    if slab is not None:
+        chunk = chunk[:slab]
+    new_state, out = track_chunk(cfg, chunk, state, code_tables, sec_tables)
+    return new_state, pack_host_outputs(out, new_state.loss_of_lock)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

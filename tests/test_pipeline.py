@@ -67,7 +67,7 @@ def test_pipeline_overlaps_read_latency(monkeypatch):
 
     proc_spans = []
 
-    def slow_process(block):
+    def slow_process(block, defer=False):
         t0 = time.monotonic()
         time.sleep(proc_delay)
         proc_spans.append((t0, time.monotonic()))
