@@ -552,9 +552,19 @@ class Receiver:
             slab = 2 * g.spc if g.acq_double else g.spc
         if len(chunk) < nc * slab:
             return
+        # slide the dwell start by one code period per chunk: the chunk
+        # length is typically an integer number of data-bit periods
+        # (100 ms = 5 x 20 ms LNAV bits), so a fixed chunk-head dwell
+        # re-samples the SAME bit-phase alignment on every retry — a
+        # satellite whose bit edge falls inside the dwell then fails the
+        # CFAR test indefinitely (observed: a 47 dB-Hz satellite searched
+        # for 17 s until the assisted path found it). Stepping the offset
+        # through the code-period grid de-aliases the bit phase.
+        n_off = max(1, min(23, (len(chunk) - nc * slab) // max(g.spc, 1)))
+        off = (self._chunk_index % n_off) * g.spc
         # device-side slice of the shared uploaded chunk (no re-upload)
-        head_dev = (chunk_dev[: nc * slab] if chunk_dev is not None
-                    else iq.split(chunk[: nc * slab]))
+        head_dev = (chunk_dev[off: off + nc * slab] if chunk_dev is not None
+                    else iq.split(chunk[off: off + nc * slab]))
         # pad the candidate batch to a bucket size so the jitted search
         # compiles once per bucket instead of once per distinct pool size
         # (the pool shrinks/grows every chunk as satellites are assigned)
@@ -563,7 +573,14 @@ class Receiver:
         padded = candidates + [candidates[-1]] * (bucket - n_cand)
         dopplers = acq_ops.make_doppler_grid(
             g.rx_cfg.acq_doppler_max_hz, g.rx_cfg.acq_doppler_step_hz)
-        spchip = max(1, int(self.cfg.fs / g.spec.code_rate_cps))
+        # CFAR exclusion half-width: CEIL of samples/chip. int() floored
+        # 2.0 MHz / 1.023 Mcps = 1.955 to ONE sample, so the main peak's
+        # own shoulder (0.5 chip away, ~0.7 amplitude at worst sampling
+        # phase) counted as the "second peak" and halved every CFAR ratio
+        # — satellites with an unlucky code/sampling alignment then sat
+        # below threshold for tens of seconds (observed: a 47 dB-Hz SV
+        # stuck at cfar 1.4-1.9 until the assisted path rescued it).
+        spchip = max(1, int(np.ceil(self.cfg.fs / g.spec.code_rate_cps)))
         if variant in ("e1_8ms", "e5a_caf"):
             pairs = [self._code_fft_pair(g, p) for p in padded]
             cfa = np.stack([a for a, _ in pairs])
@@ -668,7 +685,11 @@ class Receiver:
             if cfar[idx] < g.rx_cfg.acq_threshold_cfar:
                 g.acq_backoff[prn] = self._chunk_index + 5
                 continue
-            delay = code_phases[int(idx)]
+            # the dwell started `off` samples into the chunk; `off` is a
+            # multiple of the code period, so the code boundary nearest
+            # the chunk head is at the same phase — report the absolute
+            # in-chunk sample so handoff starts on a true boundary
+            delay = code_phases[int(idx)] + off
             doppler = doppler_hz[int(idx)]
             if g.rx_cfg.acq_two_step and g.spec.fdma_step_hz == 0.0:
                 doppler = self._refine_doppler(g, chunk, prn, delay, doppler)
