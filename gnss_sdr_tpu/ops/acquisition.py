@@ -38,6 +38,21 @@ class AcqGridResult(NamedTuple):
     magnitude: jax.Array        # [S] raw |corr|^2 peak (FFTW-normalized)
 
 
+def _dwell_windows(x: jax.Array, n_fft: int, noncoherent: int,
+                   stride: int | None) -> jax.Array:
+    """[noncoherent, n_fft] dwell windows from a flat sample vector.
+
+    ``stride`` decouples the dwell advance from the (possibly
+    friendly-padded, see ops/fft.friendly_len) FFT window: consecutive
+    dwells must start a code-period multiple apart so their correlation
+    peaks land on the SAME lag and accumulate noncoherently, even when
+    n_fft was padded past the natural dwell length."""
+    if stride is None or stride == n_fft:
+        return x[: noncoherent * n_fft].reshape(noncoherent, n_fft)
+    return jnp.stack([x[i * stride: i * stride + n_fft]
+                      for i in range(noncoherent)])
+
+
 def make_doppler_grid(doppler_max: float, doppler_step: float,
                       doppler_center: float = 0.0) -> np.ndarray:
     """Doppler bin centers, reference-compatible ordering (-max .. +max)."""
@@ -48,10 +63,12 @@ def make_doppler_grid(doppler_max: float, doppler_step: float,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fs", "samples_per_code", "samples_per_chip", "noncoherent"))
+    static_argnames=("fs", "samples_per_code", "samples_per_chip",
+                     "noncoherent", "stride"))
 def pcps_search(x: jax.Array, code_fft_conj: jax.Array, dopplers: jax.Array,
                 *, fs: float, samples_per_code: int, samples_per_chip: int,
-                noncoherent: int = 1) -> AcqGridResult:
+                noncoherent: int = 1, stride: int | None = None
+                ) -> AcqGridResult:
     """Run the full PCPS grid for a batch of signals.
 
     Args:
@@ -70,7 +87,7 @@ def pcps_search(x: jax.Array, code_fft_conj: jax.Array, dopplers: jax.Array,
     x = iq.as_complex(x)
     code_fft_conj = iq.as_complex(code_fft_conj)
     n_fft = code_fft_conj.shape[-1]
-    xb = x[: noncoherent * n_fft].reshape(noncoherent, n_fft)
+    xb = _dwell_windows(x, n_fft, noncoherent, stride)
 
     n = jnp.arange(n_fft, dtype=jnp.float32) * jnp.float32(1.0 / fs)
     # [D, N] Doppler wipeoff carriers
@@ -127,11 +144,13 @@ def pcps_search(x: jax.Array, code_fft_conj: jax.Array, dopplers: jax.Array,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fs", "samples_per_code", "samples_per_chip", "noncoherent"))
+    static_argnames=("fs", "samples_per_code", "samples_per_chip",
+                     "noncoherent", "stride"))
 def pcps_search_grids(x: jax.Array, code_fft_conj: jax.Array,
                       dopplers_sd: jax.Array, *, fs: float,
                       samples_per_code: int, samples_per_chip: int,
-                      noncoherent: int = 1) -> AcqGridResult:
+                      noncoherent: int = 1, stride: int | None = None
+                      ) -> AcqGridResult:
     """PCPS with a PER-SIGNAL Doppler grid — one device call for the whole
     candidate batch.
 
@@ -153,7 +172,7 @@ def pcps_search_grids(x: jax.Array, code_fft_conj: jax.Array,
     x = iq.as_complex(x)
     code_fft_conj = iq.as_complex(code_fft_conj)
     n_fft = code_fft_conj.shape[-1]
-    xb = x[: noncoherent * n_fft].reshape(noncoherent, n_fft)
+    xb = _dwell_windows(x, n_fft, noncoherent, stride)
     n = jnp.arange(n_fft, dtype=jnp.float32) * jnp.float32(1.0 / fs)
 
     def scan_body(_, inp):
@@ -420,13 +439,15 @@ def caf_triangular_smooth(v: jax.Array, caf_bins_half: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("fs", "samples_per_code", "samples_per_chip",
-                     "noncoherent", "caf_bins_half", "both_components"))
+                     "noncoherent", "caf_bins_half", "both_components",
+                     "stride"))
 def noncoherent_iq_caf_search(x: jax.Array, code_fft_conj_data: jax.Array,
                               code_fft_conj_pilot: jax.Array,
                               dopplers: jax.Array, *, fs: float,
                               samples_per_code: int, samples_per_chip: int,
                               noncoherent: int = 1, caf_bins_half: int = 0,
-                              both_components: bool = True) -> AcqGridResult:
+                              both_components: bool = True,
+                              stride: int | None = None) -> AcqGridResult:
     """Galileo E5a noncoherent I/Q acquisition with optional CAF filtering
     (galileo_e5a_noncoherent_iq_acquisition_caf_cc).
 
@@ -444,7 +465,7 @@ def noncoherent_iq_caf_search(x: jax.Array, code_fft_conj_data: jax.Array,
     cd = iq.as_complex(code_fft_conj_data)
     cp = iq.as_complex(code_fft_conj_pilot)
     n_fft = cd.shape[-1]
-    xb = xc[: noncoherent * n_fft].reshape(noncoherent, n_fft)
+    xb = _dwell_windows(xc, n_fft, noncoherent, stride)
     n = jnp.arange(n_fft, dtype=jnp.float32) * jnp.float32(1.0 / fs)
     carriers = jnp.exp(jnp.complex64(-2j * np.pi)
                        * (dopplers[:, None] * n[None, :]))
@@ -461,18 +482,22 @@ def noncoherent_iq_caf_search(x: jax.Array, code_fft_conj_data: jax.Array,
             mag = mag_i + mag_q
         mag = mag * jnp.float32(n_fft * n_fft)
         mag_cp = mag[:, :samples_per_code]
-        flat = jnp.argmax(mag_cp)
-        d_idx, t_idx = jnp.unravel_index(flat, mag_cp.shape)
-        peak = mag_cp[d_idx, t_idx]
-        row = mag_cp[d_idx]
+        # CAF doppler re-selection from the smoothed per-bin peak vector
+        if caf_bins_half > 0:
+            caf = jnp.max(mag_cp, axis=1)                   # [D]
+            d_sel = jnp.argmax(caf_triangular_smooth(caf, caf_bins_half))
+        else:
+            d_sel = jnp.argmax(mag_cp) // samples_per_code
+        # code phase / peak / second-peak all from the SELECTED Doppler
+        # row, so the reported (doppler, code_phase, statistic) triple is
+        # internally consistent even when smoothing moves the maximum
+        row = mag_cp[d_sel]
+        t_idx = jnp.argmax(row)
+        peak = row[t_idx]
         pos = jnp.arange(samples_per_code, dtype=jnp.int32)
         dist = jnp.abs(pos - t_idx)
         dist = jnp.minimum(dist, samples_per_code - dist)
         second = jnp.max(jnp.where(dist >= samples_per_chip, row, 0.0))
-        # CAF doppler re-selection from the smoothed per-bin peak vector
-        caf = jnp.max(mag_cp, axis=1)                       # [D]
-        d_caf = jnp.argmax(caf_triangular_smooth(caf, caf_bins_half))
-        d_sel = d_caf if caf_bins_half > 0 else d_idx
         return None, (peak, d_sel, t_idx, second)
 
     _, (peaks, d_idxs, t_idxs, seconds) = jax.lax.scan(
@@ -492,11 +517,13 @@ def noncoherent_iq_caf_search(x: jax.Array, code_fft_conj_data: jax.Array,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fs", "samples_per_code", "samples_per_chip", "noncoherent"))
+    static_argnames=("fs", "samples_per_code", "samples_per_chip",
+                     "noncoherent", "stride"))
 def cccwsr_search(x: jax.Array, code_fft_conj_data: jax.Array,
                   code_fft_conj_pilot: jax.Array, dopplers: jax.Array, *,
                   fs: float, samples_per_code: int, samples_per_chip: int,
-                  noncoherent: int = 1) -> AcqGridResult:
+                  noncoherent: int = 1, stride: int | None = None
+                  ) -> AcqGridResult:
     """Coherent Combining With Sign Recovery (pcps_cccwsr_acquisition_cc):
     acquire Galileo E1 by combining the E1B (data) and E1C (pilot)
     correlations coherently under both relative-sign hypotheses and keeping
@@ -508,7 +535,7 @@ def cccwsr_search(x: jax.Array, code_fft_conj_data: jax.Array,
     cd = iq.as_complex(code_fft_conj_data)
     cp = iq.as_complex(code_fft_conj_pilot)
     n_fft = cd.shape[-1]
-    xb = xc[: noncoherent * n_fft].reshape(noncoherent, n_fft)
+    xb = _dwell_windows(xc, n_fft, noncoherent, stride)
     n = jnp.arange(n_fft, dtype=jnp.float32) * jnp.float32(1.0 / fs)
     carriers = jnp.exp(jnp.complex64(-2j * np.pi)
                        * (dopplers[:, None] * n[None, :]))

@@ -102,3 +102,26 @@ def next_composite_pow2(n: int) -> int:
     while p < n:
         p *= 2
     return p
+
+
+def is_friendly(n: int) -> bool:
+    """True when _split factors n with both factors <= 512 — i.e. the
+    matmul FFT needs only small dense DFT matrices (no O(n^2) fallback)."""
+    n1, n2 = _split(n)
+    return n1 <= 512 and n2 <= 512
+
+
+def friendly_len(n: int) -> int:
+    """Smallest m >= n that factors m = m1 * m2 with both <= 512.
+
+    Acquisition pads its FFT windows to this length so an awkward sample
+    rate (prime samples-per-code) can never trigger _split's dense-DFT
+    fallback — which would compile an n x n complex constant (multi-GB for
+    megasample windows). Dense below 262144 = 512^2; callers stay under it.
+    """
+    if n > 512 * 512:
+        raise ValueError(f"no <=512-factor split exists for n >= {n}")
+    m = n
+    while not is_friendly(m):
+        m += 1
+    return m

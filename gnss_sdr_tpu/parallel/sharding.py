@@ -57,7 +57,7 @@ def replicate(arr, mesh: Mesh):
 def pcps_search_sharded(mesh: Mesh, x, code_fft_conj, dopplers, *,
                         fs: float, samples_per_code: int,
                         samples_per_chip: int, noncoherent: int = 1,
-                        axis: str = "channel"):
+                        stride: int | None = None, axis: str = "channel"):
     """PCPS acquisition with the signal axis sharded across the mesh.
 
     Each device searches its local slice of the [S, doppler, code-phase]
@@ -73,7 +73,8 @@ def pcps_search_sharded(mesh: Mesh, x, code_fft_conj, dopplers, *,
     def local(x_loc, cf_loc, dop_loc):
         return acq_ops.pcps_search(
             x_loc, cf_loc, dop_loc, fs=fs, samples_per_code=samples_per_code,
-            samples_per_chip=samples_per_chip, noncoherent=noncoherent)
+            samples_per_chip=samples_per_chip, noncoherent=noncoherent,
+            stride=stride)
 
     out_specs = acq_ops.AcqGridResult(
         *([P(axis)] * len(acq_ops.AcqGridResult._fields)))

@@ -50,7 +50,15 @@ def attach_outputs(rx, conf) -> OutputSet:
     if nmea_path:
         from gnss_sdr_tpu.receiver.pvt.nmea import NmeaPrinter
         nmea = NmeaPrinter(nmea_path)
-        rx.fix_sinks.append(lambda s, _p=nmea: _p.push(s, rx.tracked_prns()))
+
+        def _cn0_by_prn():
+            return {ch.prn: ch.records[-1].cn0_dbhz
+                    for g in rx.groups for ch in g.channels
+                    if ch.state == "tracking" and ch.records}
+
+        rx.fix_sinks.append(lambda s, _p=nmea: _p.push(
+            s, rx.tracked_prns(), ephemerides=rx.ephemerides,
+            cn0_by_prn=_cn0_by_prn()))
         out.closers.append(nmea.close)
 
     for key, cls_name in (("PVT.kml_filename", "KmlPrinter"),

@@ -1,7 +1,8 @@
-"""NMEA-0183 sentence output (GGA, RMC, GSA).
+"""NMEA-0183 sentence output (GGA, RMC, GSA, GSV).
 
 Reference analog: ``Nmea_Printer``
-(``src/algorithms/PVT/libs/nmea_printer.cc``)."""
+(``src/algorithms/PVT/libs/nmea_printer.cc`` — which emits
+GPGGA/GPGSA/GPGSV/GPRMC)."""
 
 from __future__ import annotations
 
@@ -74,18 +75,72 @@ def gsa(sol, prns=()) -> str:
     return _sentence(body)
 
 
+def gsv(sats) -> list[str]:
+    """GPGSV satellites-in-view sentences (nmea_printer.cc GSV block):
+    up to 4 satellites per sentence, each (prn, el_deg, az_deg, cn0_dbhz);
+    cn0 may be None (tracked but no measurement -> empty SNR field)."""
+    sats = list(sats)
+    if not sats:
+        return []
+    n_msg = (len(sats) + 3) // 4
+    out = []
+    for m in range(n_msg):
+        group = sats[4 * m: 4 * m + 4]
+        fields = [f"GPGSV,{n_msg},{m + 1},{len(sats):02d}"]
+        for prn, el, az, cn0 in group:
+            snr = "" if cn0 is None else f"{int(round(cn0)):02d}"
+            fields.append(f"{int(prn):02d},{int(round(el)):02d},"
+                          f"{int(round(az)) % 360:03d},{snr}")
+        # incomplete final group: pad with empty 4-field satellite slots
+        # (the conventional GSV form, e.g. "...,00,,,,*4D")
+        fields.extend(",,," for _ in range(4 - len(group)))
+        out.append(_sentence(",".join(fields)))
+    return out
+
+
+def sats_in_view(sol, ephemerides, cn0_by_prn=None):
+    """(prn, el_deg, az_deg, cn0) rows for gsv() from a solution + the
+    GPS ephemeris store (keys ("G", prn) or bare prn)."""
+    import numpy as np
+    from gnss_sdr_tpu.receiver.pvt import geodesy
+
+    rows = []
+    for key, eph in sorted(ephemerides.items(),
+                           key=lambda kv: kv[0][1]
+                           if isinstance(kv[0], tuple) else kv[0]):
+        if isinstance(key, tuple):
+            if key[0] != "G":
+                continue
+            prn = key[1]
+        else:
+            prn = key
+        try:
+            pos, _vel = eph.position_velocity(sol.tow_s)
+        except Exception:
+            continue
+        az, el = geodesy.az_el(np.asarray(sol.pos_ecef), np.asarray(pos))
+        if el < 0:
+            continue
+        cn0 = (cn0_by_prn or {}).get(prn)
+        rows.append((prn, math.degrees(el), math.degrees(az), cn0))
+    return rows
+
+
 class NmeaPrinter:
     def __init__(self, path: str | pathlib.Path):
         self.path = pathlib.Path(path)
         self._f = open(self.path, "w")
 
-    def push(self, sol, prns=()) -> None:
+    def push(self, sol, prns=(), ephemerides=None, cn0_by_prn=None) -> None:
         if not sol.valid:
             return
         self._f.write(gga(sol))
         self._f.write(rmc(sol))
         if prns:
             self._f.write(gsa(sol, prns))
+        if ephemerides:
+            for s in gsv(sats_in_view(sol, ephemerides, cn0_by_prn)):
+                self._f.write(s)
         self._f.flush()
 
     def close(self) -> None:

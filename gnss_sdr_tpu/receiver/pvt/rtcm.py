@@ -734,6 +734,10 @@ class MsmObservation:
     # is ambiguous by k * RANGE_MS and the consumer must resolve k from an
     # approximate position (rtklib decode_msm's partial-range handling)
     modulo_1ms: bool = False
+    # False when the source carries no fine code observable (MSM2 is
+    # phase-only): pseudorange_m is then only the 10-bit rough range
+    # (~293 m quantization) and must not be used as a measured code range
+    has_code: bool = True
 
 
 MSM4_GPS, MSM5_GPS, MSM7_GPS = 1074, 1075, 1077
@@ -984,7 +988,8 @@ def decode_msm(bits: np.ndarray) -> tuple[dict, list[MsmObservation]]:
             has_rate=bool(has_rate),
             freq_slot=(ext[p] - 7 if system == "R" else 0),
             has_phase=ph_l is not None,
-            modulo_1ms=not has_int_ms))
+            modulo_1ms=not has_int_ms,
+            has_code=pr_l is not None))
     return dict(msg=msg, station_id=station, epoch_ms=epoch_ms,
                 raw_epoch=raw_epoch), out
 

@@ -113,6 +113,21 @@ class RtcmBaseStation:
         elif msg in rtcm.MSM_MESSAGES:
             hdr, obs = rtcm.decode_msm(payload_bits)
             _level, system = rtcm.MSM_MESSAGES[msg]
+            # MSM1-3 ranges are ambiguous by k * 1 ms (no DF397) and MSM1/2
+            # lack a measured phase/code; until a predicted-range resolver
+            # is wired in (rtcm.resolve_modulo_range), keep only fully
+            # resolved observations rather than feeding ~300 km-ambiguous
+            # pseudoranges into the differential pipeline
+            kept = [o for o in obs
+                    if not o.modulo_1ms and o.has_phase and o.has_code]
+            if len(kept) != len(obs):
+                log.warning(
+                    "MSM%d (%d): dropped %d/%d modulo-1ms/partial obs "
+                    "(range ambiguity unresolved)", _level, msg,
+                    len(obs) - len(kept), len(obs))
+            if not kept:
+                return
+            obs = kept
             # decode_msm already reports epoch_ms as GPS TOW for all
             # systems (GLONASS dow/tod converted by the codec)
             tow = hdr["epoch_ms"] * 1e-3

@@ -362,18 +362,45 @@ class Receiver:
         raise KeyError(ch)
 
     # ------------------------------------------------------------------ acq
+    def _acq_window(self, g: SignalGroup, variant: str) -> tuple[int, int]:
+        """(fft_window, dwell_stride) for this group's acquisition.
+
+        The natural window (1 or 2 code periods) is kept when its length
+        factors MXU-friendly (ops/fft._split factors <= 512). An awkward
+        sample rate — e.g. one that makes samples-per-code prime — would
+        otherwise hit the dense-DFT fallback and compile an n x n complex
+        constant; instead the window is zero-pad-extended (code replica) /
+        sample-extended (dwell) to the next friendly length that keeps
+        every lag in [0, spc) a full wrap-free correlation: spc + the
+        replica's nonzero length."""
+        spc = g.spc
+        if variant == "e1_8ms":
+            base, nonzero = 2 * spc, 2 * spc
+        elif variant == "e5a_caf":
+            base, nonzero = spc, spc
+        else:
+            base = 2 * spc if g.acq_double else spc
+            nonzero = spc
+        from gnss_sdr_tpu.ops import fft as mxu_fft
+        if mxu_fft.is_friendly(base):
+            return base, base
+        return mxu_fft.friendly_len(spc + nonzero), base
+
     def _code_fft(self, g: SignalGroup, prn: int) -> np.ndarray:
         if prn not in g.acq_reps:
             boc = g.spec.subcarrier_rate_hz
             rep = codes.sample_code(
                 codes.code_chips(g.signal, prn), self.cfg.fs,
                 g.spec.code_rate_cps, g.spc, boc_rate=boc)
-            if g.acq_double:
+            window, _ = self._acq_window(g, g.rx_cfg.acq_variant)
+            if window > len(rep):
                 # doubled-FFT mode (reference bit_transition_flag,
-                # pcps_acquisition.cc:101): zero-pad the code to 2 periods so
-                # every code-phase hypothesis correlates over an uninterrupted
-                # window even when a data-bit edge falls inside the dwell
-                rep = np.concatenate([rep, np.zeros_like(rep)])
+                # pcps_acquisition.cc:101) and/or friendly-length padding
+                # (_acq_window): zero-pad the code so every code-phase
+                # hypothesis correlates over an uninterrupted window even
+                # when a data-bit edge falls inside the dwell
+                rep = np.concatenate(
+                    [rep, np.zeros(window - len(rep), rep.dtype)])
             # split-IQ: complex never crosses the host->device boundary
             g.acq_reps[prn] = iq.split(np.conj(np.fft.fft(rep)))
         return g.acq_reps[prn]
@@ -399,6 +426,11 @@ class Receiver:
                 b = codes.sample_code(
                     codes.pilot_code_chips(g.signal, prn), self.cfg.fs,
                     g.spec.code_rate_cps, g.spc, boc_rate=boc)
+            window, _ = self._acq_window(g, g.rx_cfg.acq_variant)
+            if window > len(a):               # friendly-length padding
+                pad = np.zeros(window - len(a), a.dtype)
+                a = np.concatenate([a, pad])
+                b = np.concatenate([b, pad])
             g.acq_reps2[prn] = (iq.split(np.conj(np.fft.fft(a))),
                                 iq.split(np.conj(np.fft.fft(b))))
         return g.acq_reps2[prn]
@@ -545,12 +577,12 @@ class Receiver:
         variant = g.rx_cfg.acq_variant
         nc = g.rx_cfg.acq_noncoherent
         if variant == "e1_8ms":
-            nc, slab = 1, 2 * g.spc          # one coherent 8 ms dwell
-        elif variant == "e5a_caf":
-            slab = g.spc                     # single-period dwells; CAF
-        else:                                # smoothing handles the overlay
-            slab = 2 * g.spc if g.acq_double else g.spc
-        if len(chunk) < nc * slab:
+            nc = 1                           # one coherent 8 ms dwell
+        window, slab = self._acq_window(g, variant)
+        # total samples the dwell stack spans: nc strides of one natural
+        # dwell each, the last extended to the (friendly-padded) window
+        head_len = (nc - 1) * slab + window
+        if len(chunk) < head_len:
             return
         # slide the dwell start by one code period per chunk: the chunk
         # length is typically an integer number of data-bit periods
@@ -560,11 +592,14 @@ class Receiver:
         # CFAR test indefinitely (observed: a 47 dB-Hz satellite searched
         # for 17 s until the assisted path found it). Stepping the offset
         # through the code-period grid de-aliases the bit phase.
-        n_off = max(1, min(23, (len(chunk) - nc * slab) // max(g.spc, 1)))
+        n_off = max(1, min(23, (len(chunk) - head_len) // max(g.spc, 1)))
         off = (self._chunk_index % n_off) * g.spc
         # device-side slice of the shared uploaded chunk (no re-upload)
-        head_dev = (chunk_dev[off: off + nc * slab] if chunk_dev is not None
-                    else iq.split(chunk[off: off + nc * slab]))
+        head_dev = (chunk_dev[off: off + head_len] if chunk_dev is not None
+                    else iq.split(chunk[off: off + head_len]))
+        # decouple dwell advance (code-period multiple) from the padded
+        # FFT window; None = natural layout (shares the compile cache)
+        stride = slab if slab != window else None
         # pad the candidate batch to a bucket size so the jitted search
         # compiles once per bucket instead of once per distinct pool size
         # (the pool shrinks/grows every chunk as satellites are assigned)
@@ -598,7 +633,8 @@ class Receiver:
                     fs=self.cfg.fs, samples_per_code=g.spc,
                     samples_per_chip=spchip, noncoherent=nc,
                     caf_bins_half=caf_half,
-                    both_components=g.rx_cfg.acq_both_components))
+                    both_components=g.rx_cfg.acq_both_components,
+                    stride=stride))
             cfar = np.asarray(res.test_cfar)
             code_phases = [int(v) for v in res.code_phase]
             doppler_hz = [float(v) for v in res.doppler_hz]
@@ -622,7 +658,7 @@ class Receiver:
             res = acq_ops.pcps_search_grids(
                 head_dev, cf, grids,
                 fs=self.cfg.fs, samples_per_code=g.spc,
-                samples_per_chip=spchip, noncoherent=nc)
+                samples_per_chip=spchip, noncoherent=nc, stride=stride)
             res = jax.device_get(res)        # ONE d2h RPC for all leaves
             cfar = np.asarray(res.test_cfar)
             code_phases = [int(v) for v in res.code_phase]
@@ -638,7 +674,7 @@ class Receiver:
             res = acq_ops.pcps_search_grids(
                 head_dev, cf, grids,
                 fs=self.cfg.fs, samples_per_code=g.spc,
-                samples_per_chip=spchip, noncoherent=nc)
+                samples_per_chip=spchip, noncoherent=nc, stride=stride)
             res = jax.device_get(res)
             cfar = np.asarray(res.test_cfar)
             code_phases = [int(v) for v in res.code_phase]
@@ -657,14 +693,15 @@ class Receiver:
                 res = self._shd.pcps_search_sharded(
                     self.mesh, head_dev, cf_p, dopplers,
                     fs=self.cfg.fs, samples_per_code=g.spc,
-                    samples_per_chip=spchip, noncoherent=nc)
+                    samples_per_chip=spchip, noncoherent=nc, stride=stride)
                 res = jax.tree.map(lambda a: a[:n_sig],
                                    jax.device_get(res))
             else:
                 res = jax.device_get(acq_ops.pcps_search(
                     head_dev, cf, dopplers,
                     fs=self.cfg.fs, samples_per_code=g.spc,
-                    samples_per_chip=spchip, noncoherent=nc))
+                    samples_per_chip=spchip, noncoherent=nc,
+                    stride=stride))
             cfar = np.asarray(res.test_cfar)
             code_phases = [int(v) for v in res.code_phase]
             doppler_hz = [float(v) for v in res.doppler_hz]
@@ -1025,6 +1062,17 @@ class Receiver:
             chunk = self._buf[: self.chunk_len + self.n_max]
             self._dispatch_commands()
             if not self.standby:
+                # depth-2 software pipeline: consume the PREVIOUS chunk's
+                # outputs at the TOP of the iteration — before this
+                # chunk's acquisition can reassign a channel that the
+                # consume drops for loss-of-lock (a consume-after-acquire
+                # ordering would push the old PRN's epochs into the new
+                # PRN's telemetry/observables for one chunk). The overlap
+                # benefit is preserved: chunk k's device program was
+                # dispatched an entire host iteration ago and has long
+                # finished, so the blocking wait here is just the d2h
+                # transfer, not the ~80 ms fresh-dispatch completion poll.
+                self.flush()
                 # ONE host->device upload per chunk; acquisition and every
                 # group's tracking scan slice the same device array (the
                 # axon tunnel's per-RPC cost makes repeated implicit
@@ -1039,20 +1087,11 @@ class Receiver:
                 pends = [(g, self._dispatch_tracking(g, chunk_dev))
                          for g in self.groups]
                 if defer:
-                    # depth-2 software pipeline: consume the PREVIOUS
-                    # chunk's outputs after dispatching this one. The
-                    # first blocking wait on a freshly dispatched axon
-                    # result pays a large completion-poll latency (~80 ms
-                    # measured); by the time chunk k+1 is dispatched,
-                    # chunk k's program has long finished and the wait is
-                    # just the d2h transfer. Host-visible effects
-                    # (telemetry, records, observables, loss-of-lock
-                    # drops) lag one chunk; the sample accounting uses
-                    # the base captured at dispatch time.
-                    prev, self._pending = self._pending, (
-                        pends, self._sample_base)
-                    if prev is not None:
-                        self._consume_chunk(*prev)
+                    # host-visible effects (telemetry, records,
+                    # observables, loss-of-lock drops) lag one chunk; the
+                    # sample accounting uses the base captured at
+                    # dispatch time.
+                    self._pending = (pends, self._sample_base)
                 else:
                     self._consume_chunk(pends, self._sample_base)
             self._buf = self._buf[self.chunk_len:]

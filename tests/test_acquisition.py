@@ -202,3 +202,61 @@ def test_overlay_signal_acquisition_no_doppler_alias():
     # every dwell must land within one coarse bin of the truth — never on
     # the +-500 Hz overlay sideband
     assert max(errs) <= 125.0, errs
+
+
+def test_awkward_fs_prime_spc_padded_acquisition():
+    """Property test (VERDICT r4 item 7): a sample rate that makes
+    samples-per-code PRIME must not trigger the dense-DFT fallback — the
+    receiver pads the FFT window to the next friendly composite and keeps
+    the dwell stride a code-period multiple, so detection still lands on
+    the true delay/Doppler."""
+    from gnss_sdr_tpu.ops import fft as mxu_fft
+
+    fs = 2.039e6
+    spc = int(round(fs * 1e-3))
+    assert spc == 2039                       # prime
+    assert not mxu_fft.is_friendly(spc)
+    window = mxu_fft.friendly_len(2 * spc)   # wrap-free lags in [0, spc)
+    assert mxu_fft.is_friendly(window)
+
+    prn, delay, dop = 7, 777, 1530.0
+    rep = codes.sample_code(codes.code_chips("1C", prn), fs, 1.023e6, spc)
+    nc = 2
+    n_total = (nc - 1) * spc + window
+    tiled = np.tile(rep, n_total // spc + 2)
+    x = np.roll(tiled[: n_total + spc], delay)[:n_total].astype(np.complex64)
+    t = np.arange(n_total) / fs
+    rng = np.random.default_rng(0)
+    x = (x * np.exp(2j * np.pi * dop * t)
+         + 0.7 * (rng.standard_normal(n_total)
+                  + 1j * rng.standard_normal(n_total))).astype(np.complex64)
+
+    cf = np.conj(np.fft.fft(np.concatenate(
+        [rep, np.zeros(window - spc, rep.dtype)])))
+    res = acq.pcps_search(
+        jnp.asarray(x), jnp.asarray(cf[None, :], dtype=jnp.complex64),
+        jnp.asarray(acq.make_doppler_grid(5000, 250)),
+        fs=fs, samples_per_code=spc, samples_per_chip=2,
+        noncoherent=nc, stride=spc)
+    assert float(res.test_cfar[0]) > 2.0
+    assert abs(int(res.code_phase[0]) - delay) <= 1
+    assert abs(float(res.doppler_hz[0]) - dop) <= 250.0
+
+
+def test_receiver_acq_window_pads_awkward_fs():
+    """Receiver._acq_window keeps natural lengths for friendly rates and
+    pads to a wrap-free friendly window for awkward ones."""
+    from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+    from gnss_sdr_tpu.ops import fft as mxu_fft
+
+    rx = Receiver(ReceiverConfig(signal="1C", fs=2.0e6, n_channels=1,
+                                 prns=(1,)))
+    g = rx.groups[0]
+    assert rx._acq_window(g, "pcps") == (g.spc, g.spc)
+
+    rx2 = Receiver(ReceiverConfig(signal="1C", fs=2.039e6, n_channels=1,
+                                  prns=(1,)))
+    g2 = rx2.groups[0]
+    window, stride = rx2._acq_window(g2, "pcps")
+    assert stride == g2.spc
+    assert window >= 2 * g2.spc and mxu_fft.is_friendly(window)

@@ -32,3 +32,17 @@ def test_split_factors_bounded():
         n1, n2 = mfft._split(n)
         assert n1 * n2 == n
         assert max(n1, n2) <= 512 or n in ()
+
+
+def test_friendly_len_properties():
+    """friendly_len returns a nearby >=n length whose _split factors are
+    both <= 512 (no dense-DFT fallback), for awkward/prime lengths."""
+    for n in (2039, 2047, 4078, 12007, 24001, 65521, 131071):
+        m = mfft.friendly_len(n)
+        assert m >= n
+        assert m - n < 64          # padding overhead stays tiny
+        n1, n2 = mfft._split(m)
+        assert n1 * n2 == m and max(n1, n2) <= 512
+        assert mfft.is_friendly(m)
+    with pytest.raises(ValueError):
+        mfft.friendly_len(512 * 512 + 1)

@@ -283,3 +283,38 @@ def test_rinex_302_nav_correction_headers(tmp_path):
     assert "IONOSPHERIC CORR" in text
     assert "TIME SYSTEM CORR" in text
     assert "LEAP SECONDS" in text
+
+
+def test_nmea_gsv_golden():
+    """GSV against a canonical documented GPS receiver frame (the widely
+    published 11-satellite GPGSV example), checksums included — not a
+    round-trip of our own encoder."""
+    sats = [
+        (3, 3, 111, 0), (4, 15, 270, 0), (6, 1, 10, 0), (13, 6, 292, 0),
+        (14, 25, 170, 0), (16, 57, 208, 39), (18, 67, 296, 40),
+        (19, 40, 246, 0),
+        (22, 42, 67, 42), (24, 14, 311, 43), (27, 5, 244, 0),
+    ]
+    out = nmea.gsv(sats)
+    assert out[0].strip() == ("$GPGSV,3,1,11,03,03,111,00,04,15,270,00,"
+                              "06,01,010,00,13,06,292,00*74")
+    assert out[1].strip() == ("$GPGSV,3,2,11,14,25,170,00,16,57,208,39,"
+                              "18,67,296,40,19,40,246,00*74")
+    assert out[2].strip() == ("$GPGSV,3,3,11,22,42,067,42,24,14,311,43,"
+                              "27,05,244,00,,,,*4D")
+
+
+def test_nmea_gsv_from_solution(sol):
+    """sats_in_view derives el/az from the ephemeris store at the fix."""
+    import dataclasses as _dc
+    from gnss_sdr_tpu.utils import scenario as scen
+    sc = scen.build_gps_l1_scenario(duration_s=1.0, n_sats=4, fs=2.0e6)
+    keyed = {("G", p): sc.ephemerides[p] for p in sc.prns}
+    s = _dc.replace(sol, pos_ecef=sc.rcv_ecef, tow_s=sc.t0_gps) \
+        if _dc.is_dataclass(sol) else sol
+    rows = nmea.sats_in_view(s, keyed, {sc.prns[0]: 45.0})
+    assert len(rows) == 4
+    for prn, el, az, cn0 in rows:
+        assert 0.0 <= el <= 90.0 and 0.0 <= az < 360.0
+    sentences = nmea.gsv(rows)
+    assert sentences and sentences[0].startswith("$GPGSV,1,1,04,")
