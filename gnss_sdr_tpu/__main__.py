@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pll_bw_hz", type=float, default=None)
     p.add_argument("--max_chunks", type=int, default=None,
                    help="stop after N processing chunks")
+    p.add_argument("--dispatch_chunks", type=int, default=None,
+                   help="fuse K chunks per device dispatch in steady state "
+                        "(amortizes per-RPC tunnel latency; 1 = off)")
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. cpu, tpu)")
     p.add_argument("--devices", type=int, default=None,
@@ -78,6 +81,8 @@ def main(argv=None) -> int:
         conf.set_property("Tracking_1C.dll_bw_hz", args.dll_bw_hz)
     if args.pll_bw_hz is not None:
         conf.set_property("Tracking_1C.pll_bw_hz", args.pll_bw_hz)
+    if args.dispatch_chunks:
+        conf.set_property("GNSS-SDR.dispatch_chunks", args.dispatch_chunks)
 
     multi = ini.multisource_from_ini(conf)
     if multi is not None:

@@ -198,6 +198,12 @@ def receiver_config_from_ini(conf: Configuration):
         # (remote-TPU tunnels charge fixed per-RPC latency) at the cost of
         # coarser channel-management cadence
         cfg = _dc.replace(cfg, chunk_ms=int(chunk_ms))
+    disp = int(conf.property("GNSS-SDR.dispatch_chunks", 0))
+    if disp > 1:
+        # fuse K chunks per device dispatch in steady state (see
+        # ReceiverConfig.dispatch_chunks); acquisition still runs at
+        # chunk_ms cadence whenever candidates are pending
+        cfg = _dc.replace(cfg, dispatch_chunks=disp)
     return _dc.replace(cfg, **name_overrides) if name_overrides else cfg
 
 
@@ -346,6 +352,32 @@ def source_from_ini(conf: Configuration, role: str = "SignalSource"):
                                              1_575_420_000)),
             sampling_frequency=fs,
             agc=conf.property(f"{role}.AGC_enabled", True))
+    from gnss_sdr_tpu.config import registry
+    if impl in registry.HARDWARE_SOURCES:
+        # live RF front-ends stream through the driver abstraction
+        # (io/rf_driver.py; reference uhd_signal_source.cc:60-200 and
+        # siblings). Every adapter's conf keys map onto one RfConfig.
+        from gnss_sdr_tpu.io import rf_driver
+        cfg = rf_driver.RfConfig(
+            sampling_frequency=fs,
+            center_freq_hz=float(conf.property(f"{role}.freq",
+                                               1_575_420_000)),
+            gain_db=float(conf.property(f"{role}.gain", 40.0)),
+            rf_gain_db=float(conf.property(f"{role}.rf_gain", 40.0)),
+            if_gain_db=float(conf.property(f"{role}.if_gain", 40.0)),
+            agc=bool(conf.property(f"{role}.AGC_enabled", False)),
+            antenna=conf.property(f"{role}.antenna", ""),
+            subdevice=conf.property(f"{role}.subdevice", ""),
+            bandwidth_hz=float(conf.property(f"{role}.bandwidth", 0.0)),
+            device_args=conf.property(
+                f"{role}.device_address",
+                conf.property(f"{role}.osmosdr_args", "")))
+        drv_kind = conf.property(f"{role}.driver",
+                                 registry.HARDWARE_DRIVER_DEFAULT[impl])
+        playback = conf.property(f"{role}.mock_capture", "") or None
+        driver = (rf_driver.make_driver("mock", playback=playback)
+                  if drv_kind == "mock" else rf_driver.make_driver(drv_kind))
+        return rf_driver.RfSignalSource(driver, cfg)
     raise NotImplementedError(f"signal source {impl} not supported yet")
 
 

@@ -85,11 +85,24 @@ SOURCES = {"File_Signal_Source", "Custom_UDP_Signal_Source",
            "Two_Bit_Packed_File_Signal_Source",
            "Two_Bit_Cpx_File_Signal_Source",
            "Multichannel_File_Signal_Source"}
-# hardware front-ends require drivers absent in this environment
+# hardware front-ends stream through the io.rf_driver abstraction: the
+# conf loads and configures with driver=mock (or a real vendor driver when
+# its python library is installed); without either the name is rejected
 HARDWARE_SOURCES = {"UHD_Signal_Source", "Osmosdr_Signal_Source",
                     "Plutosdr_Signal_Source", "Fmcomms2_Signal_Source",
                     "Ad9361_Fpga_Signal_Source", "Flexiband_Signal_Source",
                     "GN3S_Signal_Source"}
+# default driver library per hardware adapter (reference: which vendor lib
+# each adapter links — uhd_signal_source.cc / osmosdr_ / plutosdr_ ...)
+HARDWARE_DRIVER_DEFAULT = {
+    "UHD_Signal_Source": "uhd",
+    "Osmosdr_Signal_Source": "osmosdr",
+    "Plutosdr_Signal_Source": "iio",
+    "Fmcomms2_Signal_Source": "iio",
+    "Ad9361_Fpga_Signal_Source": "iio",
+    "Flexiband_Signal_Source": "soapy",
+    "GN3S_Signal_Source": "soapy",
+}
 
 DATA_TYPE_ADAPTERS = {"Byte_To_Short", "Ibyte_To_Cbyte", "Ibyte_To_Complex",
                       "Ibyte_To_Cshort", "Ishort_To_Complex",
@@ -166,10 +179,17 @@ def validate_conf(conf, plan: list) -> dict:
     src = conf.property("SignalSource.implementation", "")
     if src:
         if src in HARDWARE_SOURCES:
-            raise UnknownBlockError(
-                f"SignalSource.implementation={src} needs an RF front-end "
-                "driver not present in this build")
-        _check("SignalSource", src, SOURCES)
+            drv = conf.property("SignalSource.driver",
+                                HARDWARE_DRIVER_DEFAULT[src])
+            if drv != "mock":
+                from gnss_sdr_tpu.io import rf_driver
+                try:
+                    rf_driver.make_driver(drv)
+                except (ImportError, NotImplementedError) as e:
+                    raise UnknownBlockError(
+                        f"SignalSource.implementation={src}: {e}") from e
+        else:
+            _check("SignalSource", src, SOURCES)
     flt = conf.property("InputFilter.implementation", "")
     if flt:
         _check("InputFilter", flt, INPUT_FILTERS)

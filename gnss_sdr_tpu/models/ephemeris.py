@@ -155,3 +155,9 @@ class UtcParams:
     wnt: int = 0
     delta_t_ls: int = 18
     valid: bool = False
+    # drift-rate + leap-second event fields (CNAV MT33 carries all of
+    # them, IS-GPS-200 30.3.3.6.2; LNAV SF4 p18 carries the event set)
+    a2: float = 0.0
+    wn_lsf: int = 0
+    dn: int = 0
+    delta_t_lsf: int = 18

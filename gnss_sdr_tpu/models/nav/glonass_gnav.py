@@ -75,6 +75,21 @@ class GlonassEphemeris:
         return y[:3].copy(), y[3:].copy()
 
 
+@dataclasses.dataclass
+class GlonassUtc:
+    """GNAV string-5 time-scale parameters (reference
+    Glonass_Gnav_Utc_Model, glonass_gnav_navigation_message.cc:409-418):
+    tau_c relates GLONASS time to UTC(SU); tau_gps to GPS time; N_4 is the
+    four-year interval number and day_na the day within it."""
+
+    tau_c: float = 0.0          # GLONASS -> UTC(SU) [s], 2^-31 LSB
+    tau_gps: float = 0.0        # GLONASS -> GPS [s], 2^-30 LSB
+    n4: int = 0                 # four-year interval since 1996
+    day_na: int = 0             # day number within the interval
+    l_n: int = 0                # almanac health flag of the transmitter
+    valid: bool = False
+
+
 def _deriv(y: np.ndarray, acc: np.ndarray) -> np.ndarray:
     """PZ-90 ECEF equations of motion with J2 + Earth rotation terms."""
     x, yy, z, vx, vy, vz = y
@@ -155,7 +170,8 @@ def hamming_check(bits: np.ndarray) -> bool:
 
 
 def encode_string(string_id: int, eph: GlonassEphemeris,
-                  tk_s: float | None = None) -> np.ndarray:
+                  tk_s: float | None = None,
+                  utc: GlonassUtc | None = None) -> np.ndarray:
     """One 85-bit GNAV string (transmission order, before meander/timemark).
 
     ``tk_s`` overrides the string-1 frame time (ICD: tk = frame start within
@@ -188,6 +204,16 @@ def encode_string(string_id: int, eph: GlonassEphemeris,
     elif string_id == 4:
         _set(bits, 58, 22, int(round(eph.tau_n / 2.0 ** -30)), sign_mag=True)
         _set(bits, 11, 5, eph.slot & 31)
+    elif string_id == 5 and utc is not None:
+        # ICD 4.4 table 4.5 (reference GLONASS_L1_L2_CA.h STRING 5 rows:
+        # DAY_NUMBER_A {6,11} / TAU_C {17,32} / N_4 {50,5} / TAU_GPS
+        # {55,22} / ALM_L_N {77,1}, MSB-based -> LSB bit numbers below)
+        _set(bits, 70, 11, utc.day_na & 0x7FF)
+        _set(bits, 38, 32, int(round(utc.tau_c / 2.0 ** -31)), sign_mag=True)
+        _set(bits, 32, 5, utc.n4 & 31)
+        _set(bits, 10, 22, int(round(utc.tau_gps / 2.0 ** -30)),
+             sign_mag=True)
+        _set(bits, 9, 1, utc.l_n & 1)
     return hamming_encode(bits)
 
 
@@ -249,6 +275,12 @@ def decode_string(bits: np.ndarray) -> tuple[int, dict] | None:
     elif sid == 4:
         f["tau_n"] = _get(bits, 58, 22, sign_mag=True) * 2.0 ** -30
         f["slot"] = _get(bits, 11, 5)
+    elif sid == 5:
+        f["day_na"] = _get(bits, 70, 11)
+        f["tau_c"] = _get(bits, 38, 32, sign_mag=True) * 2.0 ** -31
+        f["n4"] = _get(bits, 32, 5)
+        f["tau_gps"] = _get(bits, 10, 22, sign_mag=True) * 2.0 ** -30
+        f["l_n"] = _get(bits, 9, 1)
     elif sid in (6, 8, 10, 12, 14):
         # almanac part 1 for slot n_A (ICD 4.5)
         f["alm_healthy"] = 1 - _get(bits, 80, 1)
@@ -277,7 +309,8 @@ def _string_symbols(bits: np.ndarray) -> np.ndarray:
 
 def encode_frame_stream(eph: GlonassEphemeris, tk0_s: float,
                         n_frames: int = 2,
-                        almanacs: list | None = None) -> np.ndarray:
+                        almanacs: list | None = None,
+                        utc: GlonassUtc | None = None) -> np.ndarray:
     """Timing-correct GNAV stream: full 30 s frames of 15 strings, frame f
     starting at day time ``tk0_s + 30 f`` (string 1 carries that tk).
     Strings 6-15 carry up to 5 almanac pairs per frame round-robin from
@@ -290,8 +323,10 @@ def encode_frame_stream(eph: GlonassEphemeris, tk0_s: float,
         tk = tk0_s + 30.0 * f
         sid = 1
         while sid <= 15:
-            if sid <= 4:
-                bits = encode_string(sid, eph, tk_s=(tk if sid == 1 else None))
+            if sid <= 4 or (sid == 5 and utc is not None):
+                bits = encode_string(sid, eph,
+                                     tk_s=(tk if sid == 1 else None),
+                                     utc=utc)
                 out.append(_string_symbols(bits))
                 sid += 1
             elif sid >= 6 and sid % 2 == 0 and almanacs:
@@ -333,9 +368,15 @@ class GnavAssembler:
         # (reference glonass_gnav_navigation_message almanac branches)
         self.almanacs: dict[int, object] = {}
         self._alm_part1: dict[int, dict] = {}
+        self.utc_glo = GlonassUtc()
 
     def push(self, sid: int, fields: dict) -> None:
         self.strings[sid] = fields
+        if sid == 5 and "tau_c" in fields:
+            self.utc_glo = GlonassUtc(
+                tau_c=fields["tau_c"], tau_gps=fields["tau_gps"],
+                n4=fields["n4"], day_na=fields["day_na"],
+                l_n=fields["l_n"], valid=True)
         if "alm_slot" in fields:
             self._alm_part1[sid] = fields
         elif "alm_omega" in fields and (sid - 1) in self._alm_part1:

@@ -10,7 +10,8 @@ transmitted through the K=7 r=1/2 convolutional encoder (G1=171, G2=133,
 non-inverted, continuous across messages).
 
 Types implemented: 10 + 11 (ephemeris halves, quasi-Keplerian with
-delta-A/Adot/delta-n-dot relative parameters), 30 (clock + TGD/ISC + iono).
+delta-A/Adot/delta-n-dot relative parameters), 30 (clock + TGD/ISC + iono),
+33 (clock + UTC: A0/A1/A2, leap seconds + leap event WN_LSF/DN/dtLSF).
 Field positions follow IS-GPS-200 section 30.3.3 (cross-checked against the
 reference's GPS_CNAV.h tables; positions below are 0-based = ICD - 1).
 """
@@ -21,7 +22,8 @@ import dataclasses
 
 import numpy as np
 
-from gnss_sdr_tpu.models.ephemeris import IonoParams, KeplerEphemeris
+from gnss_sdr_tpu.models.ephemeris import (IonoParams, KeplerEphemeris,
+                                           UtcParams)
 from gnss_sdr_tpu.models.nav import fec
 
 PREAMBLE = np.array([1, 0, 0, 0, 1, 0, 1, 1], np.uint8)
@@ -59,7 +61,8 @@ def _q(value, scale, n, signed=True):
 
 
 def encode_message(mtype: int, prn: int, tow_s: float,
-                   eph: KeplerEphemeris, iono: IonoParams | None = None) -> np.ndarray:
+                   eph: KeplerEphemeris, iono: IonoParams | None = None,
+                   utc: UtcParams | None = None) -> np.ndarray:
     """One 300-bit CNAV message (information bits, before FEC)."""
     m = np.zeros(MSG_BITS, np.uint8)
     m[0:8] = PREAMBLE
@@ -108,6 +111,24 @@ def encode_message(mtype: int, prn: int, tow_s: float,
             m[232:240] = _q(iono.beta[1], 2.0 ** 14, 8)
             m[240:248] = _q(iono.beta[2], 2.0 ** 16, 8)
             m[248:256] = _q(iono.beta[3], 2.0 ** 16, 8)
+    elif mtype == 33:
+        # clock block shared by every MT3x (bits 39-127), then the UTC
+        # parameter set (GPS_CNAV.h CNAV_A0..CNAV_DELTA_TLSF positions)
+        m[38:49] = _u2b(int(eph.toe / 300.0), 11)
+        m[60:71] = _u2b(int(eph.toc / 300.0), 11)
+        m[71:97] = _q(eph.af0, 2.0 ** -35, 26)
+        m[97:117] = _q(eph.af1, 2.0 ** -48, 20)
+        m[117:127] = _q(eph.af2, 2.0 ** -60, 10)
+        if utc is not None and utc.valid:
+            m[127:143] = _q(utc.a0, 2.0 ** -35, 16)
+            m[143:156] = _q(utc.a1, 2.0 ** -51, 13)
+            m[156:163] = _q(utc.a2, 2.0 ** -68, 7)
+            m[163:171] = _s2b(utc.delta_t_ls, 8)
+            m[171:187] = _q(utc.tot, 2.0 ** 4, 16, signed=False)
+            m[187:200] = _u2b(utc.wnt & 0x1FFF, 13)
+            m[200:213] = _u2b(utc.wn_lsf & 0x1FFF, 13)
+            m[213:217] = _u2b(utc.dn & 0xF, 4)
+            m[217:225] = _s2b(utc.delta_t_lsf, 8)
     crc = fec.crc24q_bits(m[:276])
     m[276:300] = _u2b(crc, 24)
     return m
@@ -160,27 +181,44 @@ def decode_message(m: np.ndarray) -> tuple[int, int, float, dict] | None:
                           _b2s(m[232:240]) * 2.0 ** 14,
                           _b2s(m[240:248]) * 2.0 ** 16,
                           _b2s(m[248:256]) * 2.0 ** 16)
+    elif mtype == 33:
+        f["toc"] = _b2u(m[60:71]) * 300.0
+        f["af0"] = _b2s(m[71:97]) * 2.0 ** -35
+        f["af1"] = _b2s(m[97:117]) * 2.0 ** -48
+        f["af2"] = _b2s(m[117:127]) * 2.0 ** -60
+        f["utc_a0"] = _b2s(m[127:143]) * 2.0 ** -35
+        f["utc_a1"] = _b2s(m[143:156]) * 2.0 ** -51
+        f["utc_a2"] = _b2s(m[156:163]) * 2.0 ** -68
+        f["delta_t_ls"] = _b2s(m[163:171])
+        f["utc_tot"] = _b2u(m[171:187]) * 2.0 ** 4
+        f["utc_wnt"] = _b2u(m[187:200])
+        f["wn_lsf"] = _b2u(m[200:213])
+        f["dn"] = _b2u(m[213:217])
+        f["delta_t_lsf"] = _b2s(m[217:225])
     return mtype, prn, tow, f
 
 
 def encode_symbol_stream(eph: KeplerEphemeris, tow_start_s: float,
                          n_messages: int,
                          iono: IonoParams | None = None,
+                         utc: UtcParams | None = None,
                          period_s: float = 12.0) -> np.ndarray:
-    """Continuous FEC-encoded symbol stream cycling messages 10, 11, 30.
+    """Continuous FEC-encoded symbol stream cycling messages 10, 11, 30
+    (and 33 when a UTC set is supplied — the broadcast schedule
+    interleaves the MT3x varieties on the same slot).
 
     The convolutional encoder runs continuously across messages (IS-GPS-200:
     the L2C/L5 FEC is not reset per message); message k starts at
     tow_start_s + k * period_s — 12 s on L2C (25 bps), 6 s on L5 (50 bps,
     reference gps_l5_telemetry_decoder_gs.cc).
     """
-    types = (10, 11, 30)
+    types = (10, 11, 30, 33) if utc is not None else (10, 11, 30)
     bits = []
     for k in range(n_messages):
-        mt = types[k % 3]
+        mt = types[k % len(types)]
         # IS-GPS-200: the CNAV TOW count tags the start of the NEXT message
         bits.append(encode_message(
-            mt, eph.prn, tow_start_s + period_s * (k + 1), eph, iono))
+            mt, eph.prn, tow_start_s + period_s * (k + 1), eph, iono, utc))
     all_bits = np.concatenate(bits)
     return fec.conv_encode(all_bits, invert_g2=False, flush=True)
 
@@ -192,12 +230,20 @@ class CnavAssembler:
         self.prn = prn
         self.msgs: dict[int, dict] = {}
         self.iono = IonoParams()
+        self.utc = UtcParams()
 
     def push(self, mtype: int, fields: dict) -> None:
         self.msgs[mtype] = fields
         if mtype == 30 and "iono_alpha" in fields:
             self.iono = IonoParams(alpha=fields["iono_alpha"],
                                    beta=fields["iono_beta"], valid=True)
+        if mtype == 33 and "utc_a0" in fields:
+            self.utc = UtcParams(
+                a0=fields["utc_a0"], a1=fields["utc_a1"],
+                a2=fields["utc_a2"], tot=fields["utc_tot"],
+                wnt=fields["utc_wnt"], delta_t_ls=fields["delta_t_ls"],
+                wn_lsf=fields["wn_lsf"], dn=fields["dn"],
+                delta_t_lsf=fields["delta_t_lsf"], valid=True)
 
     def ephemeris(self) -> KeplerEphemeris | None:
         if not all(k in self.msgs for k in (10, 11, 30)):

@@ -163,10 +163,13 @@ def attach_outputs(rx, conf) -> OutputSet:
         else:
             station.connect_tcp(base_host, port)
         # positioning_mode (reference rtklib PVT.positioning_mode):
-        # Single -> instantaneous DD; Static / Kinematic -> filtered RTK
+        # Single -> instantaneous DD; Static / Kinematic -> filtered RTK;
+        # DGPS/DGNSS -> code differential; Moving_Base -> per-epoch base
+        # fix + DD baseline (rtklib PMODE_DGPS / PMODE_MOVEB)
         mode_key = str(prop("PVT.positioning_mode", "Single"))
-        mode = {"Static": "static", "Kinematic": "kinematic"}.get(
-            mode_key, "instantaneous")
+        mode = {"Static": "static", "Kinematic": "kinematic",
+                "DGPS": "dgps", "DGNSS": "dgps",
+                "Moving_Base": "moving_base"}.get(mode_key, "instantaneous")
         engine = RtkEngine(station,
                            sigma_pr_m=float(prop("PVT.rtk_sigma_pr_m", 0.5)),
                            mode=mode)
@@ -189,7 +192,7 @@ def attach_outputs(rx, conf) -> OutputSet:
             ambiguity_resolution=bool(prop("PVT.ppp_ar", True)),
             # decimate the tracking-rate observables to the DLL-noise
             # decorrelation time (PppEngine.obs_spacing_s rationale)
-            obs_spacing_s=float(prop("PVT.ppp_obs_spacing_s", 0.2)))
+            obs_spacing_s=float(prop("PVT.ppp_obs_spacing_s", 0.5)))
         rx.obs_sinks.append(engine.push_epoch)
         rx.fix_sinks.append(lambda sol: engine.seed_position(sol.pos_ecef))
         out.ppp_engine = engine

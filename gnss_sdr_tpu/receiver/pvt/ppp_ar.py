@@ -63,6 +63,9 @@ class PppArFilter(PppFilter):
         self.max_pos_sigma_m = max_pos_sigma_m
         # per-satellite MW running stats: key -> [n, mean, m2]
         self._mw: dict[tuple, list] = {}
+        # bounded per-satellite MW history for the lag-1 autocorrelation
+        # estimate (see _mw_sigma)
+        self._mw_hist: dict[tuple, list] = {}
         self.n_fixed_epochs = 0
         self.last_ratio = 0.0
         self.best_ratio = 0.0      # max ratio seen (last_ratio fluctuates)
@@ -90,6 +93,7 @@ class PppArFilter(PppFilter):
             key = (o.system, o.prn)
             if slips and key in slips:
                 self._mw.pop(key, None)
+                self._mw_hist.pop(key, None)
                 self.fixed_wl.pop(key, None)
             f1, f2 = o.f1_hz, o.f2_hz
             lam1 = C.SPEED_OF_LIGHT_M_S / f1
@@ -104,12 +108,34 @@ class PppArFilter(PppFilter):
             delta = mw_cyc - st[1]
             st[1] += delta / st[0]
             st[2] += delta * (mw_cyc - st[1])
+            h = self._mw_hist.setdefault(key, [])
+            h.append(mw_cyc)
+            if len(h) > 4096:
+                del h[: len(h) - 4096]
 
     def _mw_sigma(self, key) -> float:
+        """Sigma of the MW running mean, inflated by the effective-sample-
+        size factor sqrt((1+rho)/(1-rho)) from the lag-1 autocorrelation.
+
+        The MW combination is dominated by code noise, whose DLL-loop
+        correlation time (~1/(2*B_DLL), 0.1-0.25 s for 2-4 Hz loops) spans
+        several observation epochs: the plain sigma/sqrt(n) estimate then
+        understates the mean's error by up to ~sqrt(f_obs * tau) and the
+        wide-lane rounding gates open on immature averages (the failure
+        mode behind the round-4 dual-band wrong-hold regression)."""
         st = self._mw.get(key)
         if st is None or st[0] < 2:
             return np.inf
-        return float(np.sqrt(st[2] / (st[0] - 1) / st[0]))   # sigma of mean
+        sig = float(np.sqrt(st[2] / (st[0] - 1) / st[0]))   # sigma of mean
+        h = self._mw_hist.get(key)
+        if h is not None and len(h) >= 8:
+            x = np.asarray(h) - np.mean(h)
+            var = float(np.mean(x * x))
+            if var > 0.0:
+                rho = float(np.mean(x[1:] * x[:-1]) / var)
+                rho = min(max(rho, 0.0), 0.95)
+                sig *= float(np.sqrt((1.0 + rho) / (1.0 - rho)))
+        return sig
 
     # ------------------------------------------------------------- update
     def update(self, obs: list[PppArObs], dt_s: float = 1.0,

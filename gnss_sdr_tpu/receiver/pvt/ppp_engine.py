@@ -26,7 +26,7 @@ class PppEngine:
                  ambiguity_resolution: bool = True,
                  sigma_pr_m: float = 1.0, sigma_phase_m: float = 0.012,
                  q_pos_m2_s: float = 1.0, estimate_tropo: bool = True,
-                 obs_spacing_s: float = 0.0,
+                 obs_spacing_s: float = 0.5,
                  ratio_threshold: float = 3.0):
         """``obs_spacing_s``: minimum time between PROCESSED epochs —
         epochs arriving faster are skipped. A receiver producing 50 Hz
@@ -35,9 +35,13 @@ class PppEngine:
         white-noise filter model mistakes for 50 independent samples per
         second: the formal covariance collapses ~sqrt(f_obs*tau_corr)
         too fast and the AR gates open while the true error is still
-        large. Decimating to the noise decorrelation time (~0.2 s for a
-        2 Hz DLL) keeps the covariance honest — the same reason RTKLIB
-        runs PPP at the RINEX epoch rate, not the tracking-loop rate."""
+        large. Decimating past the noise decorrelation time keeps the
+        covariance honest — the same reason RTKLIB runs PPP at the RINEX
+        epoch rate, not the tracking-loop rate. Default 0.5 s = ~2x the
+        code-noise correlation time of a 2 Hz DLL (measured on the
+        dual-band regression: 0.2 s still left the B_IF covariance
+        optimistic enough for LAMBDA to accept a wrong narrow-lane set at
+        ratio 90; 0.5 s keeps the formal and true covariances aligned)."""
         self.filter = ppp_ar.PppArFilter(
             ephemerides, x0_ecef=np.asarray(x0_ecef, float),
             mode=mode, q_pos_m2_s=q_pos_m2_s, estimate_tropo=estimate_tropo,

@@ -222,3 +222,74 @@ def solve_rtk(rover: list[RtkObs], base: list[RtkObs],
     sol.baseline_m = x - base_ecef
     sol.ambiguities = a_fix
     return sol
+
+
+def solve_dgps(rover: list[RtkObs], base: list[RtkObs],
+               base_ecef: np.ndarray, ephemerides: dict,
+               rover_apriori: np.ndarray | None = None,
+               sigma_pr_m: float = 0.5) -> RtkSolution:
+    """Code-differential (DGPS/DGNSS) single-epoch solution — double-
+    differenced PSEUDORANGES only, no ambiguity states.
+
+    Reference analog: ``rtklib_rtkpos.cc`` PMODE_DGPS (``relpos`` with
+    phase disabled): satellite clock, broadcast-ephemeris orbit error and
+    atmospheric delays cancel in the base/rover differences over short
+    baselines, leaving meter-level code accuracy without any carrier
+    bookkeeping. Needs >= 4 common satellites (3 DDs for 3 unknowns).
+    """
+    base_ecef = np.asarray(base_ecef, np.float64)
+    rov = {(o.system, o.prn): o for o in rover}
+    bas = {(o.system, o.prn): o for o in base}
+    common = [k for k in rov if k in bas
+              and _eph_lookup(ephemerides, rov[k]) is not None]
+    if len(common) < 4:
+        return RtkSolution(valid=False, n_dd=max(0, len(common) - 1))
+
+    x0 = np.asarray(rover_apriori if rover_apriori is not None
+                    else base_ecef, np.float64)
+    sat, sat_b = {}, {}
+    for k in common:
+        o = rov[k]
+        eph = _eph_lookup(ephemerides, o)
+        sat[k] = _sat_pos(eph, o.t_tx_sv, x0)
+        b = bas[k]
+        sat_b[k] = (_sat_pos(eph, b.t_tx_sv, base_ecef)
+                    if b.t_tx_sv else sat[k])
+
+    def el_proxy(k):
+        los = sat[k] - base_ecef
+        return (los / np.linalg.norm(los)) @ (base_ecef
+                                              / np.linalg.norm(base_ecef))
+    ref = max(common, key=el_proxy)
+    others = [k for k in common if k != ref]
+    n = len(others)
+    # DD covariance: R = 2 sigma^2 (I + 1 1^T) -> W below (see solve_rtk)
+    w = (np.eye(n) - np.ones((n, n)) / (n + 1)) / (2.0 * sigma_pr_m ** 2)
+
+    x = x0.copy()
+    for _ in range(8):
+        e_rov = {k: (sat[k] - x) / np.linalg.norm(sat[k] - x)
+                 for k in common}
+        rho_rov = {k: np.linalg.norm(sat[k] - x) for k in common}
+        rho_bas = {k: np.linalg.norm(sat_b[k] - base_ecef) for k in common}
+        h = np.zeros((n, 3))
+        y = np.zeros(n)
+        for i, k in enumerate(others):
+            dd_rho = (rho_rov[k] - rho_bas[k]) - (rho_rov[ref] - rho_bas[ref])
+            dd_pr = ((rov[k].pseudorange_m - bas[k].pseudorange_m)
+                     - (rov[ref].pseudorange_m - bas[ref].pseudorange_m))
+            h[i] = -(e_rov[k] - e_rov[ref])
+            y[i] = dd_pr - dd_rho
+        hw = w @ h
+        try:
+            q = np.linalg.inv(h.T @ hw)
+        except np.linalg.LinAlgError:
+            return RtkSolution(valid=False, n_dd=n)
+        dx = q @ (hw.T @ y)
+        x += dx
+        if np.linalg.norm(dx) < 1e-4:
+            break
+    return RtkSolution(valid=True, fixed=False, n_dd=n,
+                       baseline_m=(x - base_ecef).copy(),
+                       rover_ecef=x.copy(),
+                       float_baseline_m=(x - base_ecef).copy())

@@ -253,7 +253,11 @@ class RtkEngine:
     PVT.positioning_mode): "instantaneous" solves each epoch independently
     (rtk.solve_rtk), "kinematic"/"static" run the filtered RtkFilter with
     persistent ambiguities and cycle-slip handling (rtklib relpos modes
-    PMODE_KINEMA / PMODE_STATIC).
+    PMODE_KINEMA / PMODE_STATIC), "dgps" is code-only differential
+    (PMODE_DGPS — no carrier bookkeeping, meter-level), and "moving_base"
+    re-solves the base's own single-point position every epoch from its
+    broadcast observations and reports the precise DD baseline to it
+    (PMODE_MOVEB, rtklib_rtkpos.cc:2787).
     """
 
     def __init__(self, base: RtcmBaseStation, sigma_pr_m: float = 0.5,
@@ -266,8 +270,27 @@ class RtkEngine:
         self._filter = None
         self.solutions: list[rtk.RtkSolution] = []
 
+    def _solve_base_position(self, base_list: list) -> np.ndarray | None:
+        """Moving-base support: the base's own single-point fix from its
+        broadcast observations (rtklib PMODE_MOVEB computes the base
+        position per epoch the same way). Meter-level absolute error here
+        is common-mode in the double differences, so the reported BASELINE
+        stays centimeter-precise."""
+        from gnss_sdr_tpu.receiver.pvt import solver as pvt_solver
+        inputs = [pvt_solver.ObsInput(
+            prn=b.prn, pseudorange_m=b.pseudorange_m,
+            doppler_hz=b.doppler_hz, carrier_freq_hz=b.carrier_freq_hz,
+            t_tx_sv=b.t_tx_sv, cn0_dbhz=b.cn0_dbhz, system=b.system)
+            for b in base_list]
+        sol = pvt_solver.solve_pvt(inputs, self.base.ephemerides,
+                                   iono=None, apply_tropo=False)
+        return np.asarray(sol.pos_ecef) if sol.valid else None
+
     def push_rover_epoch(self, tick_sample: int, observables: list) -> None:
-        if self.base.base_ecef is None or not self.base.epochs:
+        # a moving base broadcasts no surveyed 1005/1006 position — its
+        # location is re-derived per epoch from its own observations
+        if not self.base.epochs or (self.base.base_ecef is None
+                                    and self.mode != "moving_base"):
             return
         o0 = observables[0]
         tow = o0.t_tx_sv + o0.pseudorange_m / constants.SPEED_OF_LIGHT_M_S
@@ -326,9 +349,21 @@ class RtkEngine:
                 cn0_dbhz=o.cn0_dbhz, system=spec.system,
                 t_tx_sv=o.t_tx_sv, doppler_hz=o.doppler_hz))
             base_list.append(base_by_key[key])
-        if len(rover) < 5:
+        if len(rover) < (4 if self.mode == "dgps" else 5):
             return
-        if self.mode == "instantaneous":
+        if self.mode == "dgps":
+            sol = rtk.solve_dgps(rover, base_list, self.base.base_ecef,
+                                 self.base.ephemerides,
+                                 sigma_pr_m=self.sigma_pr_m)
+        elif self.mode == "moving_base":
+            base_ecef = self._solve_base_position(base_list)
+            if base_ecef is None:
+                return
+            sol = rtk.solve_rtk(rover, base_list, base_ecef,
+                                self.base.ephemerides,
+                                sigma_pr_m=self.sigma_pr_m,
+                                ratio_threshold=self.ratio_threshold)
+        elif self.mode == "instantaneous":
             sol = rtk.solve_rtk(rover, base_list, self.base.base_ecef,
                                 self.base.ephemerides,
                                 sigma_pr_m=self.sigma_pr_m,

@@ -56,6 +56,15 @@ class ReceiverConfig:
     # adapters; without this only the first group's sections would count)
     group_params: tuple = ()
     chunk_ms: int = 100
+    # streaming throughput: fuse up to this many chunks into ONE device
+    # dispatch (one upload + one execute + one download RPC over the
+    # accelerator tunnel instead of one set per chunk). The host control
+    # cadence coarsens to K*chunk_ms while any acquisition work is pending
+    # the loop drops back to single chunks so TTFF/reacquisition latency
+    # stays at chunk_ms granularity. 1 = off (reference analog: GNU Radio
+    # buffer depth; here it amortizes the per-RPC tunnel latency that
+    # bounds real-time rate, see BENCH streaming_x)
+    dispatch_chunks: int = 1
     # acquisition
     acq_doppler_max_hz: float = 5000.0
     acq_doppler_step_hz: float = 250.0
@@ -197,6 +206,7 @@ class SignalGroup:
             (self.c_pad, self.trk_cfg.sec_table_len), np.float32)
         self.extend_symbols = max(1, int(cfg.extend_symbols))
         self.spc = int(round(cfg.fs * self.spec.code_period_s))
+        self._trk_cfg_k: dict[int, object] = {}
         # secondary-code overlays (NH/CS) flip the symbol sign at EVERY code
         # boundary, splitting the plain PCPS peak to +-1/(2*T_code) Doppler
         # sidebands (observed: a 500 Hz-off handoff false-locking the
@@ -239,6 +249,21 @@ class SignalGroup:
     @property
     def n_max(self) -> int:
         return self.trk_cfg.n_max
+
+    def trk_cfg_for(self, k: int):
+        """Tracking config for a k-chunk fused dispatch: the scan covers
+        k * chunk_len samples in one device program (one tunnel RPC set
+        instead of k). The carry is shape-identical, so the engine can
+        alternate k freely; each distinct k compiles once."""
+        if k <= 1:
+            return self.trk_cfg
+        if k not in self._trk_cfg_k:
+            import dataclasses as _dc
+            cl = self.trk_cfg.chunk_len * k
+            ns = int(np.ceil(cl / self.trk_cfg.samples_per_code)) + 2
+            self._trk_cfg_k[k] = _dc.replace(self.trk_cfg,
+                                             chunk_len=cl, n_steps=ns)
+        return self._trk_cfg_k[k]
 
     def if_freq_for(self, prn: int) -> float:
         """Per-satellite IF: GLONASS FDMA slots sit at k * step from the
@@ -298,6 +323,7 @@ class Receiver:
         self.ephemerides = {}           # keyed (system, prn)
         self.almanacs = {}              # keyed (system, prn), weeks-valid
         self.iono = None
+        self.utc = None                  # broadcast UTC model (LNAV/CNAV)
         # assisted-start prior: position + receiver TOW at sample 0, loaded
         # from a checkpoint (reference ControlThread assist_GNSS position/
         # time injection); used when no fix exists yet
@@ -795,7 +821,7 @@ class Receiver:
         if pend is not None:
             self._finish_tracking(g, pend)
 
-    def _dispatch_tracking(self, g: SignalGroup, chunk_dev):
+    def _dispatch_tracking(self, g: SignalGroup, chunk_dev, k: int = 1):
         """Launch this group's tracking scan without blocking on the result.
 
         JAX dispatch is asynchronous, so returning the packed device arrays
@@ -808,14 +834,15 @@ class Receiver:
         """
         if not any(ch.state == "tracking" for ch in g.channels):
             return None
+        cfg_k = g.trk_cfg_for(k)
+        slab = k * self.chunk_len + g.n_max
         if g.tcp_engine is not None:
             # host-stepped loop closure through the external TCP peers; the
             # packed layout matches pack_host_outputs so everything below
             # the unpack is shared with the scan path
             return g.tcp_engine.process_chunk(
-                np.asarray(jax.device_get(
-                    chunk_dev[: self.chunk_len + g.n_max])), self.chunk_len)
-        slab = self.chunk_len + g.n_max
+                np.asarray(jax.device_get(chunk_dev[:slab])),
+                k * self.chunk_len)
         state, tables, sec = g.trk_state, g.code_tables, g.sec_tables
         if self.mesh is not None:
             # channel axis sharded across devices, sample chunk replicated
@@ -826,7 +853,7 @@ class Receiver:
             sec = self._shd.shard_channel_array(sec, self.mesh)
             chunk2 = self._shd.replicate(chunk2, self.mesh)
             g.trk_state, packed = trk.track_chunk_packed(
-                g.trk_cfg, chunk2, state, tables, sec)
+                cfg_k, chunk2, state, tables, sec)
             return packed
         # cache the (rarely-changing) code/secondary tables on device:
         # re-uploading them every chunk costs tunnel RPCs
@@ -836,9 +863,9 @@ class Receiver:
             g._tables_rev = getattr(g, "tables_rev", 0)
         tables, sec = g._tables_dev, g._sec_dev
         # slice + scan + host-output pack fused into ONE device program:
-        # one execute RPC per group per chunk over the tunnel
+        # one execute RPC per group per dispatch over the tunnel
         g.trk_state, packed = trk.track_chunk_packed(
-            g.trk_cfg, chunk_dev, state, tables, sec,
+            cfg_k, chunk_dev, state, tables, sec,
             slab=None if chunk_dev.shape[0] == slab else slab)
         return packed
 
@@ -918,10 +945,11 @@ class Receiver:
                 self._drop_channel(g, ch)
 
     # --------------------------------------------------------- observables
-    def _run_observables(self, sample_base: int | None = None) -> None:
+    def _run_observables(self, sample_base: int | None = None,
+                         length: int | None = None) -> None:
         base = self._sample_base if sample_base is None else sample_base
         ticks = self.observables.ticks_for_range(
-            base, base + self.chunk_len)
+            base, base + (self.chunk_len if length is None else length))
         for t in ticks:
             chans = []
             for g in self.groups:
@@ -977,6 +1005,9 @@ class Receiver:
                     iono = getattr(ch.telemetry.assembler, "iono", None)
                     if iono is not None and iono.valid:
                         self.iono = iono
+                    utc = getattr(ch.telemetry.assembler, "utc", None)
+                    if utc is not None and utc.valid:
+                        self.utc = utc
                     # constellation almanac from SF4/5 (or GNAV) pages:
                     # pages name OTHER satellites, so key by the almanac's
                     # own PRN, not the broadcasting channel's
@@ -1058,8 +1089,14 @@ class Receiver:
         if not hasattr(self, "_buf"):
             self._buf = np.zeros(0, np.complex64)
         self._buf = np.concatenate([self._buf, samples.astype(np.complex64)])
-        while len(self._buf) >= self.chunk_len + self.n_max:
-            chunk = self._buf[: self.chunk_len + self.n_max]
+        while True:
+            k = self._dispatch_k()
+            dlen = k * self.chunk_len
+            if len(self._buf) < dlen + self.n_max:
+                if k == 1 or len(self._buf) < self.chunk_len + self.n_max:
+                    break
+                k, dlen = 1, self.chunk_len     # drain tail in single chunks
+            chunk = self._buf[: dlen + self.n_max]
             self._dispatch_commands()
             if not self.standby:
                 # depth-2 software pipeline: consume the PREVIOUS chunk's
@@ -1084,32 +1121,51 @@ class Receiver:
                 # download: group k+1's device compute overlaps group k's
                 # host consume + download latency (the hybrid-group
                 # serialization noted in bench.py's hybrid_serialization)
-                pends = [(g, self._dispatch_tracking(g, chunk_dev))
+                pends = [(g, self._dispatch_tracking(g, chunk_dev, k))
                          for g in self.groups]
                 if defer:
                     # host-visible effects (telemetry, records,
-                    # observables, loss-of-lock drops) lag one chunk; the
-                    # sample accounting uses the base captured at
+                    # observables, loss-of-lock drops) lag one dispatch;
+                    # the sample accounting uses the base captured at
                     # dispatch time.
-                    self._pending = (pends, self._sample_base)
+                    self._pending = (pends, self._sample_base, dlen)
                 else:
-                    self._consume_chunk(pends, self._sample_base)
-            self._buf = self._buf[self.chunk_len:]
-            self._sample_base += self.chunk_len
-            self._chunk_index += 1
+                    self._consume_chunk(pends, self._sample_base, dlen)
+            self._buf = self._buf[dlen:]
+            self._sample_base += dlen
+            self._chunk_index += k
             if self.cfg.status_period_s > 0.0:
                 period = int(round(self.cfg.status_period_s * self.cfg.fs))
                 if (self._sample_base // period
-                        != (self._sample_base - self.chunk_len) // period):
+                        != (self._sample_base - dlen) // period):
                     log.info("status @ %.1f s: %s",
                              self._sample_base / self.cfg.fs,
                              self.status_text())
 
-    def _consume_chunk(self, pends, sample_base: int) -> None:
+    def _consume_chunk(self, pends, sample_base: int,
+                       length: int | None = None) -> None:
         for g, pend in pends:
             if pend is not None:
                 self._finish_tracking(g, pend, sample_base)
-        self._run_observables(sample_base)
+        self._run_observables(sample_base, length)
+
+    def _dispatch_k(self) -> int:
+        """Chunks to fuse into the next device dispatch: the configured
+        depth, unless any group has acquisition work due (idle channels
+        with non-backed-off candidates) — then single chunks keep the
+        dwell-retry cadence at chunk_ms."""
+        k = max(1, int(self.cfg.dispatch_chunks))
+        if k == 1 or self.standby:
+            return 1
+        for g in self.groups:
+            if not any(ch.state == "idle" for ch in g.channels):
+                continue
+            tracked = {ch.prn for ch in g.channels if ch.state == "tracking"}
+            if any(p not in tracked
+                   and g.acq_backoff.get(p, 0) <= self._chunk_index
+                   for p in g.acq_pool):
+                return 1
+        return k
 
     def flush(self) -> None:
         """Consume a deferred chunk still in flight (end of stream, or

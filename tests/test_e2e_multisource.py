@@ -79,27 +79,33 @@ def dual_band_run():
     # estimate_tropo=False = RTKLIB tropopt=OFF: the simulation has no
     # troposphere, and a free ZTD state is nearly collinear with height
     # for a 5-satellite sky (meters of height<->ZTD wander otherwise)
-    # obs_spacing_s=0.2: decimate the 50 Hz receiver observables to the
-    # DLL-noise decorrelation time so the filter's white-noise covariance
-    # stays honest and AR doesn't fix off a transient (see PppEngine).
+    # obs_spacing_s=0.5: decimate the 50 Hz receiver observables past the
+    # DLL code-noise decorrelation time (~0.25 s at these loop
+    # bandwidths). Measured on this very scenario: at 0.2 s the B_IF
+    # covariance stays optimistic enough for LAMBDA to accept a wrong
+    # narrow-lane set at ratio ~90 and fix-and-hold parks the solution
+    # 0.3/1.3 m off; at 0.5 s the formal and true covariances align and
+    # the late fixes land at cm level (see PppEngine docstring).
     # Noise model matched to the CN0-50 scenario (iono-free code ~0.7 m,
     # iono-free phase ~4 mm); ratio 2.5 is the fixed-failure-rate-style
-    # threshold for a 6-SD-ambiguity set (3.0 targets few-ambiguity RTK)
-    # — the sub-decimeter accuracy asserts below independently catch a
-    # wrong fix, which lands ~1 m off.
+    # threshold for a 6-SD-ambiguity set (3.0 targets few-ambiguity RTK).
     ppp = PppEngine(keyed, x0_ecef=(0.0, 0.0, 0.0), mode="static",
                     estimate_tropo=False,
                     sigma_pr_m=0.7, sigma_phase_m=0.004,
-                    obs_spacing_s=0.2, ratio_threshold=2.5)
+                    obs_spacing_s=0.5, ratio_threshold=2.5)
     ppp.seed_position(sc1.rcv_ecef + np.array([11.0, -7.0, 16.0]))
     ms.obs_sinks.append(ppp.push_epoch)
+    # independent record of the merged dual-frequency epochs for the
+    # truth-geometry wide-lane validation in test_dual_band_ppp_ar
+    raw_epochs: list = []
+    ms.obs_sinks.append(lambda t, obs: raw_epochs.append(list(obs)))
 
     ms.run()
-    return sc1, sc5, ms, ppp
+    return sc1, sc5, ms, ppp, raw_epochs
 
 
 def test_dual_band_both_branches_track(dual_band_run):
-    sc1, sc5, ms, _ = dual_band_run
+    sc1, sc5, ms, _, _ = dual_band_run
     tracked = ms.tracked_prns()
     assert sorted(tracked[0]) == sorted(sc1.prns)     # L1 branch
     assert sorted(tracked[1]) == sorted(sc5.prns)     # L5 branch
@@ -111,7 +117,7 @@ def test_dual_band_shared_ephemerides(dual_band_run):
     L1-only extra channel may miss (its LNAV needs ~30 s in one tracking
     session — preamble sync + SF1-3 — and a late acquisition or a
     reacquisition leaves too little capture)."""
-    sc1, sc5, ms, _ = dual_band_run
+    sc1, sc5, ms, _, _ = dual_band_run
     assert len(ms.ephemerides) >= len(sc5.prns)
     for prn in sc5.prns:
         assert ("G", prn) in ms.ephemerides
@@ -123,7 +129,7 @@ def test_dual_band_merged_fix(dual_band_run):
     """The merged dual-band single-point fix meets the standard static
     budgets; dual-frequency satellites enter iono-free (one input per
     satellite, not per signal)."""
-    sc1, _, ms, _ = dual_band_run
+    sc1, _, ms, _, _ = dual_band_run
     assert len(ms.fixes) >= 3, f"only {len(ms.fixes)} merged fixes"
     lat, lon, _ = sc1.rcv_llh
     errs_enu = np.stack([
@@ -140,23 +146,75 @@ def test_dual_band_merged_fix(dual_band_run):
 
 def test_dual_band_ppp_ar(dual_band_run):
     """Dual-frequency PPP-AR runs on the merged two-capture observables:
-    wide-lane/narrow-lane AR fixes and the fixed solution lands at
-    sub-decimeter horizontal accuracy (clean-sky sim: no multipath/windup)."""
-    sc1, _, ms, ppp = dual_band_run
+    the wide-lane set resolves to the TRUE integers (validated against
+    truth geometry below), ratio-passing narrow-lane fixes occur, and the
+    solution lands at sub-decimeter horizontal accuracy (measured 4 cm).
+
+    Honesty note (round-5 diagnosis): 42 s of STATIC geometry cannot
+    observably separate the narrow-lane integers from a position shift —
+    any consistent NL set absorbs into a position offset with cm-level
+    residuals — so this test validates the wide-lane integers against an
+    independent truth derivation and bounds the position; the cm-level
+    narrow-lane claim is validated in test_ppp_ar.py where the synthetic
+    data has enough independent information."""
+    sc1, _, ms, ppp, raw_epochs = dual_band_run
     assert ppp.solutions, "no PPP solutions from merged dual-band epochs"
     assert ppp.filter.n_fixed_epochs > 0, \
-        f"PPP-AR never fixed (last ratio {ppp.filter.last_ratio:.2f})"
+        f"PPP-AR never fixed (best ratio {ppp.filter.best_ratio:.2f})"
     lat, lon, _ = sc1.rcv_llh
     final = ppp.solutions[-1]
     enu = geodesy.ecef_to_enu(final.pos_ecef - sc1.rcv_ecef, lat, lon)
-    # sub-decimeter horizontal at the fixed state (measured ~4 cm); a
-    # wrong narrow-lane fix parks the held solution ~1 m off, so these
-    # budgets also validate that the fixed integers are CORRECT
     assert np.hypot(enu[0], enu[1]) < 0.25, f"PPP horizontal {enu} m"
     assert abs(enu[2]) < 1.0, f"PPP vertical {enu[2]:.3f} m"
     # the best LAMBDA ratio of the run must clear the acceptance gate
-    # (last_ratio fluctuates after the hold and is not a stable statistic)
+    # (last_ratio fluctuates between attempts; best is the stable stat)
     assert ppp.filter.best_ratio > 2.5
+
+    # --- wide-lane truth validation -----------------------------------
+    # Per-signal phase-ambiguity constants from TRUTH geometry: resid =
+    # phase_m - (rho_truth - c*dts) is (receiver clock) + lam_i * N_i;
+    # the clock cancels in between-satellite single differences, so
+    # SD(A_L1)/lam1 - SD(A_L5)/lam5 must equal the held wide-lane integers.
+    import gnss_sdr_tpu.constants as C
+
+    om, c = 7.2921151467e-5, C.SPEED_OF_LIGHT_M_S
+    consts: dict = {}
+    for epoch in raw_epochs[::25]:
+        for o in epoch:
+            if o.signal not in ("1C", "L5"):
+                continue
+            eph = sc1.ephemerides[o.prn]
+            dts = eph.clock_offset(o.t_tx_sv)
+            p, _v = eph.position_velocity(o.t_tx_sv - dts)
+            tau = np.linalg.norm(p - sc1.rcv_ecef) / c
+            th = om * tau
+            rot = np.array([[np.cos(th), np.sin(th), 0.0],
+                            [-np.sin(th), np.cos(th), 0.0], [0, 0, 1.0]])
+            rho = np.linalg.norm(rot @ p - sc1.rcv_ecef)
+            from gnss_sdr_tpu import constants as _k
+            lam = c / (o.carrier_freq_hz
+                       or _k.SIGNALS[o.signal].carrier_freq_hz)
+            consts.setdefault((o.signal, o.prn), []).append(
+                o.carrier_phase_cycles * lam - (rho - c * dts))
+    lam1 = c / 1_575_420_000.0
+    lam5 = c / 1_176_450_000.0
+    held = ppp.filter.fixed_wl
+    assert len(held) >= 4, f"wide-lane set too small: {held}"
+    ref = ppp.filter._last_fix[0][1] if ppp.filter._last_fix else None
+    if ref is None:     # reconstruct the reference satellite (max samples)
+        ref = max((k for k in ppp.filter._mw), key=lambda k:
+                  ppp.filter._mw[k][0])[1]
+    n_checked = 0
+    for (sys_id, prn), wl_held in held.items():
+        a1 = (np.mean(consts[("1C", prn)]) - np.mean(consts[("1C", ref)]))
+        a5 = (np.mean(consts[("L5", prn)]) - np.mean(consts[("L5", ref)]))
+        wl_true = a1 / lam1 - a5 / lam5
+        assert abs(wl_true - round(wl_true)) < 0.35, \
+            f"truth WL for G{prn} not integer-like: {wl_true}"
+        assert wl_held == round(wl_true), \
+            f"G{prn}: held WL {wl_held} != true {round(wl_true)}"
+        n_checked += 1
+    assert n_checked >= 4
 
 
 @pytest.fixture(scope="module")

@@ -274,3 +274,70 @@ def test_d2_page_roundtrip():
     bad[40] ^= 1
     bad[41] ^= 1
     assert beidou_d2.decode_page(bad) is None
+
+
+def test_cnav_mt33_utc_roundtrip():
+    """MT33 (clock & UTC) encode/decode with the GPS_CNAV.h field layout;
+    the assembler exposes a valid UtcParams after one message."""
+    from gnss_sdr_tpu.models.ephemeris import UtcParams
+
+    eph = sample_ephemeris()
+    utc = UtcParams(a0=-2.79396772385e-09, a1=-7.105427357601e-15,
+                    a2=1.0842021e-19, tot=405504.0, wnt=2185,
+                    delta_t_ls=18, wn_lsf=2185, dn=7, delta_t_lsf=18,
+                    valid=True)
+    m = gps_cnav.encode_message(33, eph.prn, 345612.0, eph, utc=utc)
+    got = gps_cnav.decode_message(m)
+    assert got is not None
+    mtype, prn, tow, f = got
+    assert mtype == 33 and prn == eph.prn and tow == 345612.0
+    assert abs(f["utc_a0"] - utc.a0) < 2.0 ** -35
+    assert abs(f["utc_a1"] - utc.a1) < 2.0 ** -51
+    assert abs(f["utc_a2"] - utc.a2) < 2.0 ** -68
+    assert f["delta_t_ls"] == 18 and f["delta_t_lsf"] == 18
+    assert f["utc_tot"] == utc.tot and f["utc_wnt"] == 2185
+    assert f["wn_lsf"] == 2185 and f["dn"] == 7
+    assert abs(f["af0"] - eph.af0) < 2.0 ** -34
+
+    asm = gps_cnav.CnavAssembler(eph.prn)
+    asm.push(mtype, f)
+    assert asm.utc.valid
+    assert abs(asm.utc.a0 - utc.a0) < 2.0 ** -35
+    assert asm.utc.dn == 7
+
+
+def test_gnav_string5_utc_roundtrip():
+    """GNAV string 5 (tau_c / N_4 / tau_GPS / day) with the reference's
+    GLONASS_L1_L2_CA.h STRING 5 bit positions."""
+    eph = glonass_gnav.GlonassEphemeris(slot=5, tb_s=11700.0)
+    utc = glonass_gnav.GlonassUtc(tau_c=-9.3132257462e-09,
+                                  tau_gps=1.3969838619e-08,
+                                  n4=7, day_na=851, l_n=0, valid=True)
+    bits = glonass_gnav.encode_string(5, eph, utc=utc)
+    got = glonass_gnav.decode_string(bits)
+    assert got is not None
+    sid, f = got
+    assert sid == 5
+    assert abs(f["tau_c"] - utc.tau_c) < 2.0 ** -31
+    assert abs(f["tau_gps"] - utc.tau_gps) < 2.0 ** -30
+    assert f["n4"] == 7 and f["day_na"] == 851 and f["l_n"] == 0
+
+    asm = glonass_gnav.GnavAssembler(slot=5)
+    asm.push(sid, f)
+    assert asm.utc_glo.valid
+    assert abs(asm.utc_glo.tau_c - utc.tau_c) < 2.0 ** -31
+
+
+def test_gnav_frame_stream_carries_string5():
+    """encode_frame_stream(utc=...) emits a decodable string 5 in-frame."""
+    eph = glonass_gnav.GlonassEphemeris(slot=3, tb_s=11700.0)
+    utc = glonass_gnav.GlonassUtc(tau_c=5e-9, tau_gps=-2e-9, n4=6,
+                                  day_na=100, valid=True)
+    sym = glonass_gnav.encode_frame_stream(eph, tk0_s=11700.0, n_frames=1,
+                                           utc=utc)
+    # string 5 occupies the 5th string slot: 200 symbols per string
+    s5 = sym[4 * 200: 4 * 200 + 170]
+    bits = s5[0::2]                     # un-meander
+    got = glonass_gnav.decode_string(bits)
+    assert got is not None and got[0] == 5
+    assert abs(got[1]["tau_c"] - 5e-9) < 2.0 ** -31

@@ -548,3 +548,120 @@ def test_beidou_rover_pure_rtcm_stream():
     assert engine.solutions, "no solutions from the pure-RTCM BDS stream"
     err = np.linalg.norm(engine.solutions[-1].rover_ecef - rover_pos)
     assert err < 0.5, f"float BDS RTK error {err:.2f} m"
+
+
+def test_rtk_engine_dgps_mode_from_rtcm(world):
+    """PVT.positioning_mode=DGPS from a pure RTCM stream (reference
+    PMODE_DGPS, rtklib_rtkpos.cc:2787): code-only differential. Common-mode
+    per-satellite range errors (orbit/iono/sat-clock style) bias the
+    single-point fix by meters but cancel in the base/rover differences."""
+    from gnss_sdr_tpu.receiver.observables import ChannelObservable
+    from gnss_sdr_tpu.receiver.pvt import rtcm
+    from gnss_sdr_tpu.receiver.pvt.rtk_engine import (RtcmBaseStation,
+                                                      RtkEngine)
+
+    ephs, base_ecef, prns = world
+    lat, lon, _ = TRUE_LLH
+    p0 = base_ecef + geodesy.enu_to_ecef_offset(
+        np.array([40.0, -15.0, 1.0]), lat, lon)
+    rng = np.random.default_rng(83)
+    # common-mode per-satellite errors, ~5 m scale — the DGPS cancellation
+    # target (broadcast orbit + iono + satellite clock residuals)
+    common_err = {p: rng.normal(0, 5.0) for p in prns}
+
+    station = RtcmBaseStation()
+    station.push_bytes(b"".join(
+        [rtcm.frame(rtcm.encode_1005(55, base_ecef))]
+        + [rtcm.frame(rtcm.encode_1019(ephs[("G", p)])) for p in prns]))
+    engine = RtkEngine(station, sigma_pr_m=0.5, mode="dgps")
+
+    for k in range(10):
+        t = T0 + 1.0 * k
+        basev = _obs_at(ephs, prns, base_ecef, t,
+                        {p: 0 for p in prns}, rng, pr_sigma=0.4)
+        for o in basev:
+            o.pseudorange_m += common_err[o.prn]
+        tow_base = (basev[0].t_tx_sv
+                    + basev[0].pseudorange_m / C.SPEED_OF_LIGHT_M_S)
+        msm = [rtcm.MsmObservation(
+            prn=o.prn, signal_id=2, pseudorange_m=o.pseudorange_m,
+            phase_range_m=0.0, cn0_dbhz=44.0) for o in basev]
+        station.push_bytes(rtcm.frame(rtcm.encode_msm(
+            rtcm.MSM5_GPS, 55, int(round(tow_base * 1e3)), msm)))
+
+        rover = _obs_at(ephs, prns, p0, t, {p: 0 for p in prns}, rng,
+                        pr_sigma=0.4)
+        engine.push_rover_epoch(0, [ChannelObservable(
+            prn=o.prn, signal="1C", t_tx_sv=o.t_tx_sv,
+            pseudorange_m=o.pseudorange_m + common_err[o.prn],
+            carrier_phase_cycles=o.carrier_phase_cycles,
+            doppler_hz=o.doppler_hz, cn0_dbhz=45.0) for o in rover])
+    assert len(engine.solutions) >= 8, "DGPS produced too few solutions"
+    errs = [np.linalg.norm(s.rover_ecef - p0)
+            for s in engine.solutions[-5:]]
+    assert float(np.mean(errs)) < 2.0, \
+        f"DGPS mean error {np.mean(errs):.2f} m (5 m common-mode injected)"
+    assert not engine.solutions[-1].fixed       # code-only: no ambiguities
+
+
+def test_rtk_engine_moving_base_from_rtcm(world):
+    """PVT.positioning_mode=Moving_Base (reference PMODE_MOVEB): the base
+    broadcasts observations but NO surveyed 1005 position — its location is
+    re-solved per epoch; the DD baseline between the two moving receivers
+    still fixes at centimeter accuracy."""
+    from gnss_sdr_tpu.receiver.observables import ChannelObservable
+    from gnss_sdr_tpu.receiver.pvt import rtcm
+    from gnss_sdr_tpu.receiver.pvt.rtk_engine import (RtcmBaseStation,
+                                                      RtkEngine)
+
+    ephs, base_ecef, prns = world
+    lat, lon, _ = TRUE_LLH
+    v_ecef = geodesy.enu_to_ecef_offset(np.array([4.0, 2.0, 0.0]), lat, lon)
+    # rover rides 12.3 m ahead of the base antenna (boat heading setup)
+    off = geodesy.enu_to_ecef_offset(np.array([12.0, 2.5, 0.8]), lat, lon)
+    rng = np.random.default_rng(97)
+    n_rov = {p: int(rng.integers(-5000, 5000)) for p in prns}
+    n_bas = {p: int(rng.integers(-5000, 5000)) for p in prns}
+
+    station = RtcmBaseStation()
+    station.push_bytes(b"".join(
+        rtcm.frame(rtcm.encode_1019(ephs[("G", p)])) for p in prns))
+    assert station.base_ecef is None            # no surveyed position
+    engine = RtkEngine(station, sigma_pr_m=0.1, mode="moving_base")
+
+    errs, errs_float = [], []
+    for k in range(12):
+        t = T0 + 1.0 * k
+        bpos = base_ecef + v_ecef * k
+        rpos = bpos + off
+        # carrier-smoothed-code-grade noise (Hatch, observables.py):
+        # single-epoch AR needs a tight code float; raw-code moving-base
+        # runs float-only, exactly like rtklib's single-epoch moveb
+        basev = _obs_at(ephs, prns, bpos, t, n_bas, rng, pr_sigma=0.03,
+                        vel_ecef=v_ecef)
+        tow_base = (basev[0].t_tx_sv
+                    + basev[0].pseudorange_m / C.SPEED_OF_LIGHT_M_S)
+        msm = [rtcm.MsmObservation(
+            prn=o.prn, signal_id=2, pseudorange_m=o.pseudorange_m,
+            phase_range_m=o.carrier_phase_cycles * LAM,
+            phase_rate_m_s=-o.doppler_hz * LAM, cn0_dbhz=44.0)
+            for o in basev]
+        station.push_bytes(rtcm.frame(rtcm.encode_msm7(
+            rtcm.MSM7_GPS, 55, int(round(tow_base * 1e3)), msm)))
+
+        rover = _obs_at(ephs, prns, rpos, t, n_rov, rng, pr_sigma=0.03,
+                        vel_ecef=v_ecef)
+        engine.push_rover_epoch(0, [ChannelObservable(
+            prn=o.prn, signal="1C", t_tx_sv=o.t_tx_sv,
+            pseudorange_m=o.pseudorange_m,
+            carrier_phase_cycles=o.carrier_phase_cycles,
+            doppler_hz=o.doppler_hz, cn0_dbhz=45.0) for o in rover])
+        if engine.solutions:
+            s = engine.solutions[-1]
+            (errs if s.fixed else errs_float).append(
+                np.linalg.norm(s.baseline_m - off))
+    assert len(errs) + len(errs_float) >= 10, "moving-base epochs missing"
+    assert len(errs) >= 3, f"only {len(errs)} fixed moving-base epochs"
+    assert max(errs) < 0.05, f"moving-base baseline error {max(errs)*100:.1f} cm"
+    if errs_float:
+        assert max(errs_float) < 0.6, "float moving-base baseline off"

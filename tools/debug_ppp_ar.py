@@ -100,12 +100,12 @@ def replay(data, **ppp_kwargs):
             np.asarray(sol.pos_ecef) - data["rcv_ecef"], lat, lon)
         sig = float(np.sqrt(np.trace(flt.p[:3, :3])))
         fixed = flt.n_fixed_epochs > n_before
-        rows.append((sol.tow_s, enu, sig, flt.last_ratio, fixed,
+        rows.append((t, enu, sig, flt.last_ratio, fixed,
                      flt._fix_streak, flt._held, len(flt.fixed_wl)))
         key = (len(ppp.solutions) // 25)
         if key != last_print[0]:
             last_print[0] = key
-            print(f"tow={sol.tow_s - T0:7.2f} "
+            print(f"t={len(ppp.solutions):5d} "
                   f"E={enu[0]:+8.3f} N={enu[1]:+8.3f} U={enu[2]:+8.3f} "
                   f"sig={sig:6.3f} ratio={flt.last_ratio:6.2f} "
                   f"fixed={fixed} streak={flt._fix_streak} "
