@@ -29,22 +29,61 @@ PEAK_F32_TFLOP_S = 98.0        # v5e MXU fp32 (bf16 peak is ~2x)
 HEADLINE_REPEATS = 9
 
 
-def _median_timing(step, n_iter: int, repeats: int = 7):
-    """Median-of-N timing: run ``step`` n_iter times per repeat, return
-    (median seconds/iter, spread fraction (p75-p25)/median). The tunnel to
-    the remote chip adds run-to-run variance that a single measurement
-    hides (BENCH_r01 942 vs r02 872 Msps was tunnel noise, not code); a
-    single tunnel hiccup can be 3x+, so the spread uses the interquartile
-    range, not max-min, to characterize the typical run."""
+_SYNC_COST = [None]
+
+
+def _sync(r):
+    """Honest device sync: fetch one leaf of a fresh result.
+
+    ``jax.block_until_ready`` is NOT a sync on the axon remote backend —
+    measured in round 5: a 4.3-TFLOP scan-of-matmuls program "blocks" in
+    0.0 ms while a device_get of the same result takes 54 ms. Every
+    timing in this bench therefore ends with a device_get; the device
+    executes programs in order, so fetching the LAST program's result
+    waits for everything dispatched before it."""
     import jax
+    leaves = jax.tree.leaves(r)
+    jax.device_get(leaves[0])
+
+
+def _sync_cost() -> float:
+    """Flat cost of one fresh-result fetch (poll + transfer latency),
+    subtracted from chained timings so per-iteration numbers reflect
+    device compute, not the final fetch."""
+    if _SYNC_COST[0] is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def tiny(x):
+            return x * 1.000001
+
+        r = tiny(jnp.ones(8)); _sync(r)
+        ts = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            _sync(tiny(jnp.ones(8)))
+            ts.append(time.perf_counter() - t0)
+        _SYNC_COST[0] = float(np.median(ts))
+    return _SYNC_COST[0]
+
+
+def _median_timing(step, n_iter: int, repeats: int = 7):
+    """Median-of-N timing: dispatch ``step`` n_iter times back-to-back per
+    repeat, sync ONCE via device_get (see _sync — block_until_ready does
+    not wait on this backend), subtract the flat fetch cost, and return
+    (median seconds/iter, IQR spread fraction). The tunnel adds
+    run-to-run variance a single measurement hides; a single hiccup can
+    be 3x+, so the spread uses the interquartile range."""
+    flat = _sync_cost()
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         r = None
         for _ in range(n_iter):
             r = step()
-        jax.block_until_ready(r)
-        times.append((time.perf_counter() - t0) / n_iter)
+        _sync(r)
+        times.append(max(time.perf_counter() - t0 - flat, 1e-9) / n_iter)
     med = float(np.median(times))
     q25, q75 = np.percentile(times, [25.0, 75.0])
     spread = float((q75 - q25) / med) if med > 0 else 0.0
@@ -85,7 +124,7 @@ def _bench_tracking(fs: float, signal: str, n_channels: int, chunk_ms: int,
         tables[i] = chips
         state = trk.start_channel(state, i, code_freq=spec.code_rate_cps,
                                   doppler_hz=130.0, sample_offset=0)
-    tables = jnp.asarray(tables)
+    tables = jnp.asarray(trk.prepare_code_tables(cfg, tables))
 
     def step(st):
         st2, outs = trk.track_chunk(cfg, chunk, st, tables)
@@ -93,7 +132,7 @@ def _bench_tracking(fs: float, signal: str, n_channels: int, chunk_ms: int,
         return st2, outs.prompt
 
     state, p = step(state)
-    jax.block_until_ready(p)
+    _sync(p)                      # compile + settle (honest sync)
     box = {"st": state}
 
     def _tstep():
@@ -235,7 +274,7 @@ def main() -> None:
         state = trk.start_channel(
             state, i, code_freq=1.023e6 * (1 + s.doppler_hz / spec.carrier_freq_hz),
             doppler_hz=s.doppler_hz, sample_offset=int(s.code_delay_s * fs))
-    tables = jnp.asarray(tables)
+    tables = jnp.asarray(trk.prepare_code_tables(cfg, tables))
 
     cf = jnp.asarray(np.stack([
         iq.split(np.conj(np.fft.fft(codes.sample_code(
@@ -257,7 +296,7 @@ def main() -> None:
     # --- warmup / compile. Acquisition first: it is the TPU-proven path; the
     # tracking scan is gated so a backend that cannot lower it still yields a
     # benchmark (acquisition-only) instead of nothing.
-    jax.block_until_ready(acq_step())
+    _sync(acq_step())
     t_acq, acq_spread = _median_timing(acq_step, n_iter=40,
                                        repeats=HEADLINE_REPEATS)
 
@@ -265,7 +304,7 @@ def main() -> None:
     t_track, trk_spread = 0.0, 0.0
     try:
         state, p = track_step(state)
-        jax.block_until_ready(p)
+        _sync(p)
         box = {"st": state}
 
         def _tstep():

@@ -843,22 +843,26 @@ class Receiver:
             return g.tcp_engine.process_chunk(
                 np.asarray(jax.device_get(chunk_dev[:slab])),
                 k * self.chunk_len)
-        state, tables, sec = g.trk_state, g.code_tables, g.sec_tables
+        state, sec = g.trk_state, g.sec_tables
         if self.mesh is not None:
             # channel axis sharded across devices, sample chunk replicated
             # (SURVEY §2.4: per-satellite data parallelism over the mesh)
             chunk2 = chunk_dev[:slab]
             state = self._shd.shard_tracking_state(state, self.mesh)
-            tables = self._shd.shard_channel_array(tables, self.mesh)
+            tables = self._shd.shard_channel_array(
+                trk.prepare_code_tables(g.trk_cfg, g.code_tables), self.mesh)
             sec = self._shd.shard_channel_array(sec, self.mesh)
             chunk2 = self._shd.replicate(chunk2, self.mesh)
             g.trk_state, packed = trk.track_chunk_packed(
                 cfg_k, chunk2, state, tables, sec)
             return packed
         # cache the (rarely-changing) code/secondary tables on device:
-        # re-uploading them every chunk costs tunnel RPCs
+        # re-uploading them every chunk costs tunnel RPCs (stride tables,
+        # ops/correlator.build_stride_tables, are built here too — once
+        # per table revision, i.e. per channel (re)assignment)
         if getattr(g, "_tables_rev", -1) != getattr(g, "tables_rev", 0):
-            g._tables_dev = jax.device_put(g.code_tables)
+            g._tables_dev = jax.device_put(
+                trk.prepare_code_tables(g.trk_cfg, g.code_tables))
             g._sec_dev = jax.device_put(g.sec_tables)
             g._tables_rev = getattr(g, "tables_rev", 0)
         tables, sec = g._tables_dev, g._sec_dev

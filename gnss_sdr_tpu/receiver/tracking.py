@@ -75,6 +75,12 @@ class TrackingConfig:
     # replaces the PLL in WIDE/NARROW states with a batched 3-state
     # phase/Doppler/rate filter whose R adapts to the C/N0 estimate
     carrier_kf: bool = False
+    # rational-stride code-replica plan (p, R, M, A): when set, the scan
+    # consumes int8 stride tables (ops/correlator.build_stride_tables)
+    # instead of chip tables, replacing the element-serial Mosaic gather
+    # with contiguous dynamic slices (7.7x on v5e; see correlator.py).
+    # None = legacy gather path.
+    stride_plan: tuple | None = None
     kf_q_phase: float = 1e-6     # phase random walk, cycles^2/s
     kf_q_freq: float = 1.0       # frequency random walk, Hz^2/s
     kf_q_rate: float = 100.0     # Doppler-rate random walk, (Hz/s)^2/s
@@ -119,6 +125,9 @@ def default_config(spec, fs: float, chunk_ms: int, **kw) -> TrackingConfig:
     taps = (-0.15, -0.5, 0.0, 0.15, 0.5) if spec.subcarrier_rate_hz > 0 else (-0.5, 0.0, 0.5)
     if spec.subcarrier_rate_hz > 0:
         taps = (-0.6, -0.15, 0.0, 0.15, 0.6)  # VEML for BOC(1,1)
+    kw.setdefault("stride_plan", correlator.stride_plan(
+        fs, spec.code_rate_cps, table_rate, n_max,
+        spec.code_length_chips))
     return TrackingConfig(
         fs=fs, code_length_chips=spec.code_length_chips,
         code_rate_cps=spec.code_rate_cps, carrier_freq_hz=spec.carrier_freq_hz,
@@ -402,11 +411,27 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
         valid = tracking & (st.sample_offset >= 0) & (st.sample_offset < chunk_len)
 
         safe_off = jnp.clip(st.sample_offset, 0, chunk_len)
-        corr = correlator.batch_epoch_correlate(
-            chunk, safe_off, jnp.where(valid, n_samp, 0), code_tables,
-            st.rem_code_phase, cps, st.carr_phase_frac, st.carrier_freq / fs,
-            taps, n_max=cfg.n_max, table_rate=cfg.table_rate,
-            tap_components=cfg.tap_components)   # [C, K, 2]
+        # stride path engages only when the caller actually passed stride
+        # tables (trailing shape (p, A)); plain [.., Lc] tables keep the
+        # legacy gather path, so direct track_chunk users are unaffected
+        plan = cfg.stride_plan
+        use_stride = (plan is not None
+                      and code_tables.shape[-2:] == (plan[0], plan[3]))
+        if use_stride:
+            # code_tables here are the int8 [C(,G), p, A] stride tables
+            corr = correlator.batch_epoch_correlate_stride(
+                chunk, safe_off, jnp.where(valid, n_samp, 0), code_tables,
+                st.rem_code_phase, cps, st.carr_phase_frac,
+                st.carrier_freq / fs, taps, n_max=cfg.n_max,
+                table_rate=cfg.table_rate, plan=plan,
+                tap_components=cfg.tap_components)   # [C, K, 2]
+        else:
+            corr = correlator.batch_epoch_correlate(
+                chunk, safe_off, jnp.where(valid, n_samp, 0), code_tables,
+                st.rem_code_phase, cps, st.carr_phase_frac,
+                st.carrier_freq / fs, taps, n_max=cfg.n_max,
+                table_rate=cfg.table_rate,
+                tap_components=cfg.tap_components)   # [C, K, 2]
 
         dt = n_samp.astype(jnp.float32) / fs
         eidx = st.epoch_count
@@ -583,3 +608,14 @@ def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
                                 final.sample_offset - chunk_len,
                                 final.sample_offset))
     return final, outs
+
+
+def prepare_code_tables(cfg: TrackingConfig, code_tables: np.ndarray):
+    """Device-ready code tables for track_chunk: the int8 stride tables
+    when cfg.stride_plan is active (ops/correlator.build_stride_tables),
+    the plain chip tables otherwise. Callers upload the result once per
+    table revision (code tables change only on channel (re)assignment)."""
+    if cfg.stride_plan is None:
+        return np.asarray(code_tables)
+    return correlator.build_stride_tables(np.asarray(code_tables),
+                                          cfg.stride_plan)

@@ -56,7 +56,8 @@ def build_scenario():
     n = cfg.chunk_len + cfg.n_max
     chunk = np.stack([rng.standard_normal(n), rng.standard_normal(n)],
                      axis=-1).astype(np.float32)
-    return cfg, chunk, state, tables
+    # the product path's (stride-table) replica, same on both variants
+    return cfg, chunk, state, trk.prepare_code_tables(cfg, tables)
 
 
 def run_single_process(out_path: str) -> None:
