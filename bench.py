@@ -230,14 +230,21 @@ def bench_streaming(dispatch_chunks: int = 8, duration_s: float = 24.0,
         signal="1C", fs=fs, n_channels=6, prns=tuple(sc.prns), chunk_ms=100,
         dispatch_chunks=dispatch_chunks,
         pvt_apply_tropo=False, pvt_apply_iono=False))
-    n_warm = int(warmup_s * fs)
-    rx.process(x[:n_warm], defer=True)
+    # feed chunk-sized blocks exactly like run_source does from a live
+    # front-end — one giant process() call would instead measure buffer
+    # management of an unrealistic arrival pattern
+    blk = rx.chunk_len
+    n_warm_blocks = int(warmup_s * fs) // blk
+    n_blocks = len(x) // blk
+    for b in range(n_warm_blocks):
+        rx.process(x[b * blk: (b + 1) * blk], defer=True)
     rx.flush()
     t0 = time.perf_counter()
-    rx.process(x[n_warm:], defer=True)
-    rx.flush()
+    for b in range(n_warm_blocks, n_blocks):
+        rx.process(x[b * blk: (b + 1) * blk], defer=True)
+    rx.drain()
     wall = time.perf_counter() - t0
-    stream_s = (len(x) - n_warm) / fs
+    stream_s = (n_blocks - n_warm_blocks) * blk / fs
     return stream_s / wall, len(rx.tracked_prns())
 
 

@@ -56,6 +56,11 @@ class ReceiverConfig:
     # adapters; without this only the first group's sections would count)
     group_params: tuple = ()
     chunk_ms: int = 100
+    # quantize the sample stream to int8 for upload (ops/iq.quantize8):
+    # 4x less host->device traffic, which is the streaming bottleneck on
+    # remote-accelerator tunnels (~50 MB/s measured). Lossless in practice
+    # for noise-dominated GNSS baseband; False = float32 split-IQ.
+    upload_int8: bool = True
     # streaming throughput: fuse up to this many chunks into ONE device
     # dispatch (one upload + one execute + one download RPC over the
     # accelerator tunnel instead of one set per chunk). The host control
@@ -337,6 +342,9 @@ class Receiver:
         self.obs_log: list[tuple[int, list[ChannelObservable]]] = []
         self._sample_base = 0           # absolute sample index of chunk start
         self._pending = None            # deferred (pends, base) of chunk k-1
+        self._q_rms = None              # int8 upload scale (upload_int8)
+        self._q_rms_next = 0
+        self._fetch_pool = None         # background result-download thread
         self._pvt_interval = int(round(
             config.pvt_output_rate_ms / config.obs_interval_ms))
         self._tick_count = 0
@@ -840,9 +848,11 @@ class Receiver:
             # host-stepped loop closure through the external TCP peers; the
             # packed layout matches pack_host_outputs so everything below
             # the unpack is shared with the scan path
-            return g.tcp_engine.process_chunk(
-                np.asarray(jax.device_get(chunk_dev[:slab])),
-                k * self.chunk_len)
+            host_chunk = np.asarray(jax.device_get(chunk_dev[:slab]))
+            if host_chunk.dtype == np.int8:
+                host_chunk = host_chunk.astype(np.float32) / iq.QUANT8_RMS
+            return g.tcp_engine.process_chunk(host_chunk,
+                                              k * self.chunk_len)
         state, sec = g.trk_state, g.sec_tables
         if self.mesh is not None:
             # channel axis sharded across devices, sample chunk replicated
@@ -873,12 +883,29 @@ class Receiver:
             slab=None if chunk_dev.shape[0] == slab else slab)
         return packed
 
+    def _submit_fetch(self, pend):
+        """Start downloading a dispatched result on the fetch thread;
+        host-side pends (TCP engine) pass through untouched."""
+        import concurrent.futures
+        if pend is None or isinstance(pend, tuple):
+            return pend
+        if self._fetch_pool is None:
+            self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="gnss-fetch")
+        return self._fetch_pool.submit(jax.device_get, pend)
+
     def _finish_tracking(self, g: SignalGroup, pend,
                          sample_base: int | None = None) -> None:
+        import concurrent.futures
         if isinstance(pend, tuple):          # TCP engine: host-side triple
             f32p, i32p, lol = pend
+            self._consume_tracking(g, f32p, i32p, lol, sample_base)
+            return
+        if isinstance(pend, concurrent.futures.Future):
+            packed = pend.result()           # background fetch (deferred)
         else:                                # scan engine: ONE fused fetch
-            f32p, i32p, lol = trk.unpack_host_outputs(jax.device_get(pend))
+            packed = jax.device_get(pend)
+        f32p, i32p, lol = trk.unpack_host_outputs(packed)
         self._consume_tracking(g, f32p, i32p, lol, sample_base)
 
     def _consume_tracking(self, g: SignalGroup, f32p, i32p, lol,
@@ -1075,7 +1102,8 @@ class Receiver:
         return inputs
 
     # ------------------------------------------------------------- pipeline
-    def process(self, samples: np.ndarray, defer: bool = False) -> None:
+    def process(self, samples: np.ndarray, defer: bool = False,
+                drain: bool = False) -> None:
         """Feed a contiguous block of conditioned samples (complex64 or
         split-IQ float32 [N, 2]).
 
@@ -1092,15 +1120,37 @@ class Receiver:
             samples = iq.combine(samples)
         if not hasattr(self, "_buf"):
             self._buf = np.zeros(0, np.complex64)
-        self._buf = np.concatenate([self._buf, samples.astype(np.complex64)])
+            self._buf_pos = 0
+            self._frags: list = []
+            self._frag_n = 0
+        # amortized buffering: incoming blocks pile up in a fragment list
+        # and the working buffer is consumed through an offset — both a
+        # per-block concat of the accumulating buffer and a per-dispatch
+        # tail copy are O(buffered^2) memcpy otherwise (measured: they,
+        # not the device, capped streaming at high dispatch depths)
+        if len(samples):
+            self._frags.append(samples.astype(np.complex64, copy=False))
+            self._frag_n += len(samples)
         while True:
+            avail = len(self._buf) - self._buf_pos + self._frag_n
             k = self._dispatch_k()
             dlen = k * self.chunk_len
-            if len(self._buf) < dlen + self.n_max:
-                if k == 1 or len(self._buf) < self.chunk_len + self.n_max:
+            if avail < dlen + self.n_max:
+                # mid-stream, wait for the full fused-dispatch quantum;
+                # only an explicit end-of-stream drain() processes the
+                # tail in single chunks (otherwise every sub-K buffer
+                # state would trigger a K=1 dispatch and the fusion never
+                # engages)
+                if not drain or k == 1 \
+                        or avail < self.chunk_len + self.n_max:
                     break
-                k, dlen = 1, self.chunk_len     # drain tail in single chunks
-            chunk = self._buf[: dlen + self.n_max]
+                k, dlen = 1, self.chunk_len
+            if len(self._buf) - self._buf_pos < dlen + self.n_max:
+                self._buf = np.concatenate(
+                    [self._buf[self._buf_pos:]] + self._frags)
+                self._buf_pos = 0
+                self._frags, self._frag_n = [], 0
+            chunk = self._buf[self._buf_pos: self._buf_pos + dlen + self.n_max]
             self._dispatch_commands()
             if not self.standby:
                 # depth-2 software pipeline: consume the PREVIOUS chunk's
@@ -1117,8 +1167,22 @@ class Receiver:
                 # ONE host->device upload per chunk; acquisition and every
                 # group's tracking scan slice the same device array (the
                 # axon tunnel's per-RPC cost makes repeated implicit
-                # uploads the receiver's main overhead)
-                chunk_dev = jax.device_put(iq.split(chunk))
+                # uploads the receiver's main overhead). int8 quantization
+                # (ops/iq.py) cuts the upload 4x; the rms scale refreshes
+                # every ~50 chunks (the dequant constant is fixed, so the
+                # scale only needs to keep the signal inside the int8
+                # range, not be exact)
+                if self.cfg.upload_int8:
+                    if (self._q_rms is None
+                            or self._chunk_index >= self._q_rms_next):
+                        x2 = iq.split(chunk)
+                        self._q_rms = float(np.sqrt(np.mean(
+                            x2.astype(np.float64) ** 2))) or 1.0
+                        self._q_rms_next = self._chunk_index + 50
+                    chunk_dev = jax.device_put(
+                        iq.quantize8(chunk, rms=self._q_rms))
+                else:
+                    chunk_dev = jax.device_put(iq.split(chunk))
                 for g in self.groups:
                     self._run_acquisition(g, chunk, chunk_dev)
                 # dispatch every group's scan before the first blocking
@@ -1131,11 +1195,18 @@ class Receiver:
                     # host-visible effects (telemetry, records,
                     # observables, loss-of-lock drops) lag one dispatch;
                     # the sample accounting uses the base captured at
-                    # dispatch time.
+                    # dispatch time. The result download starts NOW on a
+                    # background thread: the remote-tunnel completion
+                    # poll backs off exponentially, so a fetch issued at
+                    # consume time can overshoot the program's finish by
+                    # hundreds of ms (measured 2x on the steady-state
+                    # dispatch cadence); a thread parked in device_get
+                    # returns as soon as the result lands.
+                    pends = [(g, self._submit_fetch(p)) for g, p in pends]
                     self._pending = (pends, self._sample_base, dlen)
                 else:
                     self._consume_chunk(pends, self._sample_base, dlen)
-            self._buf = self._buf[dlen:]
+            self._buf_pos += dlen
             self._sample_base += dlen
             self._chunk_index += k
             if self.cfg.status_period_s > 0.0:
@@ -1170,6 +1241,13 @@ class Receiver:
                    for p in g.acq_pool):
                 return 1
         return k
+
+    def drain(self) -> None:
+        """End of stream: process any buffered tail (in single chunks —
+        the K-fusion quantum no longer applies) and consume the deferred
+        dispatch. Run loops call this after the source is exhausted."""
+        self.process(np.zeros(0, np.complex64), defer=True, drain=True)
+        self.flush()
 
     def flush(self) -> None:
         """Consume a deferred chunk still in flight (end of stream, or
@@ -1298,7 +1376,7 @@ class Receiver:
                 break
             self.process(block, defer=True)
             n += 1
-        self.flush()
+        self.drain()
 
     def _run_pipelined(self, source, cond, block_len: int, input_filter,
                        max_chunks: int | None) -> None:
@@ -1340,7 +1418,7 @@ class Receiver:
                 if block is None:
                     break
                 self.process(block, defer=True)
-            self.flush()
+            self.drain()
         finally:
             stop.set()
             # drain so a blocked producer can observe the stop flag
@@ -1378,7 +1456,7 @@ class Receiver:
             self.process(np.asarray(cond(block))
                          if cond is not None else block, defer=True)
             n += 1
-        self.flush()
+        self.drain()
 
     # ------------------------------------------------------------- queries
     def tracked_prns(self) -> list[int]:
