@@ -13,6 +13,8 @@ Decoded messages are returned as (type, data bits); fast corrections
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from gnss_sdr_tpu.models.nav import fec
@@ -439,3 +441,82 @@ class SbasIonoGrid:
         lat_pp, lon_pp, fpp = pierce_point(lat_rad, lon_rad, az_rad, el_rad)
         v = self.vertical_delay(np.degrees(lat_pp), np.degrees(lon_pp))
         return None if v is None else fpp * v
+
+
+# ---------------------------------------------------------------------------
+# Type 9: GEO navigation message (DO-229 A.4.4.11, Table A-19) — the SBAS
+# satellite's own ECEF state vector + clock, the payload the reference's
+# rtklib_sbas.cc sbsdecodemsg stores as seph and the RINEX printer writes
+# as 'S' navigation records.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SbasGeoEphemeris:
+    """GEO state vector at epoch t0 (seconds of day) + aGf clock terms."""
+
+    prn: int = 120
+    iodn: int = 0
+    t0_s: float = 0.0           # time of applicability, s of day (LSB 16 s)
+    ura: int = 2
+    pos_m: tuple = (0.0, 0.0, 0.0)
+    vel_m_s: tuple = (0.0, 0.0, 0.0)
+    acc_m_s2: tuple = (0.0, 0.0, 0.0)
+    agf0_s: float = 0.0         # clock offset, 2^-31 s LSB
+    agf1_s_s: float = 0.0       # clock drift, 2^-40 s/s LSB
+
+    def position_velocity(self, t_s: float):
+        """Constant-acceleration propagation from t0 (DO-229 A.4.4.11)."""
+        dt = t_s - self.t0_s
+        p = np.asarray(self.pos_m, np.float64)
+        v = np.asarray(self.vel_m_s, np.float64)
+        a = np.asarray(self.acc_m_s2, np.float64)
+        return p + v * dt + 0.5 * a * dt * dt, v + a * dt
+
+    def clock_offset(self, t_s: float) -> float:
+        return self.agf0_s + self.agf1_s_s * (t_s - self.t0_s)
+
+
+def encode_type9_geo_nav(eph: SbasGeoEphemeris) -> np.ndarray:
+    """212 data bits of an MT9 GEO navigation message."""
+    def q(v, lsb, n, signed=True):
+        x = int(round(v / lsb))
+        return _s2b(x, n) if signed else _u2b(x, n)
+
+    return np.concatenate([
+        _u2b(eph.iodn & 0xFF, 8),
+        _u2b(int(round(eph.t0_s / 16.0)), 13),
+        _u2b(eph.ura & 0xF, 4),
+        q(eph.pos_m[0], 0.08, 30), q(eph.pos_m[1], 0.08, 30),
+        q(eph.pos_m[2], 0.4, 25),
+        q(eph.vel_m_s[0], 0.000625, 17), q(eph.vel_m_s[1], 0.000625, 17),
+        q(eph.vel_m_s[2], 0.004, 18),
+        q(eph.acc_m_s2[0], 0.0000125, 10), q(eph.acc_m_s2[1], 0.0000125, 10),
+        q(eph.acc_m_s2[2], 0.0000625, 10),
+        q(eph.agf0_s, 2.0 ** -31, 12), q(eph.agf1_s_s, 2.0 ** -40, 8),
+    ])
+
+
+def parse_type9_geo_nav(data212: np.ndarray, prn: int = 0) -> SbasGeoEphemeris:
+    b = np.asarray(data212, np.uint8)
+    i = [0]
+
+    def u(n):
+        v = _b2u(b[i[0]: i[0] + n]); i[0] += n
+        return v
+
+    def s(n):
+        v = _b2s(b[i[0]: i[0] + n]); i[0] += n
+        return v
+
+    iodn = u(8)
+    t0 = u(13) * 16.0
+    ura = u(4)
+    pos = (s(30) * 0.08, s(30) * 0.08, s(25) * 0.4)
+    vel = (s(17) * 0.000625, s(17) * 0.000625, s(18) * 0.004)
+    acc = (s(10) * 0.0000125, s(10) * 0.0000125, s(10) * 0.0000625)
+    agf0 = s(12) * 2.0 ** -31
+    agf1 = s(8) * 2.0 ** -40
+    return SbasGeoEphemeris(prn=prn, iodn=iodn, t0_s=t0, ura=ura,
+                            pos_m=pos, vel_m_s=vel, acc_m_s2=acc,
+                            agf0_s=agf0, agf1_s_s=agf1)

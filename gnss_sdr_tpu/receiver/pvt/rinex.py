@@ -288,6 +288,13 @@ class RinexNavWriter:
                     " write GLONASS geph to a 3.02 file")
             self._write_geph(eph, glonass_date)
             return
+        if hasattr(eph, "agf0_s"):                      # SBAS GEO (MT9)
+            if self.version.startswith("2"):
+                raise ValueError(
+                    "RINEX 2.11 nav files are GPS-only; write SBAS GEO "
+                    "records to a 3.02 file")
+            self._write_seph(eph, glonass_date)
+            return
         if self.version.startswith("2") and system != "G":
             raise ValueError(
                 f"RINEX 2.11 nav files are GPS-only; system {system!r} "
@@ -347,6 +354,31 @@ class RinexNavWriter:
         self._line(p[0] / 1e3, v[0] / 1e3, a[0] / 1e3, float(g.health))
         self._line(p[1] / 1e3, v[1] / 1e3, a[1] / 1e3, float(g.freq_slot))
         self._line(p[2] / 1e3, v[2] / 1e3, a[2] / 1e3, 0.0)
+        self._f.flush()
+
+    def _write_seph(self, s, date: datetime.date | None) -> None:
+        """SBAS 'S' navigation record (rinex_printer.cc log_rinex_nav for
+        Sbas_Ephemeris): epoch + aGf0/aGf1/transmission time, then the
+        ECEF state vector in km with health/URA/IODN trailers. RINEX SBAS
+        PRNs are offset by 100 (S20 = PRN 120)."""
+        key = ("S", s.prn, s.t0_s)
+        if key in self._written:
+            return
+        self._written.add(key)
+        if not self._wrote_header:
+            self._header()
+        date = date or datetime.date(2020, 1, 1)
+        hh = int(s.t0_s // 3600)
+        mm = int((s.t0_s % 3600) // 60)
+        ss = int(s.t0_s % 60)
+        self._f.write(
+            f"S{s.prn - 100:02d} {date.year:4d} {date.month:02d} "
+            f"{date.day:02d} {hh:02d} {mm:02d} {ss:02d}"
+            f"{_f1912(s.agf0_s)}{_f1912(s.agf1_s_s)}{_f1912(s.t0_s)}\n")
+        p, v, a = s.pos_m, s.vel_m_s, s.acc_m_s2
+        self._line(p[0] / 1e3, v[0] / 1e3, a[0] / 1e3, 0.0)   # health
+        self._line(p[1] / 1e3, v[1] / 1e3, a[1] / 1e3, float(s.ura))
+        self._line(p[2] / 1e3, v[2] / 1e3, a[2] / 1e3, float(s.iodn))
         self._f.flush()
 
     def close(self) -> None:

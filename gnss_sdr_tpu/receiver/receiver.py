@@ -1039,6 +1039,9 @@ class Receiver:
                     utc = getattr(ch.telemetry.assembler, "utc", None)
                     if utc is not None and utc.valid:
                         self.utc = utc
+                    geo = getattr(ch.telemetry, "geo_eph", None)
+                    if geo is not None:
+                        self.ephemerides[("S", ch.prn)] = geo
                     # constellation almanac from SF4/5 (or GNAV) pages:
                     # pages name OTHER satellites, so key by the almanac's
                     # own PRN, not the broadcasting channel's

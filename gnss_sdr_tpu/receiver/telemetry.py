@@ -853,6 +853,7 @@ class SbasL1Telemetry:
         # lcorr / sbsion_t)
         self.long_term: dict[int, object] = {}
         self.iono_grid = sbas.SbasIonoGrid()
+        self.geo_eph = None             # MT9 GEO navigation message
         self.message_count = 0
         self._decoded_upto_sym = 0
         self._next_bit = 0              # dedup across overlapping windows
@@ -934,6 +935,13 @@ class SbasL1Telemetry:
                 elif mtype == 26:
                     self.iono_grid.update_delays(
                         self._sbas.parse_type26_iono_delays(data))
+                elif mtype == 9:
+                    # GEO navigation message: the SBAS satellite's own
+                    # state vector (harvested into the receiver's
+                    # ephemeris store under ("S", prn) and written as
+                    # RINEX 'S' nav records)
+                    self.geo_eph = self._sbas.parse_type9_geo_nav(
+                        data, prn=self.prn)
             adv = len(seg) - (self._sbas.MSG_SYMBOLS + 120)
             self._decoded_upto_sym += max(2, adv - adv % 2)
 

@@ -318,3 +318,61 @@ def test_nmea_gsv_from_solution(sol):
         assert 0.0 <= el <= 90.0 and 0.0 <= az < 360.0
     sentences = nmea.gsv(rows)
     assert sentences and sentences[0].startswith("$GPGSV,1,1,04,")
+
+
+def test_rinex_sbas_geo_nav_record(tmp_path):
+    """MT9 GEO nav -> RINEX 3.02 'S' record, hand-checked field layout
+    (rinex_printer.cc SBAS nav analog: epoch + aGf0/aGf1/Ttom, state
+    vector in km, health/URA/IODN trailers; RINEX SBAS id = PRN - 100)."""
+    import datetime
+    from gnss_sdr_tpu.models.nav.sbas import SbasGeoEphemeris
+
+    eph = SbasGeoEphemeris(
+        prn=123, iodn=7, t0_s=43200.0, ura=3,
+        pos_m=(26_000_123.4, -34_000_456.7, 12_345.6),
+        vel_m_s=(0.5, -1.25, 0.004),
+        acc_m_s2=(1.25e-5, 0.0, -6.25e-5),
+        agf0_s=2.5e-8, agf1_s_s=3.0e-12)
+    p = tmp_path / "sbas.nav"
+    w = rinex.RinexNavWriter(p)
+    w.write_ephemeris(eph, glonass_date=datetime.date(2021, 3, 4))
+    w.close()
+    lines = p.read_text().splitlines()
+    body = [ln for ln in lines if ln.startswith("S") or ln.startswith("    ")]
+    rec = [ln for ln in lines if ln.startswith("S23")]
+    assert rec, lines
+    head = rec[0]
+    assert head.startswith("S23 2021 03 04 12 00 00")
+    # aGf0 field, D exponent
+    assert "2.500000000000D-08" in head
+    i = lines.index(head)
+    # X in km, velocity in km/s, acceleration in km/s^2 (the GLONASS
+    # state-vector convention the SBAS records share)
+    assert "2.600012340000D+04" in lines[i + 1]
+    assert "5.000000000000D-04" in lines[i + 1]
+    assert "1.250000000000D-08" in lines[i + 1]
+    # URA on the Y line, IODN on the Z line
+    assert "3.000000000000D+00" in lines[i + 2]
+    assert "7.000000000000D+00" in lines[i + 3]
+
+
+def test_sbas_geo_nav_message_roundtrip_through_telemetry():
+    """MT9 encodes into the MOPS stream and the SBAS telemetry decoder
+    recovers the GEO ephemeris (stream-level, through FEC + CRC)."""
+    from gnss_sdr_tpu.models.nav import sbas as sb
+
+    eph = sb.SbasGeoEphemeris(prn=122, iodn=3, t0_s=7200.0,
+                              pos_m=(26.1e6, -3.41e7, 5000.0),
+                              vel_m_s=(0.1, 0.2, -0.3),
+                              agf0_s=1e-8, agf1_s_s=0.0)
+    msgs = [(9, sb.encode_type9_geo_nav(eph)), (9, sb.encode_type9_geo_nav(eph))]
+    sym = sb.encode_stream(msgs)
+    got = sb.decode_stream(np.where(sym > 0, 1.0, -1.0))
+    assert got
+    _, mtype, data = got[0]
+    assert mtype == 9
+    d = sb.parse_type9_geo_nav(data, prn=122)
+    assert abs(d.pos_m[1] - eph.pos_m[1]) < 0.4
+    assert abs(d.agf0_s - eph.agf0_s) < 2.0 ** -31
+    p, v = d.position_velocity(7230.0)
+    assert abs(p[0] - (26.1e6 + 0.1 * 30)) < 1.0
