@@ -78,3 +78,42 @@ def test_receiver_acquisition_dump(tmp_path):
     # the absent satellite never crosses the CFAR threshold
     miss = z["prn"] == 13
     assert miss.any() and not z["positive"][miss].any()
+
+
+def test_dump_tools_read_and_plot(tmp_path):
+    """The dump reader/plotter library (reference src/utils/matlab analog):
+    reads the npz dumps back per channel and renders the standard panels."""
+    import numpy as np
+    from gnss_sdr_tpu.io import dumps as dumps_mod
+    from gnss_sdr_tpu.utils import dump_tools
+
+    td = dumps_mod.TrackingDump(tmp_path / "tracking.npz")
+    n = 50
+    for prn, ch in ((7, 0), (12, 1)):
+        td.push_epochs(ch, prn, np.arange(n) * 2000, np.arange(n),
+                       (np.ones(n) * (1 + prn)).astype(np.complex128),
+                       45 + np.zeros(n), 1000.0 + np.zeros(n),
+                       1.023e6 + np.zeros(n), np.zeros(n), np.ones(n))
+    td.close()
+    pd = dumps_mod.PvtDump(tmp_path / "pvt.npz")
+
+    class Sol:
+        tow_s = 1.0
+        pos_ecef = np.array([4.8e6, 1.6e5, 4.1e6])
+        vel_ecef = np.zeros(3)
+        clock_bias_s = 1e-6
+        n_sats = 6
+        pdop = 2.0
+        hdop = 1.2
+    for k in range(5):
+        s = Sol(); s.pos_ecef = Sol.pos_ecef + np.array([k * 0.1, 0, 0])
+        pd.push_fix(s)
+    pd.close()
+
+    trk = dump_tools.read_tracking(tmp_path / "tracking.npz")
+    assert sorted(trk) == [7, 12]
+    assert len(trk[7]["cn0_dbhz"]) == n
+    rc = dump_tools.main([str(tmp_path), "--out", str(tmp_path / "plots")])
+    assert rc == 0
+    assert (tmp_path / "plots" / "tracking.png").exists()
+    assert (tmp_path / "plots" / "pvt.png").exists()
