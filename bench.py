@@ -167,11 +167,12 @@ def detail() -> None:
     bytes_touched = 128 * n_ep * int(fs * 1e-3) * (8 + 3 * 4)
     results["effective_bw_gbs_128ch"] = round(bytes_touched / t128 / 1e9, 1)
     results["effective_bw_note"] = (
-        "bytes touched by the correlator per chunk / measured chunk time; "
-        "exceeds v5e physical HBM (~820 GB/s) because the 200 ms chunk is "
-        "VMEM-resident and re-read per channel on-chip — this is an on-chip "
-        "reuse figure, not an HBM roofline fraction (see bench.py main() "
-        "roofline block for the auditable HBM/MFU model)")
+        "bytes touched by the correlator per chunk / measured chunk time "
+        "(honest device_get sync). The scan is NOT bandwidth-bound: "
+        "per-channel cost is dominated by the per-(channel, tap) stride-"
+        "table dynamic slices + per-step loop latency, so channel-"
+        "samples/s saturates near-flat across C (see "
+        "gps_l1_channel_scaling) far from the 820 GB/s HBM roofline")
 
     # multi-constellation: GPS L1 + Galileo E1 groups back to back (the
     # hybrid receiver runs group scans sequentially on one chip)
@@ -179,14 +180,14 @@ def detail() -> None:
     t_gal = _bench_tracking(4.092e6, "1B", 8, chunk_ms)
     rt_hybrid = (chunk_ms / 1000.0) / (t_gps + t_gal)
     results["hybrid_gps_gal_8ch_each_realtime_x"] = round(rt_hybrid, 1)
-    # serialization analysis (why per-group throughput halves): each group
-    # is a separate jit program over its own (fs, code family) shapes, so
-    # two groups pay two dispatch+scan latencies. At 8 channels the scan is
-    # occupancy-bound (the 128-channel row shows ~10x more channel-samples/s
-    # at similar latency), so FUSING groups would only help once per-group
-    # channel counts push into the saturated regime — i.e. at 4+
-    # constellations x 32+ channels; at 2 groups x 8 channels the serialized
-    # cost is ~150x real time and fusion is not worth the shape-coupling.
+    # serialization analysis: each group is a separate jit program over
+    # its own (fs, code family) shapes, so two groups pay two scan
+    # latencies back to back on the one chip — the serialized overhead vs
+    # the slowest single group is ~1.9x by construction. Fusing groups
+    # into one scan would force every channel onto the largest group's
+    # epoch window (4 ms E1 vs 1 ms L1 = 4x padded correlation work for
+    # the L1 channels), which honest timing shows costs more than the
+    # serialization it removes at these channel counts.
     results["hybrid_serialization"] = {
         "t_gps_ms": round(t_gps * 1e3, 3),
         "t_gal_ms": round(t_gal * 1e3, 3),
@@ -195,10 +196,12 @@ def detail() -> None:
     }
 
     results["pallas_vs_xla"] = (
-        "XLA correlator at HBM roofline inside the tracking scan "
-        "(0.36/1.30/3.52 us/epoch at C=8/32/128 measured on v5-lite); "
-        "Pallas kernel demoted — Mosaic gather limited to one vreg "
-        "(see ops/correlator_pallas.py)")
+        "round 5: the arbitrary-index code gather was the scan bottleneck "
+        "(34 of 45 ms per 100 ms chunk at C=6 — Mosaic lowers it near "
+        "element-serially) and is replaced by the rational-stride table "
+        "(ops/correlator.py, contiguous int8 dynamic slices, 7.7x). The "
+        "earlier Pallas twin remains demoted (Mosaic gather limited to "
+        "one vreg, ops/correlator_pallas.py)")
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))

@@ -192,7 +192,12 @@ def attach_outputs(rx, conf) -> OutputSet:
             ambiguity_resolution=bool(prop("PVT.ppp_ar", True)),
             # decimate the tracking-rate observables to the DLL-noise
             # decorrelation time (PppEngine.obs_spacing_s rationale)
-            obs_spacing_s=float(prop("PVT.ppp_obs_spacing_s", 0.5)))
+            obs_spacing_s=float(prop("PVT.ppp_obs_spacing_s", 0.5)),
+            # per-satellite systematic code bias assumed by the AR search
+            # (PppArFilter.code_bias_m): 0.15 m covers this receiver's
+            # ZOH replica biases so narrow-lane fixes the data cannot
+            # support are declined instead of held wrong
+            code_bias_m=float(prop("PVT.ppp_code_bias_m", 0.15)))
         rx.obs_sinks.append(engine.push_epoch)
         rx.fix_sinks.append(lambda sol: engine.seed_position(sol.pos_ecef))
         out.ppp_engine = engine

@@ -154,3 +154,26 @@ def ratio_test(norms: np.ndarray, threshold: float = 3.0) -> bool:
     if len(norms) < 2 or norms[0] <= 0:
         return False
     return bool(norms[1] / max(norms[0], 1e-12) >= threshold)
+
+
+def bootstrap_success_rate(q: np.ndarray) -> float:
+    """Bootstrapped integer success rate P_s = prod(2*Phi(1/(2*sigma_i))-1)
+    over the DECORRELATED conditional standard deviations (Teunissen 1998;
+    rtklib's conffunc role). A lower bound on the ILS success rate that,
+    unlike the ratio test, scales honestly with the covariance: sigma >=
+    ~0.3 cycles on any component collapses P_s toward zero. Use as an AR
+    gate: do not accept (or even attempt) a fix whose success rate says
+    the data cannot support one."""
+    import math
+
+    q = np.asarray(q, np.float64)
+    if q.size == 0:
+        return 0.0
+    l_mat, d = _ltdl(q)
+    l_red, d_red, _z = _reduction(l_mat, d)
+    p = 1.0
+    for var in d_red:
+        sig = math.sqrt(max(var, 1e-30))
+        p *= max(2.0 * (0.5 * (1.0 + math.erf(1.0 / (2.0 * sig)
+                                              / math.sqrt(2.0)))) - 1.0, 0.0)
+    return float(p)

@@ -49,10 +49,30 @@ class PppArFilter(PppFilter):
                  ratio_threshold: float = 3.0,
                  hold_var_m2: float = 0.03 ** 2,
                  min_fix_epoch: int = 20,
-                 max_pos_sigma_m: float = 0.35, **kwargs):
+                 max_pos_sigma_m: float = 0.35,
+                 code_bias_m: float = 0.0, **kwargs):
         super().__init__(*args, **kwargs)
         self.wl_sigma_max = wl_sigma_max
         self.ratio_threshold = ratio_threshold
+        # per-satellite SYSTEMATIC pseudorange bias the filter's white-noise
+        # model cannot see (receiver DLL/ZOH biases, uncalibrated DCBs).
+        # Such biases push the float B_IF states off by bias-level amounts
+        # that never average down, so the narrow-lane search around the
+        # float finds a wrong-but-self-consistent integer set at high ratio
+        # confidence (round-5 dual-band diagnosis: correct wide lanes,
+        # narrow lanes off by 2-7 cycles, held solution parked 0.3-1.3 m
+        # out while the float sat at 4 cm). Adding this term to the search
+        # covariance makes the ratio test honestly DECLINE fixes the data
+        # cannot support. 0 = trust the filter covariance (calibrated
+        # receivers / simulation-grade code).
+        self.code_bias_m = float(code_bias_m)
+        # bootstrapped-success-rate AR gate (lambda_ilsq.bootstrap_
+        # success_rate): the ratio test alone degenerates to a rounding-
+        # distance ratio once the covariance carries a large common term,
+        # so acceptance ALSO requires the decorrelated covariance to
+        # support integer estimation at this success probability
+        self.min_success_rate = 0.9
+        self.last_success_rate = 0.0
         # soft hold (RTKLIB holdamb uses ~0.1 cyc): a premature wrong fix
         # must remain escapable as the float information accumulates
         self.hold_var_m2 = hold_var_m2
@@ -215,6 +235,22 @@ class PppArFilter(PppFilter):
         a_float = np.array([(b_sd[i] - wl_coef * n_wl[k]) / lam_nl
                             for i, k in enumerate(others)])
         q_a = q_b / lam_nl ** 2
+        if self.code_bias_m > 0.0:
+            # single-differenced systematic bias: two independent
+            # per-satellite biases -> 2 * sigma_bias^2 on the diagonal
+            q_a = q_a + np.eye(n) * (2.0 * (self.code_bias_m / lam_nl) ** 2)
+        self.last_success_rate = lambda_ilsq.bootstrap_success_rate(q_a)
+        if self.last_success_rate < self.min_success_rate:
+            # the covariance says integer estimation cannot succeed at an
+            # acceptable rate — declining is the honest outcome (the ratio
+            # test would still "pass" by rounding luck, see round-5 notes)
+            self._fix_streak = 0
+            self._last_fix = None
+            if self._held:
+                self._hold_miss += 1
+                if self._hold_miss >= self.hold_release_after:
+                    self._release_hold()
+            return
         try:
             cands2, norms = lambda_ilsq.lambda_ils(a_float, q_a, n_cands=2)
         except np.linalg.LinAlgError:

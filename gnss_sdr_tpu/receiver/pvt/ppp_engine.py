@@ -27,7 +27,8 @@ class PppEngine:
                  sigma_pr_m: float = 1.0, sigma_phase_m: float = 0.012,
                  q_pos_m2_s: float = 1.0, estimate_tropo: bool = True,
                  obs_spacing_s: float = 0.5,
-                 ratio_threshold: float = 3.0):
+                 ratio_threshold: float = 3.0,
+                 code_bias_m: float = 0.0):
         """``obs_spacing_s``: minimum time between PROCESSED epochs —
         epochs arriving faster are skipped. A receiver producing 50 Hz
         observables feeds the filter measurement noise that is strongly
@@ -46,6 +47,7 @@ class PppEngine:
             ephemerides, x0_ecef=np.asarray(x0_ecef, float),
             mode=mode, q_pos_m2_s=q_pos_m2_s, estimate_tropo=estimate_tropo,
             sigma_pr_m=sigma_pr_m, sigma_phase_m=sigma_phase_m,
+            code_bias_m=code_bias_m,
             # disable the integer search by an impossible ratio threshold
             ratio_threshold=(ratio_threshold if ambiguity_resolution
                              else np.inf))

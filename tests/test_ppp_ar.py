@@ -200,3 +200,58 @@ def test_ppp_engine_from_dual_freq_observables(world):
         f"AR never fixed (ratio {engine.filter.last_ratio:.2f})"
     err = np.linalg.norm(engine.solutions[-1].pos_ecef - rcv)
     assert err < 0.08, f"engine PPP-AR error {err:.3f} m"
+
+
+def test_ppp_ar_code_bias_gate_declines_unresolvable_fix(world):
+    """Both sides of the success-rate AR gate (round-5 engine hardening):
+
+    - WITHOUT the gate's bias term, per-satellite SYSTEMATIC code biases
+      (never averaging down) push the float B_IF states several
+      narrow-lane cycles off truth, and LAMBDA holds a wrong set whose
+      ratio-test confidence is meaningless — position parks decimeters
+      out (the dual-band round-4/5 regression reproduced at filter level).
+    - WITH code_bias_m declared, the bootstrapped success rate collapses
+      and the filter DECLINES to fix; the float stays inside the bias
+      envelope."""
+    ephs, rcv, prns = world
+    rng = np.random.default_rng(41)
+    n1 = {p: int(rng.integers(-2000, 2000)) for p in prns}
+    n2 = {p: int(rng.integers(-2000, 2000)) for p in prns}
+    iono1 = {p: 0.0 for p in prns}
+    bias = {p: float(rng.uniform(-0.35, 0.35)) for p in prns}
+
+    def run(code_bias_m):
+        filt = ppp_ar.PppArFilter(
+            ephs, x0_ecef=np.asarray(rcv) + 15.0, mode="static",
+            estimate_tropo=False, sigma_pr_m=0.35, sigma_phase_m=0.004,
+            ratio_threshold=2.5, code_bias_m=code_bias_m)
+        for k in range(240):
+            t = T0 + 1.0 * k
+            obs = _dual_freq_obs(ephs, prns, rcv, t, n1, n2, iono1, rng,
+                                 pr_sigma=0.3, cp_sigma_m=0.003)
+            # inject the SYSTEMATIC per-satellite code bias on both bands
+            for o in obs:
+                o.p1_m += bias[o.prn]
+                o.p2_m += bias[o.prn]
+                a1 = F1 * F1 / (F1 * F1 - F2 * F2)
+                a2 = F2 * F2 / (F1 * F1 - F2 * F2)
+                o.pr_if_m = a1 * o.p1_m - a2 * o.p2_m
+            sol = filt.update(obs, dt_s=1.0)
+        return filt, sol
+
+    filt_blind, sol_blind = run(0.0)
+    filt_gated, sol_gated = run(0.3)
+
+    # gated: no fix accepted, success rate honest, float bounded
+    assert filt_gated.n_fixed_epochs == 0
+    assert filt_gated.last_success_rate < 0.9
+    err_gated = np.linalg.norm(np.asarray(sol_gated.pos_ecef) - rcv)
+    assert err_gated < 0.8, f"gated float error {err_gated:.2f} m"
+    # blind: if it fixed at all, the held solution is WORSE than the gated
+    # float (the hazard the gate exists for); tolerate the lucky case
+    # where the wrong set happens small, but a confident fix must exist
+    # to make the comparison meaningful
+    if filt_blind.n_fixed_epochs > 0:
+        err_blind = np.linalg.norm(np.asarray(sol_blind.pos_ecef) - rcv)
+        assert err_blind > 0.05, \
+            "systematic code bias unexpectedly left the fix at truth"
