@@ -207,7 +207,7 @@ def detail() -> None:
     print(json.dumps(results, indent=1))
 
 
-def bench_streaming(dispatch_chunks: int = 8, duration_s: float = 24.0,
+def bench_streaming(dispatch_chunks: int = 8, duration_s: float = 40.0,
                     warmup_s: float = 8.0):
     """END-TO-END receiver streaming rate: the actual product path
     (Receiver.process with the deferred pipeline + K-chunk fused dispatch)
@@ -351,6 +351,7 @@ def main() -> None:
             streaming_x, n_trk = bench_streaming()
             streaming = {"streaming_x": round(streaming_x, 2),
                          "streaming_dispatch_chunks": 8,
+                         "streaming_pipeline_depth": 4,
                          "streaming_tracked": n_trk}
         except Exception as e:          # never lose the headline to this
             streaming = {"streaming_x": None, "streaming_error": str(e)[:200]}

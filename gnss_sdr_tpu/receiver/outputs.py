@@ -52,9 +52,10 @@ def attach_outputs(rx, conf) -> OutputSet:
         nmea = NmeaPrinter(nmea_path)
 
         def _cn0_by_prn():
-            return {ch.prn: ch.records[-1].cn0_dbhz
+            return {ch.prn: rec.cn0_dbhz
                     for g in rx.groups for ch in g.channels
-                    if ch.state == "tracking" and ch.records}
+                    if ch.state == "tracking"
+                    and (rec := ch.last_record()) is not None}
 
         rx.fix_sinks.append(lambda s, _p=nmea: _p.push(
             s, rx.tracked_prns(), ephemerides=rx.ephemerides,

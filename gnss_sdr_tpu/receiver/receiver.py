@@ -70,6 +70,17 @@ class ReceiverConfig:
     # buffer depth; here it amortizes the per-RPC tunnel latency that
     # bounds real-time rate, see BENCH streaming_x)
     dispatch_chunks: int = 1
+    # deferred-consume pipeline depth in the fused steady state: up to
+    # depth-1 dispatched quanta stay in flight before the oldest is
+    # consumed. Depth 2 = classic double buffering; 3-4 give each
+    # background fetch several host iterations to land, which hides the
+    # tunnel's contended completion-poll latency (measured ~135 ms when
+    # upload/dispatch RPCs share the link vs 72 ms quiet). Measured on
+    # the v5-lite tunnel: depth 4 is the knee (8.5-9.7x realtime at
+    # K=8); depth >= 5 floods the tunnel with concurrent poll RPCs and
+    # stalls — don't raise it. Host-visible effects (telemetry,
+    # observables, loss-of-lock) lag depth-1 quanta.
+    pipeline_depth: int = 4
     # acquisition
     acq_doppler_max_hz: float = 5000.0
     acq_doppler_step_hz: float = 250.0
@@ -148,7 +159,16 @@ class ReceiverConfig:
 
 
 class Channel:
-    """Host-side per-channel bookkeeping (FSM mirror of reference Channel)."""
+    """Host-side per-channel bookkeeping (FSM mirror of reference Channel).
+
+    Epoch records are stored columnar (one numpy array per field) rather
+    than as a list of EpochRecord objects: a fused K-chunk consume pushes
+    K*chunk_ms epochs per channel, and materializing thousands of Python
+    objects per quantum was a measured streaming-loop cost. EpochRecords
+    are built on demand (a few per observables tick)."""
+
+    _REC_FIELDS = ("start", "eidx", "rem", "codef", "carrf",
+                   "cyc", "frac", "cn0")
 
     def __init__(self, ch_id: int, global_id: int):
         self.ch_id = ch_id              # index within its signal group
@@ -156,15 +176,60 @@ class Channel:
         self.prn: int | None = None
         self.state = "idle"             # idle | tracking
         self.telemetry = None
-        self.records: list[EpochRecord] = []
+        self._rec: dict | None = None   # columnar epoch history
+
+    def clear_records(self) -> None:
+        self._rec = None
+
+    def push_record_block(self, start, eidx, rem, codef, carrf,
+                          cyc, frac, cn0) -> None:
+        """Append one consumed chunk's epochs, keeping a single row of
+        history for ticks that land before the new block."""
+        new = dict(start=np.asarray(start, np.int64),
+                   eidx=np.asarray(eidx, np.int64),
+                   rem=np.asarray(rem, np.float64),
+                   codef=np.asarray(codef, np.float64),
+                   carrf=np.asarray(carrf, np.float64),
+                   cyc=np.asarray(cyc, np.int64),
+                   frac=np.asarray(frac, np.float64),
+                   cn0=np.asarray(cn0, np.float32))
+        old = self._rec
+        if old is not None and len(old["start"]):
+            new = {k: np.concatenate([old[k][-1:], new[k]])
+                   for k in self._REC_FIELDS}
+        self._rec = new
+
+    def _materialize(self, i: int) -> EpochRecord:
+        r = self._rec
+        return EpochRecord(
+            abs_start_sample=int(r["start"][i]), epoch_index=int(r["eidx"][i]),
+            rem_code_phase=float(r["rem"][i]), code_freq=float(r["codef"][i]),
+            carrier_freq=float(r["carrf"][i]),
+            carr_phase_cycles=int(r["cyc"][i]),
+            carr_phase_frac=float(r["frac"][i]),
+            cn0_dbhz=float(r["cn0"][i]))
+
+    @property
+    def records(self) -> list:
+        """Materialized record list (tests/status paths, not the hot loop)."""
+        if self._rec is None:
+            return []
+        return [self._materialize(i) for i in range(len(self._rec["start"]))]
 
     def latest_record_before(self, sample: int) -> EpochRecord | None:
-        best = None
-        for r in self.records:
-            if r.abs_start_sample <= sample:
-                if best is None or r.abs_start_sample > best.abs_start_sample:
-                    best = r
-        return best
+        r = self._rec
+        if r is None or not len(r["start"]):
+            return None
+        i = int(np.searchsorted(r["start"], sample, side="right")) - 1
+        if i < 0:
+            return None
+        return self._materialize(i)
+
+    def last_record(self) -> EpochRecord | None:
+        r = self._rec
+        if r is None or not len(r["start"]):
+            return None
+        return self._materialize(len(r["start"]) - 1)
 
 
 class SignalGroup:
@@ -341,9 +406,12 @@ class Receiver:
         self.fixes: list[pvt_solver.PvtSolution] = []
         self.obs_log: list[tuple[int, list[ChannelObservable]]] = []
         self._sample_base = 0           # absolute sample index of chunk start
-        self._pending = None            # deferred (pends, base) of chunk k-1
+        # deferred (pends, base, dlen) tuples, oldest first; the fused
+        # steady state keeps up to pipeline_depth-1 quanta in flight
+        self._pending_q: list = []
         self._q_rms = None              # int8 upload scale (upload_int8)
         self._q_rms_next = 0
+        self._q_scratch: dict = {}      # per-length quantizer f32 scratch
         self._fetch_pool = None         # background result-download thread
         self._pvt_interval = int(round(
             config.pvt_output_rate_ms / config.obs_interval_ms))
@@ -806,7 +874,7 @@ class Receiver:
         ch.prn = prn
         ch.state = "tracking"
         ch.telemetry = make_telemetry(g.signal, prn)
-        ch.records = []
+        ch.clear_records()
         ch.ext_configured = False
         log.info("ch %d [%s]: PRN %d acquired (delay=%d, doppler=%.0f)",
                  ch.global_id, g.signal, prn, delay, doppler)
@@ -821,7 +889,7 @@ class Receiver:
         ch.prn = None
         ch.state = "idle"
         ch.telemetry = None
-        ch.records = []
+        ch.clear_records()
 
     # ------------------------------------------------------------ tracking
     def _run_tracking(self, g: SignalGroup, chunk_dev) -> None:
@@ -891,7 +959,8 @@ class Receiver:
             return pend
         if self._fetch_pool is None:
             self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=2, thread_name_prefix="gnss-fetch")
+                max_workers=max(2, int(self.cfg.pipeline_depth)),
+                thread_name_prefix="gnss-fetch")
         return self._fetch_pool.submit(jax.device_get, pend)
 
     def _finish_tracking(self, g: SignalGroup, pend,
@@ -937,17 +1006,10 @@ class Receiver:
             v = valid[:, i]
             if v.any():
                 ch.telemetry.push(eidx[v, i], prompt[v, i].real)
-                keep = ch.records[-1:]  # one record of history for early ticks
-                ch.records = keep + [
-                    EpochRecord(
-                        abs_start_sample=base + int(s),
-                        epoch_index=int(e), rem_code_phase=float(r),
-                        code_freq=float(cf), carrier_freq=float(crf),
-                        carr_phase_cycles=int(cc), carr_phase_frac=float(ff),
-                        cn0_dbhz=float(c0))
-                    for s, e, r, cf, crf, cc, ff, c0 in zip(
-                        start[v, i], eidx[v, i], rem[v, i], codef[v, i],
-                        carrf[v, i], cyc[v, i], frac[v, i], cn0[v, i])]
+                ch.push_record_block(
+                    base + start[v, i].astype(np.int64), eidx[v, i],
+                    rem[v, i], codef[v, i], carrf[v, i], cyc[v, i],
+                    frac[v, i], cn0[v, i])
             # after bit sync: enable extended coherent integration (+
             # secondary-code wipe for NH/CS-overlaid signals), anchored at
             # the telemetry's bit boundary (reference: extended-integration
@@ -1156,17 +1218,14 @@ class Receiver:
             chunk = self._buf[self._buf_pos: self._buf_pos + dlen + self.n_max]
             self._dispatch_commands()
             if not self.standby:
-                # depth-2 software pipeline: consume the PREVIOUS chunk's
-                # outputs at the TOP of the iteration — before this
-                # chunk's acquisition can reassign a channel that the
-                # consume drops for loss-of-lock (a consume-after-acquire
-                # ordering would push the old PRN's epochs into the new
-                # PRN's telemetry/observables for one chunk). The overlap
-                # benefit is preserved: chunk k's device program was
-                # dispatched an entire host iteration ago and has long
-                # finished, so the blocking wait here is just the d2h
-                # transfer, not the ~80 ms fresh-dispatch completion poll.
-                self.flush()
+                if not (defer and k > 1):
+                    # single-chunk (acquisition-active) iterations: consume
+                    # the PREVIOUS chunk's outputs FIRST — before this
+                    # chunk's acquisition can reassign a channel that the
+                    # consume drops for loss-of-lock (a consume-after-
+                    # acquire ordering would push the old PRN's epochs into
+                    # the new PRN's telemetry/observables for one chunk).
+                    self.flush()
                 # ONE host->device upload per chunk; acquisition and every
                 # group's tracking scan slice the same device array (the
                 # axon tunnel's per-RPC cost makes repeated implicit
@@ -1178,12 +1237,14 @@ class Receiver:
                 if self.cfg.upload_int8:
                     if (self._q_rms is None
                             or self._chunk_index >= self._q_rms_next):
-                        x2 = iq.split(chunk)
-                        self._q_rms = float(np.sqrt(np.mean(
-                            x2.astype(np.float64) ** 2))) or 1.0
+                        self._q_rms = iq.measure_rms(chunk)
                         self._q_rms_next = self._chunk_index + 50
+                    scr = self._q_scratch.get(len(chunk))
+                    if scr is None and len(self._q_scratch) < 4:
+                        scr = self._q_scratch.setdefault(
+                            len(chunk), np.empty((len(chunk), 2), np.float32))
                     chunk_dev = jax.device_put(
-                        iq.quantize8(chunk, rms=self._q_rms))
+                        iq.quantize8(chunk, rms=self._q_rms, scratch=scr))
                 else:
                     chunk_dev = jax.device_put(iq.split(chunk))
                 for g in self.groups:
@@ -1206,7 +1267,33 @@ class Receiver:
                     # dispatch cadence); a thread parked in device_get
                     # returns as soon as the result lands.
                     pends = [(g, self._submit_fetch(p)) for g, p in pends]
-                    self._pending = (pends, self._sample_base, dlen)
+                    self._pending_q.append(
+                        (pends, self._sample_base, dlen))
+                    if k > 1:
+                        # fused steady state (k > 1 means _dispatch_k saw
+                        # no acquisition work, so _run_acquisition above
+                        # no-oped and no channel was reassigned): quantum
+                        # n is dispatched BEFORE older quanta are
+                        # consumed, and up to pipeline_depth-1 quanta stay
+                        # in flight — each deferred fetch gets several
+                        # host iterations to land (the tunnel's completion
+                        # poll contends with concurrent upload/dispatch
+                        # RPCs, so a fetch needs more than one quantum of
+                        # slack; measured ~135 ms vs 72 ms uncontended).
+                        # A loss-of-lock drop during a consume only idles
+                        # the channel: later in-flight quanta's columns
+                        # for it are skipped at their own consume
+                        # (state != tracking), and any reacquisition
+                        # happens strictly later, on a k==1 iteration
+                        # whose flush() runs before acquisition.
+                        depth = max(2, int(self.cfg.pipeline_depth))
+                        while len(self._pending_q) >= depth:
+                            self._consume_chunk(*self._pending_q.pop(0))
+                    else:
+                        # acquisition-active cadence: depth 2 keeps
+                        # host-visible effects at most one chunk behind
+                        while len(self._pending_q) > 1:
+                            self._consume_chunk(*self._pending_q.pop(0))
                 else:
                     self._consume_chunk(pends, self._sample_base, dlen)
             self._buf_pos += dlen
@@ -1253,11 +1340,10 @@ class Receiver:
         self.flush()
 
     def flush(self) -> None:
-        """Consume a deferred chunk still in flight (end of stream, or
-        before control-plane actions that mutate channel state)."""
-        if self._pending is not None:
-            prev, self._pending = self._pending, None
-            self._consume_chunk(*prev)
+        """Consume every deferred quantum still in flight (end of stream,
+        or before control-plane actions that mutate channel state)."""
+        while self._pending_q:
+            self._consume_chunk(*self._pending_q.pop(0))
 
     # ------------------------------------------------------------- control
     def _dispatch_commands(self) -> None:
