@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import pathlib
+import time
 
 import jax
 import numpy as np
@@ -413,6 +414,7 @@ class Receiver:
         self._q_rms_next = 0
         self._q_scratch: dict = {}      # per-length quantizer f32 scratch
         self._fetch_pool = None         # background result-download thread
+        self._fetch_ema = 0.0           # EMA of dispatch->done fetch latency
         self._pvt_interval = int(round(
             config.pvt_output_rate_ms / config.obs_interval_ms))
         self._tick_count = 0
@@ -953,7 +955,15 @@ class Receiver:
 
     def _submit_fetch(self, pend):
         """Start downloading a dispatched result on the fetch thread;
-        host-side pends (TCP engine) pass through untouched."""
+        host-side pends (TCP engine) pass through untouched.
+
+        The worker sleeps ~75 % of the recent dispatch->done latency (EMA)
+        before parking in device_get: a thread parked immediately spends
+        the whole device-compute window polling the tunnel, and on a
+        small host those poll cycles steal CPU from the main loop (the
+        measured gap between summed host costs and wall time). Sleeping
+        first keeps the early-return benefit while idling through the
+        predictable part of the wait."""
         import concurrent.futures
         if pend is None or isinstance(pend, tuple):
             return pend
@@ -961,7 +971,19 @@ class Receiver:
             self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=max(2, int(self.cfg.pipeline_depth)),
                 thread_name_prefix="gnss-fetch")
-        return self._fetch_pool.submit(jax.device_get, pend)
+        t_sub = time.perf_counter()
+        delay = 0.75 * self._fetch_ema if self._fetch_ema else 0.0
+
+        def _work():
+            if delay > 0.0:
+                time.sleep(delay)
+            r = jax.device_get(pend)
+            dt = time.perf_counter() - t_sub
+            self._fetch_ema = (dt if not self._fetch_ema
+                               else 0.7 * self._fetch_ema + 0.3 * dt)
+            return r
+
+        return self._fetch_pool.submit(_work)
 
     def _finish_tracking(self, g: SignalGroup, pend,
                          sample_base: int | None = None) -> None:
@@ -1046,11 +1068,22 @@ class Receiver:
         for t in ticks:
             chans = []
             for g in self.groups:
+                # staleness bound for tick extrapolation: within its epoch
+                # the held code/carrier NCO rates are EXACT (the scan keeps
+                # them constant across an epoch), but a tick that lands
+                # after a dropped/invalid epoch would silently extrapolate
+                # stale dynamics (reference interp_trk_obs rejects obs
+                # pairs that do not bracket the tick,
+                # hybrid_observables_gs.cc:357-427) — allow at most two
+                # (possibly extended) epoch lengths
+                max_ds = 2 * g.spc * max(1, getattr(g, "extend_symbols", 1))
                 for ch in g.channels:
                     if ch.state != "tracking" or ch.telemetry is None:
                         continue
                     rec = ch.latest_record_before(t)
                     if rec is None:
+                        continue
+                    if t - rec.abs_start_sample > max_ds:
                         continue
                     chans.append(dict(prn=ch.prn, signal=g.signal,
                                       code_len=g.spec.code_length_chips,
