@@ -67,6 +67,10 @@ def main(argv=None) -> int:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    # persistent XLA cache: CLI runs are fresh processes and the receiver's
+    # programs take minutes to compile cold on a small host (0.8 s warm)
+    from gnss_sdr_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     from gnss_sdr_tpu.config import ini
     from gnss_sdr_tpu.receiver.receiver import Receiver
 

@@ -204,6 +204,11 @@ def receiver_config_from_ini(conf: Configuration):
         # ReceiverConfig.dispatch_chunks); acquisition still runs at
         # chunk_ms cadence whenever candidates are pending
         cfg = _dc.replace(cfg, dispatch_chunks=disp)
+    depth = int(conf.property("GNSS-SDR.pipeline_depth", 0))
+    if depth > 1:
+        # in-flight quanta in the fused steady state (see
+        # ReceiverConfig.pipeline_depth; >4 floods the tunnel)
+        cfg = _dc.replace(cfg, pipeline_depth=depth)
     return _dc.replace(cfg, **name_overrides) if name_overrides else cfg
 
 

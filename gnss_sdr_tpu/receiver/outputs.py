@@ -76,8 +76,15 @@ def attach_outputs(rx, conf) -> OutputSet:
     if obs_path:
         from gnss_sdr_tpu.receiver.pvt.rinex import RinexObsWriter
         sigs = sorted({g.signal for g in rx.groups})
+        # GLONASS slot -> frequency number table for the 3.02 header
+        # (same published mapping the FDMA channelizer uses)
+        slots = rx.cfg.glonass_freq_slots
+        glo_slots = {p: slots[(p - 1) % len(slots)]
+                     for g in rx.groups if g.spec.fdma_step_hz > 0.0
+                     for p in g.acq_pool}
         w = RinexObsWriter(obs_path, sigs,
-                           version=str(prop("PVT.rinex_version", "3.02")))
+                           version=str(prop("PVT.rinex_version", "3.02")),
+                           glo_slots=glo_slots)
 
         def push_obs(tick, observables, _w=w):
             week = rx.fixes[-1].week if rx.fixes else 0

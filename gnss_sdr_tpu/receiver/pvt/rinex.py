@@ -35,7 +35,8 @@ class RinexObsWriter:
     the reference emits both, PVT.rinex_version)."""
 
     def __init__(self, path, signals: list[str], approx_pos=(0.0, 0.0, 0.0),
-                 marker: str = "GNSS_SDR_TPU", version: str = "3.02"):
+                 marker: str = "GNSS_SDR_TPU", version: str = "3.02",
+                 glo_slots: dict | None = None):
         self.path = pathlib.Path(path)
         self.signals = signals
         self.version = str(version)
@@ -44,6 +45,10 @@ class RinexObsWriter:
         self._wrote_header = False
         self._approx = approx_pos
         self._marker = marker
+        # GLONASS orbital slot (PRN) -> frequency channel number k; 3.02
+        # requires the SLOT/FRQ table when R observations are present
+        # (reference: rinex_printer.cc GLONASS SLOT / FRQ # block)
+        self._glo_slots = dict(glo_slots or {})
 
     def _header(self, week: int, tow: float) -> None:
         if self.version.startswith("2"):
@@ -75,6 +80,22 @@ class RinexObsWriter:
             f"  {t.year:4d}    {t.month:2d}    {t.day:2d}    {t.hour:2d}"
             f"    {t.minute:2d}   {t.second + t.microsecond / 1e6:10.7f}"
             f"     GPS", "TIME OF FIRST OBS"))
+        if "R" in self._systems:
+            # mandatory 3.02 GLONASS records: slot -> frequency number
+            # (8 pairs per line, continuations blank-count) and the
+            # code/phase bias record (zeros: biases not estimated)
+            pairs = sorted(self._glo_slots.items())
+            f.write(_hline(
+                f"{len(pairs):3d}" + "".join(
+                    f" R{p:02d} {k:2d}" for p, k in pairs[:8]),
+                "GLONASS SLOT / FRQ #"))
+            for i in range(8, len(pairs), 8):
+                f.write(_hline("   " + "".join(
+                    f" R{p:02d} {k:2d}" for p, k in pairs[i:i + 8]),
+                    "GLONASS SLOT / FRQ #"))
+            f.write(_hline(
+                " C1C    0.000 C1P    0.000 C2C    0.000 C2P    0.000",
+                "GLONASS COD/PHS/BIS"))
         f.write(_hline("", "END OF HEADER"))
         self._wrote_header = True
 

@@ -20,4 +20,10 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+# persistent XLA cache: the e2e tests recompile the same scan/acquisition
+# programs on every suite run; the on-disk cache cuts re-runs massively
+from gnss_sdr_tpu.utils.jaxcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(str(pathlib.Path(__file__).parent / ".jaxcache"))
+
 REFERENCE_SAMPLES = pathlib.Path("/root/reference/src/tests/signal_samples")

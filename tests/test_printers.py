@@ -90,6 +90,31 @@ def test_rinex_obs(tmp_path):
     assert "21345678.123" in svline
 
 
+def test_rinex_obs_glonass_slot_header(tmp_path):
+    """3.02 requires GLONASS SLOT / FRQ # + COD/PHS/BIS when R obs are
+    present (rinex_printer.cc GLONASS header blocks). 9 slots: one full
+    8-pair line plus one continuation."""
+    p = tmp_path / "obs_glo.rnx"
+    slots = {1: 1, 2: -4, 3: 5, 4: 6, 5: 1, 6: -4, 7: 5, 8: 6, 9: -2}
+    w = rinex.RinexObsWriter(p, signals=["1G"], glo_slots=slots)
+    obs = [ChannelObservable(prn=1, signal="1G", t_tx_sv=352800.0,
+                             pseudorange_m=19345678.1,
+                             carrier_phase_cycles=1000.0,
+                             doppler_hz=500.0, cn0_dbhz=44.0)]
+    w.write_epoch(2045, 352800.0, obs)
+    w.close()
+    lines = p.read_text().splitlines()
+    slot_lines = [l for l in lines if l.rstrip().endswith("GLONASS SLOT / FRQ #")]
+    assert len(slot_lines) == 2
+    assert slot_lines[0].startswith("  9 R01  1 R02 -4")
+    assert "R09 -2" in slot_lines[1]
+    assert slot_lines[1][:3] == "   "        # continuation: blank count
+    assert any(l.rstrip().endswith("GLONASS COD/PHS/BIS") for l in lines)
+    # header records stay inside the 60-char content field
+    for l in slot_lines:
+        assert l.index("GLONASS SLOT") == 60
+
+
 def test_rinex_nav(tmp_path):
     p = tmp_path / "nav.rnx"
     w = rinex.RinexNavWriter(p)
