@@ -11,6 +11,7 @@ non-inverted, continuous across messages).
 
 Types implemented: 10 + 11 (ephemeris halves, quasi-Keplerian with
 delta-A/Adot/delta-n-dot relative parameters), 30 (clock + TGD/ISC + iono),
+32 (clock + Earth orientation: polar motion + rates, dUT1 + rate),
 33 (clock + UTC: A0/A1/A2, leap seconds + leap event WN_LSF/DN/dtLSF).
 Field positions follow IS-GPS-200 section 30.3.3 (cross-checked against the
 reference's GPS_CNAV.h tables; positions below are 0-based = ICD - 1).
@@ -60,9 +61,25 @@ def _q(value, scale, n, signed=True):
     return _s2b(q, n) if signed else _u2b(q, n)
 
 
+@dataclasses.dataclass
+class EopParams:
+    """CNAV MT32 Earth-orientation parameters (IS-GPS-200 30.3.3.5.1:
+    polar motion in arcsec / arcsec/day, UT1-UTC in s / s/day)."""
+
+    t_eop: float = 0.0          # s of week, 2^4 LSB
+    pm_x: float = 0.0           # arcsec, 2^-20
+    pm_x_dot: float = 0.0       # arcsec/day, 2^-21
+    pm_y: float = 0.0           # arcsec, 2^-20
+    pm_y_dot: float = 0.0       # arcsec/day, 2^-21
+    dut1: float = 0.0           # s, 2^-24
+    dut1_dot: float = 0.0       # s/day, 2^-25
+    valid: bool = False
+
+
 def encode_message(mtype: int, prn: int, tow_s: float,
                    eph: KeplerEphemeris, iono: IonoParams | None = None,
-                   utc: UtcParams | None = None) -> np.ndarray:
+                   utc: UtcParams | None = None,
+                   eop: EopParams | None = None) -> np.ndarray:
     """One 300-bit CNAV message (information bits, before FEC)."""
     m = np.zeros(MSG_BITS, np.uint8)
     m[0:8] = PREAMBLE
@@ -111,6 +128,22 @@ def encode_message(mtype: int, prn: int, tow_s: float,
             m[232:240] = _q(iono.beta[1], 2.0 ** 14, 8)
             m[240:248] = _q(iono.beta[2], 2.0 ** 16, 8)
             m[248:256] = _q(iono.beta[3], 2.0 ** 16, 8)
+    elif mtype == 32:
+        # clock block shared by every MT3x, then the EOP set
+        # (IS-GPS-200 Fig 30-9: t_EOP, PM_X/Y + rates, dUT1 + rate)
+        m[38:49] = _u2b(int(eph.toe / 300.0), 11)
+        m[60:71] = _u2b(int(eph.toc / 300.0), 11)
+        m[71:97] = _q(eph.af0, 2.0 ** -35, 26)
+        m[97:117] = _q(eph.af1, 2.0 ** -48, 20)
+        m[117:127] = _q(eph.af2, 2.0 ** -60, 10)
+        if eop is not None and eop.valid:
+            m[127:143] = _q(eop.t_eop, 2.0 ** 4, 16, signed=False)
+            m[143:164] = _q(eop.pm_x, 2.0 ** -20, 21)
+            m[164:179] = _q(eop.pm_x_dot, 2.0 ** -21, 15)
+            m[179:200] = _q(eop.pm_y, 2.0 ** -20, 21)
+            m[200:215] = _q(eop.pm_y_dot, 2.0 ** -21, 15)
+            m[215:246] = _q(eop.dut1, 2.0 ** -24, 31)
+            m[246:265] = _q(eop.dut1_dot, 2.0 ** -25, 19)
     elif mtype == 33:
         # clock block shared by every MT3x (bits 39-127), then the UTC
         # parameter set (GPS_CNAV.h CNAV_A0..CNAV_DELTA_TLSF positions)
@@ -181,6 +214,18 @@ def decode_message(m: np.ndarray) -> tuple[int, int, float, dict] | None:
                           _b2s(m[232:240]) * 2.0 ** 14,
                           _b2s(m[240:248]) * 2.0 ** 16,
                           _b2s(m[248:256]) * 2.0 ** 16)
+    elif mtype == 32:
+        f["toc"] = _b2u(m[60:71]) * 300.0
+        f["af0"] = _b2s(m[71:97]) * 2.0 ** -35
+        f["af1"] = _b2s(m[97:117]) * 2.0 ** -48
+        f["af2"] = _b2s(m[117:127]) * 2.0 ** -60
+        f["t_eop"] = _b2u(m[127:143]) * 2.0 ** 4
+        f["pm_x"] = _b2s(m[143:164]) * 2.0 ** -20
+        f["pm_x_dot"] = _b2s(m[164:179]) * 2.0 ** -21
+        f["pm_y"] = _b2s(m[179:200]) * 2.0 ** -20
+        f["pm_y_dot"] = _b2s(m[200:215]) * 2.0 ** -21
+        f["dut1"] = _b2s(m[215:246]) * 2.0 ** -24
+        f["dut1_dot"] = _b2s(m[246:265]) * 2.0 ** -25
     elif mtype == 33:
         f["toc"] = _b2u(m[60:71]) * 300.0
         f["af0"] = _b2s(m[71:97]) * 2.0 ** -35
@@ -202,6 +247,7 @@ def encode_symbol_stream(eph: KeplerEphemeris, tow_start_s: float,
                          n_messages: int,
                          iono: IonoParams | None = None,
                          utc: UtcParams | None = None,
+                         eop: EopParams | None = None,
                          period_s: float = 12.0) -> np.ndarray:
     """Continuous FEC-encoded symbol stream cycling messages 10, 11, 30
     (and 33 when a UTC set is supplied — the broadcast schedule
@@ -212,31 +258,44 @@ def encode_symbol_stream(eph: KeplerEphemeris, tow_start_s: float,
     tow_start_s + k * period_s — 12 s on L2C (25 bps), 6 s on L5 (50 bps,
     reference gps_l5_telemetry_decoder_gs.cc).
     """
-    types = (10, 11, 30, 33) if utc is not None else (10, 11, 30)
+    types = [10, 11, 30]
+    if eop is not None:
+        types.append(32)
+    if utc is not None:
+        types.append(33)
     bits = []
     for k in range(n_messages):
         mt = types[k % len(types)]
         # IS-GPS-200: the CNAV TOW count tags the start of the NEXT message
         bits.append(encode_message(
-            mt, eph.prn, tow_start_s + period_s * (k + 1), eph, iono, utc))
+            mt, eph.prn, tow_start_s + period_s * (k + 1), eph, iono, utc,
+            eop))
     all_bits = np.concatenate(bits)
     return fec.conv_encode(all_bits, invert_g2=False, flush=True)
 
 
 class CnavAssembler:
-    """Collects messages 10/11/30 into a KeplerEphemeris."""
+    """Collects messages 10/11/30 into a KeplerEphemeris and harvests
+    the MT30 iono, MT32 EOP and MT33 UTC parameter sets."""
 
     def __init__(self, prn: int):
         self.prn = prn
         self.msgs: dict[int, dict] = {}
         self.iono = IonoParams()
         self.utc = UtcParams()
+        self.eop = EopParams()
 
     def push(self, mtype: int, fields: dict) -> None:
         self.msgs[mtype] = fields
         if mtype == 30 and "iono_alpha" in fields:
             self.iono = IonoParams(alpha=fields["iono_alpha"],
                                    beta=fields["iono_beta"], valid=True)
+        if mtype == 32 and "t_eop" in fields:
+            self.eop = EopParams(
+                t_eop=fields["t_eop"], pm_x=fields["pm_x"],
+                pm_x_dot=fields["pm_x_dot"], pm_y=fields["pm_y"],
+                pm_y_dot=fields["pm_y_dot"], dut1=fields["dut1"],
+                dut1_dot=fields["dut1_dot"], valid=True)
         if mtype == 33 and "utc_a0" in fields:
             self.utc = UtcParams(
                 a0=fields["utc_a0"], a1=fields["utc_a1"],

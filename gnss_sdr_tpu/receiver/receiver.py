@@ -302,6 +302,15 @@ class SignalGroup:
         self.acq_reps2: dict[int, tuple] = {}   # variant replica pairs
         self.acq_pool = list(prns)
         self.acq_backoff: dict[int, int] = {}
+        # consecutive failed dwells per PRN: retry intervals grow
+        # exponentially (5 chunks doubling to a 300-chunk cap) so a
+        # receiver with idle channels is not pinned to the single-chunk
+        # acquisition cadence forever — satellites that are simply not
+        # visible get retried on the satellite-rise timescale while the
+        # fused steady-state dispatch engages in between (the reference
+        # pays the same cost differently: its acquisition runs on its own
+        # worker thread, gnss_flowgraph.cc:1249)
+        self.acq_fails: dict[int, int] = {}
         self.pinned: dict[int, int] = {}   # local channel -> PRN
         # TCP-connector mode: loop closure through an external peer; the
         # engine replaces the jitted scan for this group (see tcp_tracking)
@@ -824,7 +833,9 @@ class Receiver:
                 break
             prn = candidates[int(idx)]
             if cfar[idx] < g.rx_cfg.acq_threshold_cfar:
-                g.acq_backoff[prn] = self._chunk_index + 5
+                fails = self.acq_fails_for(g, prn)
+                g.acq_backoff[prn] = self._chunk_index + min(
+                    5 << min(fails, 6), 300)
                 continue
             # the dwell started `off` samples into the chunk; `off` is a
             # multiple of the code period, so the code boundary nearest
@@ -842,6 +853,13 @@ class Receiver:
                 continue
             idle.remove(pick)
             self._assign_channel(g, pick, prn, delay, doppler)
+
+    def acq_fails_for(self, g: SignalGroup, prn: int) -> int:
+        """Count of consecutive failed dwells for this PRN (post-increment:
+        returns the count BEFORE this failure)."""
+        n = g.acq_fails.get(prn, 0)
+        g.acq_fails[prn] = n + 1
+        return n
 
     def _assign_channel(self, g: SignalGroup, ch: Channel, prn: int,
                         delay: int, doppler: float) -> None:
@@ -873,6 +891,7 @@ class Receiver:
                 g.trk_state, ch.ch_id, code_freq=code_freq,
                 doppler_hz=doppler, sample_offset=int(delay),
                 if_freq_hz=g.if_freq_for(prn))
+        g.acq_fails.pop(prn, None)
         ch.prn = prn
         ch.state = "tracking"
         ch.telemetry = make_telemetry(g.signal, prn)
@@ -887,6 +906,9 @@ class Receiver:
         if g.tcp_engine is not None:
             g.tcp_engine.stop_channel(ch.ch_id)
         g.trk_state = trk.stop_channel(g.trk_state, ch.ch_id)
+        # the satellite was demonstrably present: retry on the fast
+        # cadence (fail counter reset), first dwell after 10 chunks
+        g.acq_fails.pop(ch.prn, None)
         g.acq_backoff[ch.prn] = self._chunk_index + 10
         ch.prn = None
         ch.state = "idle"
@@ -1403,6 +1425,7 @@ class Receiver:
                         if ch.state == "tracking":
                             self._drop_channel(g, ch)
                     g.acq_backoff.clear()
+                    g.acq_fails.clear()
             elif ev.command == "reset":
                 self.restart_requested = True
             elif ev.command in ("stop", "quit"):

@@ -306,6 +306,38 @@ def test_cnav_mt33_utc_roundtrip():
     assert asm.utc.dn == 7
 
 
+def test_cnav_mt32_eop_roundtrip():
+    """MT32 (clock & Earth orientation) encode/decode per the IS-GPS-200
+    Fig 30-9 layout; the assembler exposes a valid EopParams."""
+    eph = sample_ephemeris()
+    eop = gps_cnav.EopParams(
+        t_eop=302400.0, pm_x=0.1021, pm_x_dot=-0.0023,
+        pm_y=0.3817, pm_y_dot=0.0011, dut1=-0.0172455,
+        dut1_dot=-6.4e-4, valid=True)
+    m = gps_cnav.encode_message(32, eph.prn, 345612.0, eph, eop=eop)
+    got = gps_cnav.decode_message(m)
+    assert got is not None
+    mtype, prn, tow, f = got
+    assert mtype == 32 and prn == eph.prn and tow == 345612.0
+    assert f["t_eop"] == eop.t_eop
+    assert abs(f["pm_x"] - eop.pm_x) < 2.0 ** -20
+    assert abs(f["pm_x_dot"] - eop.pm_x_dot) < 2.0 ** -21
+    assert abs(f["pm_y"] - eop.pm_y) < 2.0 ** -20
+    assert abs(f["pm_y_dot"] - eop.pm_y_dot) < 2.0 ** -21
+    assert abs(f["dut1"] - eop.dut1) < 2.0 ** -24
+    assert abs(f["dut1_dot"] - eop.dut1_dot) < 2.0 ** -25
+    assert abs(f["af0"] - eph.af0) < 2.0 ** -34
+
+    asm = gps_cnav.CnavAssembler(eph.prn)
+    asm.push(mtype, f)
+    assert asm.eop.valid
+    assert abs(asm.eop.dut1 - eop.dut1) < 2.0 ** -24
+
+    # the stream cycle interleaves MT32 when EOP is supplied
+    sym = gps_cnav.encode_symbol_stream(eph, 345600.0, 5, eop=eop)
+    assert sym.size > 0
+
+
 def test_gnav_string5_utc_roundtrip():
     """GNAV string 5 (tau_c / N_4 / tau_GPS / day) with the reference's
     GLONASS_L1_L2_CA.h STRING 5 bit positions."""
