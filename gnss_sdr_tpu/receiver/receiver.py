@@ -1238,6 +1238,11 @@ class Receiver:
         samples = np.asarray(samples)
         if samples.dtype.kind != "c":
             samples = iq.combine(samples)
+            if samples.base is not None:
+                # combine() reinterprets contiguous float32 with zero copy;
+                # buffered samples must own their memory (a source is free
+                # to recycle its read buffer after process() returns)
+                samples = samples.copy()
         if not hasattr(self, "_buf"):
             self._buf = np.zeros(0, np.complex64)
             self._buf_pos = 0
