@@ -90,11 +90,10 @@ def _median_timing(step, n_iter: int, repeats: int = 7):
     return med, spread
 
 
-def _bench_tracking(fs: float, signal: str, n_channels: int, chunk_ms: int,
-                    n_iter: int = 25):
-    """Steady-state tracking throughput for one signal group: returns
-    seconds per chunk (dispatch amortized by the scan inside track_chunk)."""
-    import jax
+def _tracking_setup(fs: float, signal: str, n_channels: int, chunk_ms: int):
+    """Build one signal group's scan inputs: (cfg, chunk, state, tables,
+    spc) with every channel started (shared by the per-group and fused
+    hybrid measurements)."""
     import jax.numpy as jnp
     from gnss_sdr_tpu import constants
     from gnss_sdr_tpu.models import codes
@@ -125,6 +124,17 @@ def _bench_tracking(fs: float, signal: str, n_channels: int, chunk_ms: int,
         state = trk.start_channel(state, i, code_freq=spec.code_rate_cps,
                                   doppler_hz=130.0, sample_offset=0)
     tables = jnp.asarray(trk.prepare_code_tables(cfg, tables))
+    return cfg, chunk, state, tables, spc
+
+
+def _bench_tracking(fs: float, signal: str, n_channels: int, chunk_ms: int,
+                    n_iter: int = 25):
+    """Steady-state tracking throughput for one signal group: returns
+    seconds per chunk (dispatch amortized by the scan inside track_chunk)."""
+    from gnss_sdr_tpu.receiver import tracking as trk
+
+    cfg, chunk, state, tables, spc = _tracking_setup(
+        fs, signal, n_channels, chunk_ms)
 
     def step(st):
         st2, outs = trk.track_chunk(cfg, chunk, st, tables)
@@ -200,6 +210,49 @@ def detail() -> None:
             round(rt_hybrid / scaling[16]["realtime_x"], 2),
     }
 
+    # fused multi-group dispatch (the product path since round 5): both
+    # scans in ONE device program with ONE flat download vs two separate
+    # programs each synced — measured per dispatch (n_iter=1) so the
+    # tunnel's per-RPC execute/fetch latency is included, which is what
+    # the product chunk loop actually pays (track_multi_packed)
+    from gnss_sdr_tpu.receiver import tracking as trk
+    cfg_g, chunk_g, st_g, tab_g, _ = _tracking_setup(2.046e6, "1C", 8,
+                                                     chunk_ms)
+    cfg_e, chunk_e, st_e, tab_e, _ = _tracking_setup(4.092e6, "1B", 8,
+                                                     chunk_ms)
+    import jax.numpy as jnp
+    sec_g = jnp.ones((8, cfg_g.sec_table_len), np.float32)
+    sec_e = jnp.ones((8, cfg_e.sec_table_len), np.float32)
+    boxes = {"g": st_g, "e": st_e, "f": (st_g, st_e)}
+
+    def sep_step():
+        boxes["g"], pg = trk.track_chunk_packed(cfg_g, chunk_g, boxes["g"],
+                                                tab_g, sec_g)
+        boxes["e"], pe = trk.track_chunk_packed(cfg_e, chunk_e, boxes["e"],
+                                                tab_e, sec_e)
+        _sync(pg)
+        return pe
+
+    def fused_step():
+        # the two groups' chunks differ in fs here; the product shares one
+        # upload, so time the E1 slab (the larger program) for both scans
+        boxes["f"], flat = trk.track_multi_packed(
+            (cfg_g, cfg_e), chunk_e, boxes["f"], (tab_g, tab_e),
+            (sec_g, sec_e), (chunk_g.shape[0], None))
+        return flat
+
+    _sync(sep_step()); _sync(fused_step())       # compile
+    t_sep, _ = _median_timing(sep_step, n_iter=1, repeats=7)
+    t_fused, _ = _median_timing(fused_step, n_iter=1, repeats=7)
+    results["hybrid_fused_dispatch"] = {
+        "t_separate_programs_ms": round(t_sep * 1e3, 3),
+        "t_fused_program_ms": round(t_fused * 1e3, 3),
+        "rpc_win_x": round(t_sep / t_fused, 2),
+        "note": ("per-dispatch cost incl. tunnel execute+fetch latency; "
+                 "the fused program is what Receiver dispatches for "
+                 "multi-constellation configs (one execute + one flat "
+                 "download for ALL groups)")}
+
     results["pallas_vs_xla"] = (
         "round 5: the arbitrary-index code gather was the scan bottleneck "
         "(34 of 45 ms per 100 ms chunk at C=6 — Mosaic lowers it near "
@@ -212,8 +265,8 @@ def detail() -> None:
     print(json.dumps(results, indent=1))
 
 
-def bench_streaming(dispatch_chunks: int = 8, duration_s: float = 40.0,
-                    warmup_s: float = 8.0):
+def bench_streaming(dispatch_chunks: int = 16, duration_s: float = 40.0,
+                    warmup_s: float = 8.0, upload_bits: int = 4):
     """END-TO-END receiver streaming rate: the actual product path
     (Receiver.process with the deferred pipeline + K-chunk fused dispatch)
     over a synthesized capture, wall-clock timed after a warmup that
@@ -236,7 +289,7 @@ def bench_streaming(dispatch_chunks: int = 8, duration_s: float = 40.0,
         lambda: sc.generate(seed=42))
     rx = Receiver(ReceiverConfig(
         signal="1C", fs=fs, n_channels=6, prns=tuple(sc.prns), chunk_ms=100,
-        dispatch_chunks=dispatch_chunks,
+        dispatch_chunks=dispatch_chunks, upload_bits=upload_bits,
         pvt_apply_tropo=False, pvt_apply_iono=False))
     # feed chunk-sized blocks exactly like run_source does from a live
     # front-end — one giant process() call would instead measure buffer
@@ -382,8 +435,9 @@ def main() -> None:
         if "result" in sbox:
             streaming_x, n_trk = sbox["result"]
             streaming = {"streaming_x": round(streaming_x, 2),
-                         "streaming_dispatch_chunks": 8,
+                         "streaming_dispatch_chunks": 16,
                          "streaming_pipeline_depth": 4,
+                         "streaming_upload_bits": 4,
                          "streaming_tracked": n_trk}
         elif "error" in sbox:
             streaming = {"streaming_x": None,

@@ -204,6 +204,11 @@ def receiver_config_from_ini(conf: Configuration):
         # ReceiverConfig.dispatch_chunks); acquisition still runs at
         # chunk_ms cadence whenever candidates are pending
         cfg = _dc.replace(cfg, dispatch_chunks=disp)
+    bits = int(conf.property("GNSS-SDR.upload_bits", 0))
+    if bits in (4, 8, 32):
+        # sample-upload word size: 4 = packed-nibble uint8 (1 B/sample,
+        # the fast streaming configuration), 8 = int8 split-IQ, 32 = float
+        cfg = _dc.replace(cfg, upload_bits=bits)
     depth = int(conf.property("GNSS-SDR.pipeline_depth", 0))
     if depth > 1:
         # in-flight quanta in the fused steady state (see

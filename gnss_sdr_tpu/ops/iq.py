@@ -50,18 +50,23 @@ def combine(x2: np.ndarray) -> np.ndarray:
 
 
 def as_complex(x2: jax.Array) -> jax.Array:
-    """In-jit: [..., 2] float (or quantized int) -> complex."""
+    """In-jit: [..., 2] float (or quantized int / packed nibble) -> complex."""
     if jnp.iscomplexobj(x2):
         return x2
-    if x2.dtype in (jnp.int8, jnp.int16):
+    if x2.dtype == jnp.uint8:
+        x2 = dequant4(x2)
+    elif x2.dtype in (jnp.int8, jnp.int16):
         x2 = dequant(x2)
     return jax.lax.complex(x2[..., 0], x2[..., 1])
 
 
 def as_iq2(z: jax.Array) -> jax.Array:
     """In-jit: complex -> [..., 2] float32; int8/int16 [..., 2] dequantize
-    (see quantize8); float [..., 2] passes through."""
+    (see quantize8); packed-nibble uint8 [...] unpacks (see quantize4);
+    float [..., 2] passes through."""
     if not jnp.iscomplexobj(z):
+        if z.dtype == jnp.uint8:
+            return dequant4(z)
         if z.dtype in (jnp.int8, jnp.int16):
             return dequant(z)
         return z
@@ -118,3 +123,58 @@ def quantize8(x, rms: float | None = None,
 def dequant(x2: jax.Array) -> jax.Array:
     """In-jit: int8/int16 split-IQ -> float32 at unit-ish rms."""
     return x2.astype(jnp.float32) * jnp.float32(1.0 / QUANT8_RMS)
+
+
+# --------------------------------------------------------------------------
+# 4-bit nibble upload: 2x less traffic again (1 B per complex sample)
+# --------------------------------------------------------------------------
+# At K-fused streaming quanta the int8 stream is still upload-bound: the
+# tunnel moves ~8-54 MB/s h2d, and 2 B/sample caps a 2 Msps stream at
+# ~12x real time even with perfect overlap. GNSS front-ends digitize at
+# 1-4 bits (the reference ships 2-bit Nsr captures, nsr_file_signal_source);
+# 4-bit quantization at 2.5 LSB/sigma clips at ~2.9 sigma and costs under
+# 0.05 dB effective CN0 (classic coarse-quantization result), invisible
+# next to the 0.5+ dB of a real 2-bit front-end. One uint8 carries I in the
+# low nibble and Q in the high nibble (two's complement, [-8, 7]), so ONE
+# byte == ONE complex sample and every samples-axis slice works unchanged.
+
+QUANT4_RMS = 2.5
+
+
+def quantize4(x, rms: float | None = None,
+              scratch: np.ndarray | None = None) -> np.ndarray:
+    """Host-side: complex64 (or float [..., 2]) -> packed-nibble uint8
+    [...] (one byte per complex sample) at QUANT4_RMS LSB per input rms."""
+    x2 = split(x) if np.asarray(x).dtype.kind == "c" else np.asarray(x)
+    if rms is None:
+        rms = measure_rms(x2)
+    s = np.float32(QUANT4_RMS / rms)
+    if scratch is not None and scratch.shape == x2.shape \
+            and scratch.dtype == np.float32:
+        buf = np.multiply(x2, s, out=scratch)
+    else:
+        buf = np.multiply(x2, s, dtype=np.float32)
+    np.rint(buf, out=buf)
+    np.clip(buf, -8, 7, out=buf)
+    u = buf.astype(np.int8).astype(np.uint8)    # two's complement nibbles
+    return ((u[..., 0] & 0xF) | ((u[..., 1] & 0xF) << 4)).astype(np.uint8)
+
+
+def dequant4(b: jax.Array) -> jax.Array:
+    """In-jit: packed-nibble uint8 [...] -> float32 [..., 2] at unit-ish
+    rms (inverse of :func:`quantize4`; XOR-8 sign-extends the nibble)."""
+    b = b.astype(jnp.int32)
+    i = ((b & 0xF) ^ 8) - 8
+    q = (((b >> 4) & 0xF) ^ 8) - 8
+    return (jnp.stack([i, q], axis=-1).astype(jnp.float32)
+            * jnp.float32(1.0 / QUANT4_RMS))
+
+
+def dequant4_host(b: np.ndarray) -> np.ndarray:
+    """Host-side (numpy) inverse of :func:`quantize4` -> float32 [..., 2]
+    (TCP-connector engine path, which closes the loop on host)."""
+    b = np.asarray(b).astype(np.int32)
+    i = ((b & 0xF) ^ 8) - 8
+    q = (((b >> 4) & 0xF) ^ 8) - 8
+    return (np.stack([i, q], axis=-1).astype(np.float32)
+            * np.float32(1.0 / QUANT4_RMS))

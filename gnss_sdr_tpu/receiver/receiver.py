@@ -62,6 +62,11 @@ class ReceiverConfig:
     # remote-accelerator tunnels (~50 MB/s measured). Lossless in practice
     # for noise-dominated GNSS baseband; False = float32 split-IQ.
     upload_int8: bool = True
+    # sample-upload word size: 8 = int8 split-IQ (2 B/sample, default),
+    # 4 = packed-nibble uint8 (1 B/sample, <0.05 dB CN0 cost — the fast
+    # streaming configuration; see ops/iq.quantize4), 32 = float32.
+    # 0 derives from upload_int8 for backward compatibility.
+    upload_bits: int = 0
     # streaming throughput: fuse up to this many chunks into ONE device
     # dispatch (one upload + one execute + one download RPC over the
     # accelerator tunnel instead of one set per chunk). The host control
@@ -361,6 +366,20 @@ class SignalGroup:
             k = slots[(prn - 1) % len(slots)]
             return self.spec.carrier_freq_hz + k * self.spec.fdma_step_hz
         return self.spec.carrier_freq_hz
+
+
+class _FusedPend:
+    """One group's slice of a fused multi-group tracking dispatch: a
+    SHARED flat [sum(S*C*13)] download (device array, then Future, then
+    host ndarray — mutated in place through ``box`` so all groups pay
+    for ONE fetch RPC) plus this group's static offset and [S, C, 13]
+    packed shape inside it (see tracking.track_multi_packed)."""
+    __slots__ = ("box", "offset", "shape")
+
+    def __init__(self, box: dict, offset: int, shape: tuple):
+        self.box = box
+        self.offset = offset
+        self.shape = shape
 
 
 class Receiver:
@@ -916,10 +935,55 @@ class Receiver:
         ch.clear_records()
 
     # ------------------------------------------------------------ tracking
-    def _run_tracking(self, g: SignalGroup, chunk_dev) -> None:
-        pend = self._dispatch_tracking(g, chunk_dev)
-        if pend is not None:
-            self._finish_tracking(g, pend)
+    def _dispatch_tracking_all(self, chunk_dev, k: int = 1) -> list:
+        """Dispatch every group's tracking scan, fusing the scan-engine
+        groups into ONE device program + ONE flat download when there is
+        more than one: per-group execute/fetch RPCs serialize on the axon
+        tunnel (GPS+Galileo 8+8 measured 1.85x the slowest single group,
+        BENCH_DETAIL hybrid_serialization) while each group's device
+        compute is sub-millisecond. Returns [(group, pend)] in
+        self.groups order; TCP-engine and mesh-sharded groups keep the
+        per-group path."""
+        fusable = [g for g in self.groups
+                   if g.tcp_engine is None and self.mesh is None
+                   and any(ch.state == "tracking" for ch in g.channels)]
+        if len(fusable) < 2:
+            return [(g, self._dispatch_tracking(g, chunk_dev, k))
+                    for g in self.groups]
+        cfgs, slabs, states, tabs, secs = [], [], [], [], []
+        for g in fusable:
+            self._refresh_tables_dev(g)
+            cfg_k = g.trk_cfg_for(k)
+            slab = k * self.chunk_len + g.n_max
+            cfgs.append(cfg_k)
+            slabs.append(None if chunk_dev.shape[0] == slab else slab)
+            states.append(g.trk_state)
+            tabs.append(g._tables_dev)
+            secs.append(g._sec_dev)
+        new_states, flat = trk.track_multi_packed(
+            tuple(cfgs), chunk_dev, tuple(states), tuple(tabs),
+            tuple(secs), tuple(slabs))
+        box = {"pend": flat}
+        fused, off = {}, 0
+        for g, cfg_k, ns in zip(fusable, cfgs, new_states):
+            g.trk_state = ns
+            shape = (cfg_k.n_steps, g.c_pad, 13)
+            fused[id(g)] = _FusedPend(box, off, shape)
+            off += int(np.prod(shape))
+        return [(g, fused[id(g)]) if id(g) in fused
+                else (g, self._dispatch_tracking(g, chunk_dev, k))
+                for g in self.groups]
+
+    def _refresh_tables_dev(self, g: SignalGroup) -> None:
+        """Cache the (rarely-changing) code/secondary tables on device:
+        re-uploading them every chunk costs tunnel RPCs. Stride tables
+        (ops/correlator.build_stride_tables) are built here too — once
+        per table revision, i.e. per channel (re)assignment."""
+        if getattr(g, "_tables_rev", -1) != getattr(g, "tables_rev", 0):
+            g._tables_dev = jax.device_put(
+                trk.prepare_code_tables(g.trk_cfg, g.code_tables))
+            g._sec_dev = jax.device_put(g.sec_tables)
+            g._tables_rev = getattr(g, "tables_rev", 0)
 
     def _dispatch_tracking(self, g: SignalGroup, chunk_dev, k: int = 1):
         """Launch this group's tracking scan without blocking on the result.
@@ -941,7 +1005,9 @@ class Receiver:
             # packed layout matches pack_host_outputs so everything below
             # the unpack is shared with the scan path
             host_chunk = np.asarray(jax.device_get(chunk_dev[:slab]))
-            if host_chunk.dtype == np.int8:
+            if host_chunk.dtype == np.uint8:
+                host_chunk = iq.dequant4_host(host_chunk)
+            elif host_chunk.dtype == np.int8:
                 host_chunk = host_chunk.astype(np.float32) / iq.QUANT8_RMS
             return g.tcp_engine.process_chunk(host_chunk,
                                               k * self.chunk_len)
@@ -958,15 +1024,7 @@ class Receiver:
             g.trk_state, packed = trk.track_chunk_packed(
                 cfg_k, chunk2, state, tables, sec)
             return packed
-        # cache the (rarely-changing) code/secondary tables on device:
-        # re-uploading them every chunk costs tunnel RPCs (stride tables,
-        # ops/correlator.build_stride_tables, are built here too — once
-        # per table revision, i.e. per channel (re)assignment)
-        if getattr(g, "_tables_rev", -1) != getattr(g, "tables_rev", 0):
-            g._tables_dev = jax.device_put(
-                trk.prepare_code_tables(g.trk_cfg, g.code_tables))
-            g._sec_dev = jax.device_put(g.sec_tables)
-            g._tables_rev = getattr(g, "tables_rev", 0)
+        self._refresh_tables_dev(g)
         tables, sec = g._tables_dev, g._sec_dev
         # slice + scan + host-output pack fused into ONE device program:
         # one execute RPC per group per dispatch over the tunnel
@@ -988,6 +1046,13 @@ class Receiver:
         predictable part of the wait."""
         import concurrent.futures
         if pend is None or isinstance(pend, tuple):
+            return pend
+        if isinstance(pend, _FusedPend):
+            # fused multi-group dispatch: ONE shared flat download; the
+            # first group's submit starts it, the rest alias it
+            if not isinstance(pend.box["pend"],
+                              (concurrent.futures.Future, np.ndarray)):
+                pend.box["pend"] = self._submit_fetch(pend.box["pend"])
             return pend
         if self._fetch_pool is None:
             self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
@@ -1014,7 +1079,16 @@ class Receiver:
             f32p, i32p, lol = pend
             self._consume_tracking(g, f32p, i32p, lol, sample_base)
             return
-        if isinstance(pend, concurrent.futures.Future):
+        if isinstance(pend, _FusedPend):
+            flat = pend.box["pend"]
+            if isinstance(flat, concurrent.futures.Future):
+                flat = np.asarray(flat.result())
+            elif not isinstance(flat, np.ndarray):
+                flat = np.asarray(jax.device_get(flat))
+            pend.box["pend"] = flat          # later groups reuse host copy
+            n = int(np.prod(pend.shape))
+            packed = flat[pend.offset: pend.offset + n].reshape(pend.shape)
+        elif isinstance(pend, concurrent.futures.Future):
             packed = pend.result()           # background fetch (deferred)
         else:                                # scan engine: ONE fused fetch
             packed = jax.device_get(pend)
@@ -1294,7 +1368,9 @@ class Receiver:
                 # every ~50 chunks (the dequant constant is fixed, so the
                 # scale only needs to keep the signal inside the int8
                 # range, not be exact)
-                if self.cfg.upload_int8:
+                bits = self.cfg.upload_bits or (
+                    8 if self.cfg.upload_int8 else 32)
+                if bits in (4, 8):
                     if (self._q_rms is None
                             or self._chunk_index >= self._q_rms_next):
                         self._q_rms = iq.measure_rms(chunk)
@@ -1303,8 +1379,9 @@ class Receiver:
                     if scr is None and len(self._q_scratch) < 4:
                         scr = self._q_scratch.setdefault(
                             len(chunk), np.empty((len(chunk), 2), np.float32))
+                    quant = iq.quantize4 if bits == 4 else iq.quantize8
                     chunk_dev = jax.device_put(
-                        iq.quantize8(chunk, rms=self._q_rms, scratch=scr))
+                        quant(chunk, rms=self._q_rms, scratch=scr))
                 else:
                     chunk_dev = jax.device_put(iq.split(chunk))
                 for g in self.groups:
@@ -1313,8 +1390,7 @@ class Receiver:
                 # download: group k+1's device compute overlaps group k's
                 # host consume + download latency (the hybrid-group
                 # serialization noted in bench.py's hybrid_serialization)
-                pends = [(g, self._dispatch_tracking(g, chunk_dev, k))
-                         for g in self.groups]
+                pends = self._dispatch_tracking_all(chunk_dev, k)
                 if defer:
                     # host-visible effects (telemetry, records,
                     # observables, loss-of-lock drops) lag one dispatch;

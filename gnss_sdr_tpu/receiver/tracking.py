@@ -369,6 +369,33 @@ def track_chunk_packed(cfg: TrackingConfig, chunk: jax.Array,
     return new_state, pack_host_outputs(out, new_state.loss_of_lock)
 
 
+@functools.partial(jax.jit, static_argnames=("cfgs", "slabs"))
+def track_multi_packed(cfgs: tuple, chunk: jax.Array, states: tuple,
+                       code_tables: tuple, sec_tables: tuple,
+                       slabs: tuple):
+    """Every signal group's tracking scan fused into ONE device program,
+    with all packed host outputs flattened into ONE float32 vector.
+
+    Per-group execute + fetch RPCs serialize on the axon tunnel (a
+    GPS+Galileo 8+8 hybrid measured 1.85x the slowest single group,
+    BENCH_DETAIL hybrid_serialization), while each group's device compute
+    is sub-millisecond — so the hybrid receiver pays tunnel latency, not
+    FLOPs. Fusing the groups makes the whole constellation set cost the
+    same RPC count as one group (reference analog: concurrent per-channel
+    thread scheduling, gnss_flowgraph.cc:176-181). The host splits the
+    flat vector by the statically-known per-group [S, C, 13] sizes
+    (see unpack_host_outputs).
+    """
+    new_states, flats = [], []
+    for cfg, st, tab, sec, slab in zip(cfgs, states, code_tables,
+                                       sec_tables, slabs):
+        c = chunk if slab is None else chunk[:slab]
+        ns, out = track_chunk(cfg, c, st, tab, sec)
+        new_states.append(ns)
+        flats.append(pack_host_outputs(out, ns.loss_of_lock).reshape(-1))
+    return tuple(new_states), jnp.concatenate(flats)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def track_chunk(cfg: TrackingConfig, chunk: jax.Array, state: TrackingState,
                 code_tables: jax.Array,

@@ -138,3 +138,63 @@ def test_k_chunk_dispatch_equals_single(tmp_path):
     # fixes stay empty here; the record equality above already pins the
     # tracking computation)
     assert len(a.obs_log) == len(b.obs_log)
+
+
+def test_quantize4_roundtrip():
+    """Packed-nibble codec: one uint8 per complex sample, exact inverse
+    for in-range levels, symmetric clipping at the nibble bounds."""
+    from gnss_sdr_tpu.ops import iq
+
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
+         ).astype(np.complex64)
+    b = iq.quantize4(x, rms=1.0)
+    assert b.dtype == np.uint8 and b.shape == x.shape
+    back = iq.dequant4_host(b)
+    # reconstruction at the quantizer's own grid: |err| <= 0.5 LSB + clip
+    lsb = 1.0 / iq.QUANT4_RMS
+    lvl = np.clip(np.rint(iq.split(x) * iq.QUANT4_RMS), -8, 7) / iq.QUANT4_RMS
+    assert np.array_equal(back, lvl.astype(np.float32))
+    inside = np.abs(iq.split(x)) < 7.4 / iq.QUANT4_RMS
+    err = np.abs(back - iq.split(x))
+    assert err[inside].max() <= 0.5 * lsb + 1e-6
+    # in-jit unpack matches the host unpack
+    import jax.numpy as jnp
+    dev = np.asarray(iq.dequant4(jnp.asarray(b)))
+    assert np.allclose(dev, back, atol=1e-7)
+
+
+def test_upload_bits4_tracks_constellation():
+    """4-bit packed upload (the fast streaming configuration): the
+    receiver acquires and tracks the same satellites as the int8 path,
+    with loop dynamics agreeing at the physical level (<0.05 dB CN0
+    cost of nibble quantization is invisible to the estimators)."""
+    from gnss_sdr_tpu.utils import fixture_cache
+    sc = scen.build_gps_l1_scenario(duration_s=6.0, n_sats=4, cn0_dbhz=48.0,
+                                    fs=2.0e6)
+    x = fixture_cache.cached_iq(
+        "kdisp", dict(dur=6.0, n=4, fs=2.0e6, seed=11),
+        lambda: sc.generate(seed=11))
+
+    def run(bits):
+        rx = Receiver(ReceiverConfig(
+            signal="1C", fs=sc.fs, n_channels=4, prns=tuple(sc.prns),
+            chunk_ms=100, dispatch_chunks=4, upload_bits=bits,
+            pvt_apply_tropo=False, pvt_apply_iono=False))
+        rx.run_source(ArraySignalSource(x, sc.fs))
+        return rx
+
+    a = run(8)
+    b = run(4)
+    assert sorted(a.tracked_prns()) == sorted(b.tracked_prns())
+    for ga, gb in zip(a.groups, b.groups):
+        for ca, cb in zip(ga.channels, gb.channels):
+            if ca.state != "tracking":
+                continue
+            assert ca.prn == cb.prn
+            ra, rb = ca.records[-1], cb.records[-1]
+            assert abs(ra.carrier_freq - rb.carrier_freq) < 0.5
+            # code_freq is float32: one ulp at 1.023 MHz is 0.0625 Hz
+            # (18 mm/s) — budget a few ulp, not absolute precision
+            assert abs(ra.code_freq - rb.code_freq) < 0.2
+    assert len(a.obs_log) == len(b.obs_log)
