@@ -463,3 +463,80 @@ def test_pull_in_capture_range():
     # far outside: must NOT have pulled in (several kHz off)
     resid = run(1500.0)
     assert abs(resid) > 100.0, f"impossible pull-in from +1500 Hz ({resid})"
+
+
+def test_track_multi_packed_matches_per_group():
+    """Fused multi-group dispatch (one device program + one flat packed
+    download for every signal group, receiver.py _dispatch_tracking_all)
+    is numerically equivalent to per-group track_chunk_packed calls —
+    value-identical up to denormal flushing, NaN masks identical."""
+    import jax
+    from gnss_sdr_tpu.models import codes
+    from gnss_sdr_tpu.ops import iq
+    from gnss_sdr_tpu.utils import generator
+
+    fs = 2.0e6
+    groups = []
+    for signal, prns in (("1C", [1, 7]), ("1B", [11, 12])):
+        spec = constants.SIGNALS[signal]
+        cfg = trk.default_config(spec, fs, chunk_ms=40)
+        sats = [generator.SatParams(prn=p, cn0_dbhz=46.0,
+                                    doppler_hz=200.0 * i,
+                                    code_delay_s=1e-4 * i)
+                for i, p in enumerate(prns)]
+        n_chunk = cfg.chunk_len + cfg.n_max
+        x = generator.generate(spec, sats, fs, (n_chunk + 4000) / fs,
+                               seed=3)
+        st = trk.init_state(2, cfg.n_taps)
+        table_len = spec.code_length_chips * cfg.table_rate
+        tables = np.zeros((2, table_len), np.float32)
+        for i, p in enumerate(prns):
+            chips = codes.code_chips(signal, p).astype(np.float32)
+            if cfg.table_rate == 2:
+                chips = np.repeat(chips, 2) * np.tile(
+                    [1.0, -1.0], spec.code_length_chips).astype(np.float32)
+            tables[i] = chips
+            st = trk.start_channel(st, i, code_freq=spec.code_rate_cps,
+                                   doppler_hz=200.0 * i,
+                                   sample_offset=int(1e-4 * i * fs))
+        groups.append(dict(
+            cfg=cfg, x=x, st=st,
+            tabs=jnp.asarray(trk.prepare_code_tables(cfg, tables)),
+            sec=jnp.ones((2, cfg.sec_table_len), np.float32)))
+
+    n_max = max(g["cfg"].n_max for g in groups)
+    chunk = jnp.asarray(iq.split(
+        groups[0]["x"][: groups[0]["cfg"].chunk_len + n_max]))
+
+    def slab(g):
+        s = g["cfg"].chunk_len + g["cfg"].n_max
+        return None if s == chunk.shape[0] else s
+
+    ref = [trk.track_chunk_packed(g["cfg"], chunk, g["st"], g["tabs"],
+                                  g["sec"], slab=slab(g))
+           for g in groups]
+    new_states, flat = trk.track_multi_packed(
+        tuple(g["cfg"] for g in groups), chunk,
+        tuple(g["st"] for g in groups), tuple(g["tabs"] for g in groups),
+        tuple(g["sec"] for g in groups), tuple(slab(g) for g in groups))
+    flat = np.asarray(flat)
+
+    def _same(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            na, nb = np.isnan(a), np.isnan(b)
+            assert np.array_equal(na, nb)
+            # denormal flush-to-zero can differ between the two programs
+            np.testing.assert_allclose(a[~na], b[~nb], atol=1e-30)
+        else:
+            assert np.array_equal(a, b)
+
+    off = 0
+    for (ns_ref, packed_ref), ns in zip(ref, new_states):
+        packed_ref = np.asarray(packed_ref)
+        n = packed_ref.size
+        _same(flat[off:off + n].reshape(packed_ref.shape), packed_ref)
+        for a, b in zip(jax.tree.leaves(ns_ref), jax.tree.leaves(ns)):
+            _same(a, b)
+        off += n
+    assert off == flat.size
