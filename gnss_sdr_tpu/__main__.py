@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pll_bw_hz", type=float, default=None)
     p.add_argument("--max_chunks", type=int, default=None,
                    help="stop after N processing chunks")
+    p.add_argument("--upload_bits", type=int, default=None,
+                   choices=(4, 8, 32),
+                   help="sample-upload word size (4 = packed nibble, "
+                        "the fast streaming configuration)")
     p.add_argument("--dispatch_chunks", type=int, default=None,
                    help="fuse K chunks per device dispatch in steady state "
                         "(amortizes per-RPC tunnel latency; 1 = off)")
@@ -87,6 +91,8 @@ def main(argv=None) -> int:
         conf.set_property("Tracking_1C.pll_bw_hz", args.pll_bw_hz)
     if args.dispatch_chunks:
         conf.set_property("GNSS-SDR.dispatch_chunks", args.dispatch_chunks)
+    if args.upload_bits:
+        conf.set_property("GNSS-SDR.upload_bits", args.upload_bits)
 
     multi = ini.multisource_from_ini(conf)
     if multi is not None:
